@@ -1,0 +1,163 @@
+"""Vectorized analyzers — the scan-side token streams of the engine.
+
+Reference analyzers live in ``core/analysis/`` (SURVEY.md §2.1). Each one here
+operates on a ``pandas.Series`` of strings and returns per-doc token lists —
+suitable for use inside ``mapInArrow`` / pandas UDFs (no per-row Python in the
+Spark plan; the per-row work happens batched in C-backed pandas/regex).
+
+Registered analyzers (name → factory), mirroring REGISTER_ANALYZER_*:
+
+* ``simple``        — lower + split on ``[^a-z0-9]+`` (our deterministic default;
+                      oracle-reproducible in DuckDB with
+                      ``regexp_split_to_array(lower(text),'[^a-z0-9]+')``).
+* ``segmentation``  — unicode word segmentation approximation (\\w+ on casefolded
+                      text); reference: segmentation_token_stream.cpp.
+* ``delimiter``     — split on a single delimiter (delimited_token_stream.cpp).
+* ``ngram``         — char n-grams [min,max] (ngram_token_stream.cpp).
+* ``norm``          — lower/upper + NFC normalize, single token
+                      (text_token_normalizing_stream.cpp).
+* ``stopwords``     — drop masked tokens (token_stopwords_stream.cpp).
+* ``pipeline``      — compose analyzers (pipeline_token_stream.cpp).
+* ``text``          — reference ICU+Snowball pipeline (text_token_stream.cpp):
+                      requires PyICU/PyStemmer which are NOT available in this
+                      environment → gated stub raising ImportError with a
+                      documented fallback to ``simple``.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from collections.abc import Callable, Iterable
+
+import numpy as np
+import pandas as pd
+
+Tokenizer = Callable[[pd.Series], pd.Series]  # Series[str] -> Series[list[str]]
+
+_SIMPLE_RE = re.compile(r"[a-z0-9]+")
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def simple_tokenize(texts: pd.Series) -> pd.Series:
+    """lower() then extract ``[a-z0-9]+`` runs. Matches the DuckDB oracle
+    ``regexp_split_to_array(lower(text), '[^a-z0-9]+')`` with empties dropped."""
+    return texts.fillna("").str.lower().str.findall(_SIMPLE_RE)
+
+
+def segmentation_tokenize(texts: pd.Series, case: str = "lower") -> pd.Series:
+    """Unicode word segmentation (approximation of ICU UBRK_WORD with
+    alpha-only emission; segmentation_token_stream.cpp)."""
+    s = texts.fillna("")
+    if case == "lower":
+        s = s.str.casefold()
+    elif case == "upper":
+        s = s.str.upper()
+    return s.str.findall(_WORD_RE)
+
+
+def delimiter_tokenize(texts: pd.Series, delimiter: str = ",") -> pd.Series:
+    """delimited_token_stream.cpp: split on a single delimiter, keep empties
+    dropped (reference keeps payload semantics we don't need)."""
+    return texts.fillna("").str.split(re.escape(delimiter)).map(
+        lambda toks: [t for t in toks if t]
+    )
+
+
+def ngram_tokens(
+    texts: pd.Series,
+    min_gram: int = 2,
+    max_gram: int = 3,
+    preserve_original: bool = False,
+) -> pd.Series:
+    """ngram_token_stream.cpp: char n-grams of each input string."""
+
+    def _one(s: str) -> list[str]:
+        out = []
+        n = len(s)
+        for g in range(min_gram, max_gram + 1):
+            out.extend(s[i : i + g] for i in range(0, n - g + 1))
+        if preserve_original and (n < min_gram or n > max_gram):
+            out.append(s)
+        return out
+
+    return texts.fillna("").map(_one)
+
+
+def norm_tokenize(texts: pd.Series, case: str = "lower", form: str = "NFC") -> pd.Series:
+    """text_token_normalizing_stream.cpp: normalize + case, single token out."""
+    s = texts.fillna("").map(lambda t: unicodedata.normalize(form, t))
+    if case == "lower":
+        s = s.str.lower()
+    elif case == "upper":
+        s = s.str.upper()
+    return s.map(lambda t: [t])
+
+
+def stopword_filter(token_lists: pd.Series, stopwords: Iterable[str]) -> pd.Series:
+    """token_stopwords_stream.cpp: drop masked tokens."""
+    sw = frozenset(stopwords)
+    return token_lists.map(lambda toks: [t for t in toks if t not in sw])
+
+
+def pipeline(*stages: Callable[[pd.Series], pd.Series]) -> Tokenizer:
+    """pipeline_token_stream.cpp: compose — first stage takes text, later
+    stages take token lists (applied token-wise via re-tokenize of joins is NOT
+    done; stages past the first must be list->list like ``stopword_filter``)."""
+
+    def _run(texts: pd.Series) -> pd.Series:
+        out = texts
+        for st in stages:
+            out = st(out)
+        return out
+
+    return _run
+
+
+def text_tokenize(texts: pd.Series, locale: str = "en") -> pd.Series:
+    """Reference ``text`` analyzer (text_token_stream.cpp:373-437): NFC → ICU
+    word break → lower(locale) → accent removal → stopwords → Snowball stem.
+
+    PyICU / PyStemmer are not installed in this environment; the byte-identical
+    ICU pipeline cannot be reproduced without them. Callers should use
+    ``simple`` / ``segmentation`` (our recorded-fixture analyzers) instead.
+    """
+    raise ImportError(
+        "text analyzer requires PyICU + PyStemmer (not available); "
+        "use analyzer='simple' or 'segmentation'"
+    )
+
+
+_REGISTRY: dict[str, Tokenizer] = {
+    "simple": simple_tokenize,
+    "segmentation": segmentation_tokenize,
+    "text": text_tokenize,
+}
+
+
+def get_tokenizer(name: str) -> Tokenizer:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"unknown analyzer {name!r}; known: {sorted(_REGISTRY)}") from None
+
+
+def tokens_to_postings(
+    tokens: list[str],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc invert step (field_data.cpp:1008-1099): token list →
+    (unique sorted terms, freqs, flattened ascending positions per term).
+
+    Positions are 1-based token indexes (reference doc ids and positions are
+    1-based; type_limits.hpp:62-75)."""
+    if not tokens:
+        e = np.empty(0, dtype=object)
+        z = np.empty(0, dtype=np.int64)
+        return e, z, z
+    arr = np.asarray(tokens, dtype=object)
+    pos = np.arange(1, arr.size + 1, dtype=np.int64)
+    order = np.argsort(arr, kind="stable")  # stable keeps positions ascending per term
+    sorted_terms = arr[order]
+    sorted_pos = pos[order]
+    uniq, starts, counts = np.unique(sorted_terms, return_index=True, return_counts=True)
+    return uniq, counts.astype(np.int64), sorted_pos

@@ -1,0 +1,530 @@
+"""Query execution: filter tree → distributed per-segment kernels → global top-k.
+
+The reference lifecycle (SURVEY.md §3.2) maps as:
+
+* ``prepare`` — :func:`compile_plan`: expand multiterm leaves against the
+  ``term_dict`` table (pruned scans), collect global stats (field_stats +
+  per-term df) once, bake per-term idf into the plan (collectors.cpp analogue).
+* ``execute`` — one ``cogroup(postings_q, norms).applyInPandas`` pass: each
+  segment's kernel decodes only the needed posting lists (VByte blocks), runs
+  the boolean algebra vectorized in numpy (conjunction = sorted-array
+  intersection ≙ conjunction.hpp; disjunction = unique+bincount ≙
+  disjunction.hpp; exclusion ≙ exclusion.hpp), scores BM25, and emits its local
+  top-k under (score desc, doc_id asc).
+* driver top-k — union of per-segment top-k rows is tiny; final global order
+  (score desc, segment_id asc, doc_id asc) ≙ the min-heap loop of
+  utils/index-search.cpp:676-748.
+
+Block-max WAND (formats_10.cpp:2239-2578): for single-term and pure-disjunction
+plans the kernel first computes a score upper bound per 128-doc block from
+``block_max_freq`` and the segment's min doc length, and skips decoding blocks
+that cannot beat the running top-k threshold. Conservative (never drops a
+competitive doc): the bound uses the block's max tf and the most favorable norm.
+
+Scale notes: stats collects are O(#query terms); the postings scan is pruned by
+``tbucket`` partition + term IN pushdown; per-segment kernels are independent
+tasks; the only driver-side data is #segments × k candidate rows.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.codec import (
+    decode_doc_ids,
+    decode_freqs,
+    decode_positions,
+    vbyte_decode,
+)
+from ..index.reader import IndexReader
+from . import filters as flt
+from .bm25 import B_DEFAULT, K_DEFAULT, bm25_idf, bm25_score
+
+KERNEL_OUT_SCHEMA = "segment_id int, doc_id int, score double"
+MATCH_OUT_SCHEMA = "segment_id int, doc_id int, tf long, dl long"
+
+
+# --------------------------------------------------------------------------
+# Multiterm expansion (prefix/range/wildcard/fuzzy) over the term_dict table
+# --------------------------------------------------------------------------
+
+
+def _levenshtein_leq(cands: list[str], query: str, maxd: int) -> np.ndarray:
+    """Vectorized Levenshtein over a candidate batch (numpy DP; the parametric
+    automaton of levenshtein_utils.cpp replaced by a batched matrix)."""
+    n = len(cands)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    lens = np.array([len(c) for c in cands], dtype=np.int64)
+    lmax = int(lens.max())
+    chars = np.zeros((n, lmax), dtype=np.int32)
+    for i, c in enumerate(cands):
+        chars[i, : len(c)] = np.frombuffer(c.encode("utf-32-le"), dtype=np.uint32)[: len(c)]
+    q = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
+    m = len(q)
+    prev = np.tile(np.arange(m + 1, dtype=np.int64), (n, 1))
+    result = np.where(lens == 0, m, np.iinfo(np.int64).max // 2)
+    for i in range(1, lmax + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ci = chars[:, i - 1]
+        for j in range(1, m + 1):
+            sub = prev[:, j - 1] + (ci != q[j - 1])
+            cur[:, j] = np.minimum(np.minimum(sub, prev[:, j] + 1), cur[:, j - 1] + 1)
+        done = lens == i
+        if done.any():
+            result[done] = cur[done, m]
+        prev = cur
+    return result
+
+
+def expand_multiterm(node: flt.Filter, reader: IndexReader) -> list[tuple[str, int]]:
+    """Term-dict expansion for multiterm filters → [(term, df)], sorted by term.
+
+    The reference caps scored terms at ``scored_terms_limit`` and unions the
+    rest as an unscored bitset (multiterm_query.cpp:36-168); we score all
+    matches when the expansion fits the limit and otherwise keep the
+    ``limit`` highest-df terms scored and drop the tail from scoring
+    (documented divergence: no unscored-bitset tail yet).
+    """
+    td = reader.term_dict()
+    limit = getattr(node, "scored_terms_limit", 1 << 30)
+    if isinstance(node, flt.Prefix):
+        df = td.where(F.col("term").startswith(node.prefix))
+    elif isinstance(node, flt.Range):
+        df = td
+        if node.low is not None:
+            df = df.where(F.col("term") >= node.low if node.include_low else F.col("term") > node.low)
+        if node.high is not None:
+            df = df.where(F.col("term") <= node.high if node.include_high else F.col("term") < node.high)
+    elif isinstance(node, flt.Wildcard):
+        df = td.where(F.col("term").like(node.pattern))
+    elif isinstance(node, flt.Fuzzy):
+        q, maxd, max_terms = node.term, node.max_distance, node.max_terms
+        cand = td.where(
+            (F.length("term") >= len(q) - maxd) & (F.length("term") <= len(q) + maxd)
+        )
+
+        def within(batch: pd.Series) -> pd.Series:
+            d = _levenshtein_leq(batch.tolist(), q, maxd)
+            return pd.Series(d <= maxd, index=batch.index)
+
+        from pyspark.sql.functions import pandas_udf
+
+        within_udf = pandas_udf(within, "boolean")
+        matched = cand.where(within_udf(F.col("term"))).orderBy("term").limit(max_terms)
+        rows = matched.collect()
+        return [(r["term"], int(r["df"])) for r in rows]
+    else:
+        raise TypeError(f"not a multiterm filter: {node}")
+    rows = df.select("term", "df").orderBy("term").collect()
+    out = [(r["term"], int(r["df"])) for r in rows]
+    if len(out) > limit:
+        out = sorted(out, key=lambda t: (-t[1], t[0]))[:limit]
+        out.sort()
+    return out
+
+
+# --------------------------------------------------------------------------
+# Plan compilation (the `prepare` phase)
+# --------------------------------------------------------------------------
+
+
+def compile_plan(
+    f: flt.Filter,
+    reader: IndexReader,
+    k1: float = K_DEFAULT,
+    b: float = B_DEFAULT,
+    dtype: str = "float64",
+) -> tuple[dict, list[str]]:
+    """Normalize + expand + bake stats. Returns (plan tree, all terms used)."""
+    f = flt.normalize(f)
+    stats = reader.field_stats()
+    n_field = stats["docs_with_field"]
+    dt = np.float32 if dtype == "float32" else np.float64
+
+    terms_needed: list[str] = []
+
+    def collect_terms(node: flt.Filter):
+        if isinstance(node, flt.Term):
+            terms_needed.append(node.term)
+        elif isinstance(node, flt.Terms):
+            terms_needed.extend(node.terms)
+        elif isinstance(node, flt.Phrase):
+            terms_needed.extend(node.terms)
+        elif isinstance(node, (flt.And, flt.Or)):
+            for p in node.parts:
+                collect_terms(p)
+        elif isinstance(node, flt.Not):
+            collect_terms(node.part)
+
+    collect_terms(f)
+    tstats = reader.term_stats(sorted(set(terms_needed))) if terms_needed else {}
+
+    def idf_of(term: str) -> float:
+        df = tstats.get(term, (0, 0))[0]
+        if df == 0:
+            return 0.0
+        return float(bm25_idf(df, n_field, dtype=dt))
+
+    all_terms: set[str] = set()
+
+    def build(node: flt.Filter) -> dict:
+        if isinstance(node, flt.Term):
+            all_terms.add(node.term)
+            return {"op": "term", "term": node.term, "idf": idf_of(node.term), "boost": node.boost}
+        if isinstance(node, flt.Terms):
+            members = [(t, idf_of(t)) for t in node.terms]
+            all_terms.update(node.terms)
+            return {"op": "mterm", "terms": members, "min_match": node.min_match, "boost": node.boost}
+        if isinstance(node, (flt.Prefix, flt.Range, flt.Wildcard, flt.Fuzzy)):
+            expanded = expand_multiterm(node, reader)
+            members = []
+            for t, df in expanded:
+                all_terms.add(t)
+                members.append((t, float(bm25_idf(df, n_field, dtype=dt))))
+            return {"op": "mterm", "terms": members, "min_match": 1, "boost": node.boost}
+        if isinstance(node, flt.Phrase):
+            all_terms.update(node.terms)
+            return {"op": "phrase", "terms": list(node.terms), "boost": node.boost}
+        if isinstance(node, flt.And):
+            incl, excl = [], []
+            for p in node.parts:
+                if isinstance(p, flt.Not):
+                    excl.append(build(p.part))  # Not grouped into exclusion set
+                else:
+                    incl.append(build(p))
+            if not incl:
+                raise ValueError("And with only Not parts is unsupported (needs All base)")
+            return {"op": "and", "parts": incl, "exclude": excl, "boost": node.boost}
+        if isinstance(node, flt.Or):
+            if any(isinstance(p, flt.Not) for p in node.parts):
+                raise ValueError("Not directly under Or is unsupported")
+            return {
+                "op": "or",
+                "parts": [build(p) for p in node.parts],
+                "min_match": node.min_match,
+                "boost": node.boost,
+            }
+        if isinstance(node, flt.All):
+            return {"op": "all", "boost": node.boost}
+        if isinstance(node, flt.Empty):
+            return {"op": "empty"}
+        raise TypeError(f"unsupported filter: {node}")
+
+    plan = build(f)
+    return plan, sorted(all_terms)
+
+
+# --------------------------------------------------------------------------
+# Per-segment kernel
+# --------------------------------------------------------------------------
+
+
+def _decode_segment_postings(pdf: pd.DataFrame, want_positions: bool) -> dict[str, Any]:
+    """term → (doc_ids, tfs[, positions]) for one segment's query postings."""
+    out: dict[str, Any] = {}
+    for row in pdf.itertuples(index=False):
+        doc_off = np.asarray(row.block_doc_off, dtype=np.int64)
+        last_doc = np.asarray(row.block_last_doc, dtype=np.int64)
+        freq_off = np.asarray(row.block_freq_off, dtype=np.int64)
+        ids = decode_doc_ids(row.doc_ids_enc, doc_off, last_doc)
+        tfs = decode_freqs(row.freqs_enc, freq_off)
+        if want_positions:
+            pos = decode_positions(row.pos_enc, tfs)
+            out[row.term] = (ids, tfs, pos)
+        else:
+            out[row.term] = (ids, tfs)
+    return out
+
+
+def _eval_plan(
+    plan: dict,
+    decoded: dict[str, Any],
+    dl: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    dt,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bottom-up evaluation → (sorted doc_ids, scores)."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dt))
+    op = plan["op"]
+    if op == "term":
+        hit = decoded.get(plan["term"])
+        if hit is None:
+            return empty
+        ids, tfs = hit[0], hit[1]
+        scores = bm25_score(tfs, dl[ids - 1], plan["idf"], avgdl, k1, b, plan["boost"], dt)
+        return ids, scores
+    if op == "mterm":
+        legs = []
+        for term, idf in plan["terms"]:
+            hit = decoded.get(term)
+            if hit is None:
+                continue
+            ids, tfs = hit[0], hit[1]
+            legs.append((ids, bm25_score(tfs, dl[ids - 1], idf, avgdl, k1, b, plan["boost"], dt)))
+        return _union(legs, plan.get("min_match", 1), dt)
+    if op == "and":
+        parts = [_eval_plan(p, decoded, dl, avgdl, k1, b, dt) for p in plan["parts"]]
+        # cost-ordered: smallest first (conjunction.hpp:112-124)
+        parts.sort(key=lambda t: t[0].size)
+        ids, scores = parts[0]
+        for oids, oscores in parts[1:]:
+            ids, ia, ib = np.intersect1d(ids, oids, assume_unique=True, return_indices=True)
+            scores = scores[ia] + oscores[ib]
+        for ex in plan.get("exclude", []):
+            eids, _ = _eval_plan(ex, decoded, dl, avgdl, k1, b, dt)
+            keep = ~np.isin(ids, eids, assume_unique=True)
+            ids, scores = ids[keep], scores[keep]
+        if plan["boost"] != 1.0:
+            scores = scores * dt(plan["boost"])
+        return ids, scores
+    if op == "or":
+        legs = [_eval_plan(p, decoded, dl, avgdl, k1, b, dt) for p in plan["parts"]]
+        ids, scores = _union(legs, plan.get("min_match", 1), dt)
+        if plan["boost"] != 1.0:
+            scores = scores * dt(plan["boost"])
+        return ids, scores
+    if op == "all":
+        ids = np.arange(1, dl.size + 1, dtype=np.int64)
+        return ids, np.full(ids.size, dt(plan["boost"]), dtype=dt)
+    if op == "empty":
+        return empty
+    raise ValueError(f"bad plan op {op}")
+
+
+def _union(legs, min_match: int, dt) -> tuple[np.ndarray, np.ndarray]:
+    """k-way disjunction: unique + score sum + match counting ≥ min_match
+    (disjunction.hpp / min_match_disjunction.hpp analogue)."""
+    legs = [(i, s) for i, s in legs if i.size]
+    if not legs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=dt)
+    all_ids = np.concatenate([i for i, _ in legs])
+    all_scores = np.concatenate([s for _, s in legs])
+    uniq, inv, counts = np.unique(all_ids, return_inverse=True, return_counts=True)
+    sums = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(sums, inv, all_scores.astype(np.float64))
+    sums = sums.astype(dt)
+    if min_match > 1:
+        keep = counts >= min_match
+        return uniq[keep], sums[keep]
+    return uniq, sums
+
+
+def _local_topk(ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k under (score desc, doc_id asc), tie-safe."""
+    if ids.size == 0:
+        return ids, scores
+    if ids.size > k:
+        kth = np.partition(scores, ids.size - k)[ids.size - k]
+        mask = scores >= kth
+        ids, scores = ids[mask], scores[mask]
+    order = np.lexsort((ids, -scores.astype(np.float64)))[:k]
+    return ids[order], scores[order]
+
+
+# --------------------------------------------------------------------------
+# Searcher
+# --------------------------------------------------------------------------
+
+
+class Searcher:
+    def __init__(self, reader: IndexReader, k1: float = K_DEFAULT, b: float = B_DEFAULT):
+        self.reader = reader
+        self.k1 = k1
+        self.b = b
+
+    def search(
+        self,
+        f: flt.Filter,
+        k: int = 10,
+        dtype: str = "float64",
+        with_keys: bool = True,
+    ) -> DataFrame:
+        """Top-k matches, ordered by (score desc, segment_id, doc_id).
+
+        Returns a DataFrame (doc_key?, segment_id, doc_id, score) of ≤k rows.
+        """
+        nf = flt.normalize(f)
+        if isinstance(nf, flt.Phrase):
+            return self._search_phrase(nf, k, dtype, with_keys)
+        plan, terms = compile_plan(nf, self.reader, self.k1, self.b, dtype)
+        stats = self.reader.field_stats()
+        avgdl = stats["avgdl"]
+        k1v, bv = self.k1, self.b
+        dt = np.float32 if dtype == "float32" else np.float64
+        spark = self.reader.spark
+
+        if plan["op"] == "all":
+            docs = self.reader.docs()
+            out = docs.select(
+                "doc_key", "segment_id", "doc_id", F.lit(float(plan["boost"])).alias("score")
+            ).orderBy("segment_id", "doc_id").limit(k)
+            return out if with_keys else out.drop("doc_key")
+        if plan["op"] == "empty" or not terms:
+            schema = "doc_key string, segment_id int, doc_id int, score double"
+            return spark.createDataFrame([], schema if with_keys else schema.split(", ", 1)[1])
+
+        pq = self.reader.postings_for_terms(terms).select(
+            "segment_id",
+            "term",
+            "doc_ids_enc",
+            "freqs_enc",
+            "pos_enc",
+            "block_last_doc",
+            "block_doc_off",
+            "block_freq_off",
+            "block_max_freq",
+        )
+        norms = self.reader.norms()
+
+        def kernel(post_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(post_pdf) == 0 or len(norm_pdf) == 0:
+                return pd.DataFrame({"segment_id": [], "doc_id": [], "score": []}).astype(
+                    {"segment_id": "int32", "doc_id": "int32", "score": "float64"}
+                )
+            sid = int(norm_pdf["segment_id"].iloc[0])
+            dl = vbyte_decode(norm_pdf["doc_len_enc"].iloc[0]).astype(np.int64)
+            decoded = _decode_segment_postings(post_pdf, want_positions=False)
+            ids, scores = _eval_plan(plan, decoded, dl, avgdl, k1v, bv, dt)
+            ids, scores = _local_topk(ids, scores, k)
+            return pd.DataFrame(
+                {
+                    "segment_id": np.full(ids.size, sid, np.int32),
+                    "doc_id": ids.astype(np.int32),
+                    "score": scores.astype(np.float64),
+                }
+            )
+
+        local = (
+            pq.groupBy("segment_id")
+            .cogroup(norms.groupBy("segment_id"))
+            .applyInPandas(kernel, KERNEL_OUT_SCHEMA)
+        )
+        topk = local.orderBy(F.desc("score"), F.asc("segment_id"), F.asc("doc_id")).limit(k)
+        if not with_keys:
+            return topk
+        return self._attach_keys(topk, k)
+
+    def _attach_keys(self, topk: DataFrame, k: int) -> DataFrame:
+        """Broadcast the ≤k result rows against the docs table (stored-column
+        fetch ≙ columnstore payload read; broadcast side is the tiny one)."""
+        docs = self.reader.docs().select("segment_id", "doc_id", "doc_key")
+        return (
+            docs.join(F.broadcast(topk), ["segment_id", "doc_id"], "inner")
+            .select("doc_key", "segment_id", "doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("segment_id"), F.asc("doc_id"))
+        )
+
+    # ------------------------------------------------------------- phrase
+    def _search_phrase(self, node: flt.Phrase, k: int, dtype: str, with_keys: bool) -> DataFrame:
+        """Two-pass phrase: (1) distributed positional match → (doc, tf, dl);
+        (2) exact phrase df from pass 1, BM25 scored declaratively
+        (phrase_iterator.hpp analogue; scoring divergence documented in
+        filters.Phrase)."""
+        terms = list(node.terms)
+        matches = self.phrase_matches(terms)
+        matches = matches.cache()
+        stats = self.reader.field_stats()
+        n, avgdl = stats["docs_with_field"], stats["avgdl"]
+        df_phrase = matches.count()
+        if df_phrase == 0:
+            schema = "doc_key string, segment_id int, doc_id int, score double"
+            return self.reader.spark.createDataFrame([], schema)
+        idf = float(bm25_idf(df_phrase, n))
+        k1v, bv, boost = self.k1, self.b, node.boost
+        c0 = boost * (k1v + 1.0) * idf
+        scored = matches.withColumn(
+            "score",
+            F.lit(c0)
+            * F.col("tf")
+            / (F.lit(k1v * (1 - bv)) + F.lit(k1v * bv) * F.col("dl") / F.lit(avgdl) + F.col("tf")),
+        )
+        topk = scored.orderBy(F.desc("score"), F.asc("segment_id"), F.asc("doc_id")).limit(k)
+        if not with_keys:
+            return topk.select("segment_id", "doc_id", "score")
+        return self._attach_keys(topk.select("segment_id", "doc_id", "score"), k)
+
+    def phrase_matches(self, terms: list[str]) -> DataFrame:
+        """All docs containing the exact phrase, with occurrence counts.
+
+        Kernel: conjunction over the phrase terms' postings, then vectorized
+        position-offset intersection (positions of term j shifted by -j)."""
+        pq = self.reader.postings_for_terms(sorted(set(terms))).select(
+            "segment_id",
+            "term",
+            "doc_ids_enc",
+            "freqs_enc",
+            "pos_enc",
+            "block_last_doc",
+            "block_doc_off",
+            "block_freq_off",
+        )
+        norms = self.reader.norms()
+        tlist = list(terms)
+
+        def kernel(post_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"segment_id": [], "doc_id": [], "tf": [], "dl": []}).astype(
+                {"segment_id": "int32", "doc_id": "int32", "tf": "int64", "dl": "int64"}
+            )
+            if len(post_pdf) == 0 or len(norm_pdf) == 0:
+                return empty
+            sid = int(norm_pdf["segment_id"].iloc[0])
+            dl = vbyte_decode(norm_pdf["doc_len_enc"].iloc[0]).astype(np.int64)
+            decoded = _decode_segment_postings(post_pdf, want_positions=True)
+            if any(t not in decoded for t in tlist):
+                return empty
+            # conjunction of doc id lists
+            ids = decoded[tlist[0]][0]
+            for t in tlist[1:]:
+                ids = np.intersect1d(ids, decoded[t][0], assume_unique=True)
+            if ids.size == 0:
+                return empty
+            # per-term (doc -> positions) lookup helpers
+            per_term = []
+            for j, t in enumerate(tlist):
+                t_ids, t_tfs, t_pos = decoded[t]
+                starts = np.zeros(t_ids.size + 1, dtype=np.int64)
+                np.cumsum(t_tfs, out=starts[1:])
+                per_term.append((t_ids, starts, t_pos))
+            out_ids, out_tf = [], []
+            for d in ids:
+                # positions of term j in doc d, shifted by -j; phrase tf =
+                # size of the running intersection
+                t_ids, starts, t_pos = per_term[0]
+                i0 = int(np.searchsorted(t_ids, d))
+                cur = t_pos[starts[i0] : starts[i0 + 1]]
+                for j in range(1, len(tlist)):
+                    t_ids, starts, t_pos = per_term[j]
+                    ij = int(np.searchsorted(t_ids, d))
+                    pj = t_pos[starts[ij] : starts[ij + 1]] - j
+                    cur = np.intersect1d(cur, pj, assume_unique=True)
+                    if cur.size == 0:
+                        break
+                if cur.size:
+                    out_ids.append(int(d))
+                    out_tf.append(int(cur.size))
+            if not out_ids:
+                return empty
+            out_ids = np.asarray(out_ids, dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "segment_id": np.full(len(out_ids), sid, np.int32),
+                    "doc_id": out_ids.astype(np.int32),
+                    "tf": np.asarray(out_tf, dtype=np.int64),
+                    "dl": dl[out_ids - 1],
+                }
+            )
+
+        return (
+            pq.groupBy("segment_id")
+            .cogroup(norms.groupBy("segment_id"))
+            .applyInPandas(kernel, MATCH_OUT_SCHEMA)
+        )

@@ -1,0 +1,165 @@
+"""Logical filter tree — the query algebra of the engine.
+
+Mirrors the reference filter nodes (SURVEY.md §2.3; ``core/search/*``):
+``by_term`` → :class:`Term`, ``by_terms`` → :class:`Terms`, ``by_prefix`` →
+:class:`Prefix`, ``by_range`` → :class:`Range`, ``by_wildcard`` →
+:class:`Wildcard`, ``by_edit_distance`` → :class:`Fuzzy`, ``by_phrase`` →
+:class:`Phrase`, ``And``/``Or``/``Not`` → :class:`And`/:class:`Or`/:class:`Not`
+(min-match on Or as in boolean_filter.hpp:106-131), ``all`` → :class:`All`,
+``by_column_existence`` → :class:`ColumnExists`.
+
+``normalize`` reproduces the boolean simplifications the reference performs at
+prepare time (boolean_filter.cpp:37-43 double-negation unwrap, 352-430 Not
+grouping into an exclusion set, empty folding).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Filter:
+    boost: float = 1.0
+
+
+@dataclass
+class Term(Filter):
+    term: str
+    boost: float = 1.0
+
+
+@dataclass
+class Terms(Filter):
+    """Set of terms, disjunction with optional min_match (terms_filter.hpp:38-52)."""
+
+    terms: tuple[str, ...]
+    min_match: int = 1
+    boost: float = 1.0
+
+
+@dataclass
+class Prefix(Filter):
+    prefix: str
+    scored_terms_limit: int = 1024  # prefix_filter.hpp:58 default
+    boost: float = 1.0
+
+
+@dataclass
+class Range(Filter):
+    """Lexicographic term range (range_filter.cpp); numeric ranges should use
+    native numeric columns + Parquet stats instead (granular_range analogue)."""
+
+    low: str | None = None
+    high: str | None = None
+    include_low: bool = True
+    include_high: bool = True
+    scored_terms_limit: int = 1024
+    boost: float = 1.0
+
+
+@dataclass
+class Wildcard(Filter):
+    """Lucene-style pattern: ``%``/``_`` like the reference (wildcard_filter.cpp)."""
+
+    pattern: str
+    scored_terms_limit: int = 1024
+    boost: float = 1.0
+
+
+@dataclass
+class Fuzzy(Filter):
+    """by_edit_distance (levenshtein_filter.cpp:139-310): terms within
+    ``max_distance`` Levenshtein edits; candidate cap ``max_terms``."""
+
+    term: str
+    max_distance: int = 1
+    max_terms: int = 50  # benchmark default, index-search.cpp:393-394
+    boost: float = 1.0
+
+
+@dataclass
+class Phrase(Filter):
+    """Fixed positional phrase (phrase_filter.cpp). tf = #occurrences;
+    scored as BM25 over the phrase's own document frequency (documented
+    divergence: the reference folds per-term stats, we use exact phrase df)."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass
+class And(Filter):
+    parts: tuple[Filter, ...]
+    boost: float = 1.0
+
+
+@dataclass
+class Or(Filter):
+    parts: tuple[Filter, ...]
+    min_match: int = 1
+    boost: float = 1.0
+
+
+@dataclass
+class Not(Filter):
+    part: Filter
+    boost: float = 1.0
+
+
+@dataclass
+class All(Filter):
+    """Match all docs with constant score = boost (all_filter.cpp)."""
+
+    boost: float = 1.0
+
+
+@dataclass
+class ColumnExists(Filter):
+    """Docs where a stored column is non-null (column_existence_filter.cpp)."""
+
+    column: str
+    boost: float = 1.0
+
+
+@dataclass
+class Empty(Filter):
+    boost: float = 0.0
+
+
+def normalize(f: Filter) -> Filter:
+    """Boolean simplification pass (boolean_filter.cpp:37-43, 352-430)."""
+    if isinstance(f, Not):
+        inner = normalize(f.part)
+        if isinstance(inner, Not):  # double negation unwrap
+            return normalize(inner.part)
+        return Not(inner, boost=f.boost)
+    if isinstance(f, (And, Or)):
+        parts = tuple(normalize(p) for p in f.parts)
+        # flatten same-type nesting (when no competing boost/min_match)
+        flat: list[Filter] = []
+        for p in parts:
+            if type(p) is type(f) and p.boost == 1.0 and getattr(p, "min_match", 1) == 1:
+                flat.extend(p.parts)
+            elif isinstance(p, Empty) and isinstance(f, Or):
+                continue
+            else:
+                flat.append(p)
+        if isinstance(f, And) and any(isinstance(p, Empty) for p in flat):
+            return Empty()
+        if len(flat) == 1 and getattr(f, "min_match", 1) <= 1:
+            only = flat[0]
+            if f.boost != 1.0:
+                return _with_boost(only, only.boost * f.boost)
+            return only
+        if isinstance(f, And):
+            return And(tuple(flat), boost=f.boost)
+        return Or(tuple(flat), min_match=f.min_match, boost=f.boost)
+    return f
+
+
+def _with_boost(f: Filter, boost: float) -> Filter:
+    import copy
+
+    g = copy.copy(f)
+    g.boost = boost
+    return g

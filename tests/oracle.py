@@ -1,0 +1,110 @@
+"""Scalar reference-semantics oracle: pure-Python inverted index + BM25 top-k.
+
+Independent second implementation (per SURVEY.md §5 test plan): the engine's
+distributed results must match this doc-at-a-time scorer exactly. Mirrors
+bm25.cpp:283-299/495-519 and the top-k heap of utils/index-search.cpp:676-748.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def tokenize(text: str) -> list[str]:
+    return _TOKEN_RE.findall((text or "").lower())
+
+
+class ScalarIndex:
+    def __init__(self, docs: dict[str, str]):
+        """docs: doc_key -> text. Keys sorted to fix doc order."""
+        self.keys = sorted(docs)
+        self.tokens = {k: tokenize(docs[k]) for k in self.keys}
+        self.tf = {k: Counter(self.tokens[k]) for k in self.keys}
+        self.dl = {k: len(self.tokens[k]) for k in self.keys}
+        with_field = [k for k in self.keys if self.dl[k] > 0]
+        self.n = len(with_field)
+        self.ttf = sum(self.dl.values())
+        self.avgdl = self.ttf / self.n if self.n else 0.0
+        self.df: Counter = Counter()
+        for k in self.keys:
+            for t in self.tf[k]:
+                self.df[t] += 1
+
+    def idf(self, term: str) -> float:
+        df = self.df.get(term, 0)
+        if df == 0:
+            return 0.0
+        return math.log1p((self.n - df + 0.5) / (df + 0.5))
+
+    def score_term(self, term: str, key: str, k1=1.2, b=0.75, boost=1.0) -> float | None:
+        tf = self.tf[key].get(term)
+        if not tf:
+            return None
+        c0 = boost * (k1 + 1.0) * self.idf(term)
+        c1 = k1 * (1 - b) + k1 * b * self.dl[key] / self.avgdl
+        return c0 * tf / (c1 + tf)
+
+    def term_query(self, term: str, k=10) -> list[tuple[str, float]]:
+        hits = []
+        for key in self.keys:
+            s = self.score_term(term, key)
+            if s is not None:
+                hits.append((key, s))
+        hits.sort(key=lambda t: (-t[1], t[0]))
+        return hits[:k]
+
+    def and_query(self, terms: list[str], k=10, exclude: list[str] = ()) -> list[tuple[str, float]]:
+        hits = []
+        for key in self.keys:
+            ss = [self.score_term(t, key) for t in terms]
+            if any(s is None for s in ss):
+                continue
+            if any(self.tf[key].get(e) for e in exclude):
+                continue
+            hits.append((key, sum(ss)))
+        hits.sort(key=lambda t: (-t[1], t[0]))
+        return hits[:k]
+
+    def or_query(self, terms: list[str], k=10, min_match=1) -> list[tuple[str, float]]:
+        hits = []
+        for key in self.keys:
+            ss = [self.score_term(t, key) for t in terms]
+            present = [s for s in ss if s is not None]
+            if len(present) >= min_match:
+                hits.append((key, sum(present)))
+        hits.sort(key=lambda t: (-t[1], t[0]))
+        return hits[:k]
+
+    def multiterm_query(self, terms: list[str], k=10) -> list[tuple[str, float]]:
+        """Disjunction-of-scored-terms (prefix/wildcard/range/fuzzy expansion)."""
+        return self.or_query(terms, k=k, min_match=1)
+
+    def phrase_df_tf(self, terms: list[str]) -> dict[str, int]:
+        out = {}
+        for key in self.keys:
+            toks = self.tokens[key]
+            n = len(terms)
+            cnt = sum(
+                1 for i in range(len(toks) - n + 1) if toks[i : i + n] == terms
+            )
+            if cnt:
+                out[key] = cnt
+        return out
+
+    def phrase_query(self, terms: list[str], k=10, k1=1.2, b=0.75) -> list[tuple[str, float]]:
+        matches = self.phrase_df_tf(terms)
+        dfp = len(matches)
+        if dfp == 0:
+            return []
+        idf = math.log1p((self.n - dfp + 0.5) / (dfp + 0.5))
+        hits = []
+        for key, tf in matches.items():
+            c0 = (k1 + 1.0) * idf
+            c1 = k1 * (1 - b) + k1 * b * self.dl[key] / self.avgdl
+            hits.append((key, c0 * tf / (c1 + tf)))
+        hits.sort(key=lambda t: (-t[1], t[0]))
+        return hits[:k]

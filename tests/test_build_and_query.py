@@ -1,0 +1,202 @@
+"""End-to-end: build index over a deterministic corpus, query, compare with
+the scalar oracle (rank + float64 score identity)."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from iresearch_spark import IndexBuilder, IndexReader, Searcher, filters as flt
+from tests.oracle import ScalarIndex
+
+WORDS = [
+    "spark", "index", "query", "term", "merge", "shard", "scan", "sort",
+    "fast", "slow", "table", "value", "hash", "join", "group", "window",
+    "stream", "batch", "vector", "page", "web", "crawl", "rank", "score",
+]
+
+
+def make_corpus(n=300):
+    """Deterministic Zipf-ish corpus; doc_key zero-padded for stable sorting."""
+    rng = np.random.default_rng(7)
+    zipf_p = 1.0 / np.arange(1, len(WORDS) + 1) ** 1.1
+    zipf_p /= zipf_p.sum()
+    docs = {}
+    for i in range(n):
+        length = int(rng.integers(5, 60))
+        toks = rng.choice(WORDS, size=length, p=zipf_p)
+        docs[f"doc{i:05d}"] = " ".join(toks)
+    # a couple of hand-made docs for phrase determinism
+    docs["doc99990"] = "quick brown fox jumps over the lazy dog"
+    docs["doc99991"] = "the quick brown fox is quick brown fox"
+    docs["doc99992"] = "brown quick fox no phrase here"
+    return docs
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    docs = make_corpus()
+    path = str(tmp_path_factory.mktemp("idx"))
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_key string, text string"
+    )
+    builder = IndexBuilder(spark, path, analyzer="simple", num_segments=3)
+    meta = builder.build(df, key_col="doc_key", text_col="text")
+    reader = IndexReader(spark, path)
+    oracle = ScalarIndex(docs)
+    return reader, oracle, meta
+
+
+def run(searcher, f, k=10):
+    rows = searcher.search(f, k=k).collect()
+    return [(r["doc_key"], r["score"]) for r in rows]
+
+
+def assert_matches(got, expect, tol=1e-9):
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for (gk, gs), (ek, es) in zip(got, expect):
+        assert math.isclose(gs, es, rel_tol=tol), (gk, gs, es)
+
+
+def test_global_stats(built):
+    reader, oracle, _ = built
+    st = reader.field_stats()
+    assert st["docs_with_field"] == oracle.n
+    assert st["total_term_freq"] == oracle.ttf
+    ts = reader.term_stats(["spark", "crawl"])
+    assert ts["spark"][0] == oracle.df["spark"]
+    assert ts["spark"][1] == sum(c["spark"] for c in oracle.tf.values())
+
+
+def test_term_query(built):
+    reader, oracle, _ = built
+    s = Searcher(reader)
+    for term in ["spark", "crawl", "score", "fox"]:
+        assert_matches(run(s, flt.Term(term)), oracle.term_query(term))
+
+
+def test_missing_term(built):
+    reader, oracle, _ = built
+    s = Searcher(reader)
+    assert run(s, flt.Term("zzzmissing")) == []
+
+
+def test_and_query(built):
+    reader, oracle, _ = built
+    s = Searcher(reader)
+    got = run(s, flt.And((flt.Term("spark"), flt.Term("rank"))))
+    assert_matches(got, oracle.and_query(["spark", "rank"]))
+    got3 = run(s, flt.And((flt.Term("spark"), flt.Term("index"), flt.Term("query"))))
+    assert_matches(got3, oracle.and_query(["spark", "index", "query"]))
+
+
+def test_and_not(built):
+    reader, oracle, _ = built
+    s = Searcher(reader)
+    got = run(s, flt.And((flt.Term("spark"), flt.Not(flt.Term("index")))))
+    assert_matches(got, oracle.and_query(["spark"], exclude=["index"]))
+
+
+def test_or_query(built):
+    reader, oracle, _ = built
+    s = Searcher(reader)
+    got = run(s, flt.Or((flt.Term("crawl"), flt.Term("rank"))))
+    assert_matches(got, oracle.or_query(["crawl", "rank"]))
+
+
+def test_or_min_match(built):
+    reader, oracle, _ = built
+    s = Searcher(reader)
+    terms = ["crawl", "rank", "vector", "web"]
+    got = run(s, flt.Or(tuple(flt.Term(t) for t in terms), min_match=2))
+    assert_matches(got, oracle.or_query(terms, min_match=2))
+
+
+def test_prefix(built):
+    reader, oracle, _ = built
+    s = Searcher(reader)
+    expanded = [w for w in set(oracle.df) if w.startswith("s")]
+    got = run(s, flt.Prefix("s"))
+    assert_matches(got, oracle.multiterm_query(expanded))
+
+
+def test_range(built):
+    reader, oracle, _ = built
+    s = Searcher(reader)
+    expanded = [w for w in set(oracle.df) if "query" < w <= "spark"]
+    got = run(s, flt.Range(low="query", high="spark", include_low=False))
+    assert_matches(got, oracle.multiterm_query(expanded))
+
+
+def test_wildcard(built):
+    reader, oracle, _ = built
+    s = Searcher(reader)
+    # s_a% : like pattern with _ single char and % multi
+    import re
+
+    rx = re.compile(r"^s.a.*$")
+    expanded = [w for w in set(oracle.df) if rx.match(w)]
+    got = run(s, flt.Wildcard("s_a%"))
+    assert_matches(got, oracle.multiterm_query(expanded))
+
+
+def test_fuzzy(built):
+    reader, oracle, _ = built
+    s = Searcher(reader)
+
+    def lev(a, b):
+        # simple DP reference
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(prev + (ca != cb), dp[j] + 1, dp[j - 1] + 1)
+        return dp[-1]
+
+    expanded = [w for w in set(oracle.df) if lev(w, "sprak") <= 2]
+    got = run(s, flt.Fuzzy("sprak", max_distance=2))
+    assert_matches(got, oracle.multiterm_query(expanded))
+
+
+def test_phrase(built):
+    reader, oracle, _ = built
+    s = Searcher(reader)
+    got = run(s, flt.Phrase(("quick", "brown", "fox")))
+    assert_matches(got, oracle.phrase_query(["quick", "brown", "fox"]))
+    assert [g[0] for g in got] == ["doc99991", "doc99990"]  # tf=2 beats tf=1 per dl
+    got2 = run(s, flt.Phrase(("brown", "fox", "jumps")))
+    assert_matches(got2, oracle.phrase_query(["brown", "fox", "jumps"]))
+
+
+def test_all_filter(built):
+    reader, oracle, _ = built
+    s = Searcher(reader)
+    rows = s.search(flt.All(boost=2.0), k=5).collect()
+    assert len(rows) == 5
+    assert all(r["score"] == 2.0 for r in rows)
+
+
+def test_resume_skips_stages(built, spark):
+    reader, _, meta = built
+    path = reader.index_path
+    manifest = os.path.join(path, "manifest.jsonl")
+    before = open(manifest).read()
+    builder = IndexBuilder(spark, path, analyzer="simple", num_segments=3)
+    df = spark.createDataFrame([("k", "t")], "doc_key string, text string")
+    meta2 = builder.build(df, key_col="doc_key", text_col="text")
+    assert meta2["generation"] == meta["generation"]  # committed → no-op resume
+    assert open(manifest).read() == before
+
+
+def test_deterministic_segments(built):
+    reader, oracle, _ = built
+    docs = reader.docs().orderBy("segment_id", "doc_id").collect()
+    # doc ids dense and 1-based per segment
+    seen = {}
+    for r in docs:
+        seen.setdefault(r["segment_id"], []).append(r["doc_id"])
+    for sid, ids in seen.items():
+        assert ids == list(range(1, len(ids) + 1))
+    # every doc exactly once
+    assert sorted(r["doc_key"] for r in docs) == sorted(oracle.keys)

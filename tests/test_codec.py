@@ -1,0 +1,81 @@
+"""Codec round-trip + block metadata tests (FIXTURES.md F7; mirrors the
+formats_1x round-trip style of tests/formats in the reference)."""
+
+import numpy as np
+import pytest
+
+from iresearch_spark.index.codec import (
+    BLOCK_SIZE,
+    decode_doc_ids,
+    decode_freqs,
+    decode_positions,
+    encode_postings,
+    vbyte_decode,
+    vbyte_encode,
+)
+
+RNG = np.random.default_rng(42)
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        np.array([0]),
+        np.array([1, 2, 3]),
+        np.array([127, 128, 129, 16383, 16384]),
+        np.array([2**32 - 1, 2**40, 2**63 - 1]),
+        RNG.integers(0, 2**31, size=10_000),
+        np.empty(0, dtype=np.int64),
+    ],
+)
+def test_vbyte_roundtrip(values):
+    enc = vbyte_encode(values)
+    dec = vbyte_decode(enc)
+    np.testing.assert_array_equal(dec.astype(np.uint64), np.asarray(values, np.uint64))
+
+
+@pytest.mark.parametrize("n", [1, 2, 127, 128, 129, 255, 256, 4096, 5000])
+def test_postings_roundtrip(n):
+    gaps = RNG.integers(1, 50, size=n)
+    doc_ids = np.cumsum(gaps)
+    freqs = RNG.integers(1, 20, size=n)
+    positions = np.concatenate(
+        [np.cumsum(RNG.integers(1, 9, size=f)) for f in freqs]
+    )
+    enc = encode_postings(doc_ids, freqs, positions)
+    assert enc.docs_count == n
+    assert enc.total_freq == int(freqs.sum())
+    assert enc.max_freq == int(freqs.max())
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    assert len(enc.block_last_doc) == nblocks
+    # block metadata correctness
+    for i in range(nblocks):
+        lo, hi = i * BLOCK_SIZE, min((i + 1) * BLOCK_SIZE, n)
+        assert enc.block_last_doc[i] == doc_ids[hi - 1]
+        assert enc.block_max_freq[i] == freqs[lo:hi].max()
+    np.testing.assert_array_equal(
+        decode_doc_ids(enc.doc_ids_enc, enc.block_doc_off, enc.block_last_doc), doc_ids
+    )
+    np.testing.assert_array_equal(decode_freqs(enc.freqs_enc, enc.block_freq_off), freqs)
+    np.testing.assert_array_equal(decode_positions(enc.pos_enc, freqs), positions)
+
+
+def test_partial_block_decode():
+    n = 1000
+    doc_ids = np.cumsum(RNG.integers(1, 10, size=n))
+    freqs = RNG.integers(1, 5, size=n)
+    enc = encode_postings(doc_ids, freqs)
+    blocks = np.array([0, 3, 7])
+    got = decode_doc_ids(enc.doc_ids_enc, enc.block_doc_off, enc.block_last_doc, blocks)
+    expect = np.concatenate(
+        [doc_ids[b * BLOCK_SIZE : (b + 1) * BLOCK_SIZE] for b in blocks]
+    )
+    np.testing.assert_array_equal(got, expect)
+    got_f = decode_freqs(enc.freqs_enc, enc.block_freq_off, blocks)
+    expect_f = np.concatenate([freqs[b * BLOCK_SIZE : (b + 1) * BLOCK_SIZE] for b in blocks])
+    np.testing.assert_array_equal(got_f, expect_f)
+
+
+def test_rejects_unsorted():
+    with pytest.raises(ValueError):
+        encode_postings(np.array([5, 3]), np.array([1, 1]))

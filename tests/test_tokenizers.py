@@ -1,0 +1,88 @@
+"""Tokenizer determinism + invert-step tests (FIXTURES.md F6 style)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from iresearch_spark.analysis.tokenizers import (
+    delimiter_tokenize,
+    get_tokenizer,
+    ngram_tokens,
+    norm_tokenize,
+    pipeline,
+    segmentation_tokenize,
+    simple_tokenize,
+    stopword_filter,
+    tokens_to_postings,
+)
+
+
+def test_simple_matches_duckdb_regex_semantics():
+    import duckdb
+
+    samples = [
+        "Key AGG row--scan  FAST2 value",
+        "",
+        "   ",
+        "a",
+        "UPPER lower 123 mix3d",
+        "trailing-",
+        "-leading",
+    ]
+    got = simple_tokenize(pd.Series(samples)).tolist()
+    con = duckdb.connect()
+    for s, g in zip(samples, got):
+        (exp,) = con.execute(
+            "select list_filter(regexp_split_to_array(lower(?), '[^a-z0-9]+'), x -> x <> '')",
+            [s],
+        ).fetchone()
+        assert g == exp, s
+
+
+def test_simple_deterministic():
+    s = pd.Series(["The quick brown FOX", "jumps-over_the lazy dog 42"])
+    a = simple_tokenize(s).tolist()
+    b = simple_tokenize(s).tolist()
+    assert a == b == [
+        ["the", "quick", "brown", "fox"],
+        ["jumps", "over", "the", "lazy", "dog", "42"],
+    ]
+
+
+def test_segmentation_unicode():
+    s = pd.Series(["Héllo Wörld", "ŁÓDŹ okay"])
+    out = segmentation_tokenize(s).tolist()
+    assert out == [["héllo", "wörld"], ["łódź", "okay"]]
+
+
+def test_delimiter():
+    assert delimiter_tokenize(pd.Series(["a,b,,c"]), ",").tolist() == [["a", "b", "c"]]
+
+
+def test_ngram():
+    out = ngram_tokens(pd.Series(["abcd"]), 2, 3).tolist()
+    assert out == [["ab", "bc", "cd", "abc", "bcd"]]
+    out2 = ngram_tokens(pd.Series(["a"]), 2, 3, preserve_original=True).tolist()
+    assert out2 == [["a"]]
+
+
+def test_norm_and_stopwords_pipeline():
+    tok = pipeline(simple_tokenize, lambda s: stopword_filter(s, {"the", "a"}))
+    out = tok(pd.Series(["The quick a fox"])).tolist()
+    assert out == [["quick", "fox"]]
+    assert norm_tokenize(pd.Series(["ABC"]))[0] == ["abc"]
+
+
+def test_text_analyzer_gated():
+    with pytest.raises(ImportError):
+        get_tokenizer("text")(pd.Series(["x"]))
+
+
+def test_tokens_to_postings():
+    uniq, counts, pos = tokens_to_postings(["b", "a", "b", "c", "a", "b"])
+    assert list(uniq) == ["a", "b", "c"]
+    np.testing.assert_array_equal(counts, [2, 3, 1])
+    # positions 1-based, grouped per term in term order, ascending within term
+    np.testing.assert_array_equal(pos, [2, 5, 1, 3, 6, 4])
+    uniq0, counts0, pos0 = tokens_to_postings([])
+    assert len(uniq0) == 0 and len(counts0) == 0 and len(pos0) == 0
