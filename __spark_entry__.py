@@ -1,38 +1,387 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator inventory (SURVEY.md §2) over the
+driver testdata tables; ``oracle_sql()`` gives DuckDB-runnable ANSI SQL that
+reproduces each result exactly (same column names/types; float columns rounded
+to 4 decimals on both sides; ordering by raw score with doc-id tie-breaks so
+top-k sets agree across engines).
+
+Fulltext queries run the real engine: an inverted index is built (and cached
+per sf_dir under /tmp) with ``IndexBuilder`` and queried via ``Searcher`` —
+the oracle recomputes BM25 from first principles in SQL.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iresearch_spark import IndexBuilder, IndexReader, Searcher, filters as flt
+from iresearch_spark import textops, vecops
+
+K1, B = 1.2, 0.75
+TOPK = 10
+
+# --------------------------------------------------------------------------
+# engine index per sf_dir (cached across queries; stage-resume makes rebuilds
+# after interruption cheap)
+# --------------------------------------------------------------------------
+
+_READERS: dict[str, IndexReader] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    if sf_dir in _READERS:
+        return _READERS[sf_dir]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join("/tmp", f"iresearch_entry_idx_{tag}")
+    os.makedirs(path, exist_ok=True)
+    builder = IndexBuilder(spark, path, analyzer="simple", num_segments=4)
+    if builder.read_meta() is None:
+        df = _docs(spark, sf_dir).withColumn(
+            "doc_key", F.lpad(F.col("doc_id").cast("string"), 8, "0")
+        )
+        builder.build(df, key_col="doc_key", text_col="text", stored_cols=("lang",))
+    _READERS[sf_dir] = IndexReader(spark, path)
+    return _READERS[sf_dir]
+
+
+def _run_search(spark: SparkSession, sf_dir: str, f: flt.Filter, k: int = TOPK) -> DataFrame:
+    reader = _index(spark, sf_dir)
+    res = Searcher(reader, k1=K1, b=B).search(f, k=k, dtype="float64")
+    return res.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.round(F.col("score"), 4).cast("double").alias("score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# oracle SQL building blocks
+# --------------------------------------------------------------------------
+
+_BM25_CTE = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n, sum(dl)/count(*) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+"""
+
+_TOKS_CTE = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+)
+"""
+
+
+def _bm25_sql(term_pred: str, min_match: int = 1, exclude_term: str | None = None, k: int = TOPK) -> str:
+    """BM25 sum-of-legs top-k in pure SQL (k1=1.2 b=0.75, IResearch idf)."""
+    excl = (
+        f"AND leg.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{exclude_term}')"
+        if exclude_term
+        else ""
+    )
+    return f"""{_BM25_CTE},
+q AS (SELECT term FROM dfreq WHERE {term_pred}),
+leg AS (
+  SELECT tf.doc_id,
+         (2.2 * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))) * tf.tf
+           / ((1.2*(1-0.75)) + (1.2*0.75) * dl.dl / st.avgdl + tf.tf) AS s
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN dfreq d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st
+)
+SELECT doc_id, CAST(round(s_sum, 4) AS DOUBLE) AS score
+FROM (
+  SELECT leg.doc_id, sum(leg.s) AS s_sum, count(*) AS c
+  FROM leg
+  WHERE 1=1 {excl}
+  GROUP BY leg.doc_id
+)
+WHERE c >= {min_match}
+ORDER BY s_sum DESC, doc_id
+LIMIT {k}"""
+
+
+def _phrase_sql(terms: tuple[str, ...], k: int = TOPK) -> str:
+    """Phrase BM25: tf = occurrence count via non-overlapping double-space
+    token join; df = matching docs; same formula as the engine phrase path."""
+    ph = " " + "  ".join(terms) + " "
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         ' ' || array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                            x -> x <> ''), '  ') || ' ' AS s,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))::DOUBLE AS dl
+  FROM documents
+),
+st AS (SELECT count(*)::DOUBLE AS n, sum(dl)/count(*) AS avgdl FROM norm WHERE dl > 0),
+m AS (
+  SELECT doc_id, dl,
+         ((length(s) - length(replace(s, '{ph}', ''))) / length('{ph}'))::DOUBLE AS tf
+  FROM norm WHERE s LIKE '%{ph}%'
+),
+pst AS (SELECT count(*)::DOUBLE AS dfp FROM m)
+SELECT doc_id, CAST(round(s_raw, 4) AS DOUBLE) AS score
+FROM (
+  SELECT m.doc_id,
+         (2.2 * ln(1 + (st.n - pst.dfp + 0.5) / (pst.dfp + 0.5))) * m.tf
+           / ((1.2*(1-0.75)) + (1.2*0.75) * m.dl / st.avgdl + m.tf) AS s_raw
+  FROM m CROSS JOIN st CROSS JOIN pst
+)
+ORDER BY s_raw DESC, doc_id
+LIMIT {k}"""
+
+
+def _shingle_cte(k: int = 3) -> str:
+    return f"""{_TOKS_CTE},
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(toks) - {k - 1}, 1)),
+                   i -> array_to_string(toks[i:i+{k - 1}], ' ')))) AS shingle
+  FROM t
+)"""
+
+
+def _simhash_sql() -> str:
+    hi = "CAST('0x' || substr(md5(term), 1, 8) AS BIGINT)"
+    lo = "CAST('0x' || substr(md5(term), 9, 8) AS BIGINT)"
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN ({hi if i < 32 else lo} & {1 << (i % 32)}) <> 0 THEN tf ELSE -tf END) AS b{i}"
+        for i in range(64)
+    )
+    pack = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)" for i in range(63))
+    pack += " + (CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+bits AS (SELECT doc_id, {bit_sums} FROM tf GROUP BY doc_id)
+SELECT doc_id, ({pack})::BIGINT AS simhash FROM bits"""
+
+
+def _minhash_sql(num_hashes: int = 8, seed: int = 7) -> str:
+    params = textops.minhash_params(num_hashes, seed)
+    p = textops.MINHASH_PRIME
+    mins = ",\n  ".join(
+        f"min(({a}::BIGINT * x + {b}) % {p}) AS mh{i}" for i, (a, b) in enumerate(params)
+    )
+    return f"""{_shingle_cte(3)},
+keyed AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % {p} AS x FROM sh)
+SELECT doc_id, {mins} FROM keyed GROUP BY doc_id"""
+
+
+def _minhash_lsh_sql_full(num_hashes: int = 8, bands: int = 4, seed: int = 7) -> str:
+    params = textops.minhash_params(num_hashes, seed)
+    p = textops.MINHASH_PRIME
+    rows = num_hashes // bands
+    mins = ",\n  ".join(
+        f"min(({a}::BIGINT * x + {b}) % {p}) AS mh{i}" for i, (a, b) in enumerate(params)
+    )
+    band_exprs = ",\n  ".join(
+        "md5("
+        + " || '_' || ".join([f"'{bi}'"] + [f"mh{bi * rows + r}::VARCHAR" for r in range(rows)])
+        + f") AS band{bi}"
+        for bi in range(bands)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, band{bi} AS bucket FROM banded" for bi in range(bands)
+    )
+    return f"""{_shingle_cte(3)},
+keyed AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % {p} AS x FROM sh),
+sig AS (SELECT doc_id, {mins} FROM keyed GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_exprs} FROM sig),
+stacked AS ({unions})
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM stacked l JOIN stacked r ON l.bucket = r.bucket AND l.doc_id < r.doc_id"""
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for a high-frequency term on sf0.001 through the
+    full engine (index build → pruned postings scan → segment kernels)."""
+    return _run_search(spark, "/root/testdata/sf0.001", flt.Term("scan"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- fulltext engine queries (index-backed) ----
+    q["q_term_high"] = lambda s, d: _run_search(s, d, flt.Term("scan"))
+    q["q_term_low"] = lambda s, d: _run_search(s, d, flt.Term("dup"))
+    q["q_and_high_low"] = lambda s, d: _run_search(s, d, flt.And((flt.Term("scan"), flt.Term("dup"))))
+    q["q_and_not"] = lambda s, d: _run_search(s, d, flt.And((flt.Term("scan"), flt.Not(flt.Term("dup")))))
+    q["q_or_high_high"] = lambda s, d: _run_search(s, d, flt.Or((flt.Term("scan"), flt.Term("sort"))))
+    q["q_or_minmatch"] = lambda s, d: _run_search(
+        s, d, flt.Or(tuple(flt.Term(t) for t in ("scan", "sort", "merge", "dup")), min_match=2)
+    )
+    q["q_terms_set"] = lambda s, d: _run_search(s, d, flt.Terms(("batch", "merge")))
+    q["q_prefix"] = lambda s, d: _run_search(s, d, flt.Prefix("s"))
+    q["q_range"] = lambda s, d: _run_search(
+        s, d, flt.Range(low="query", high="spark", include_low=False)
+    )
+    q["q_wildcard"] = lambda s, d: _run_search(s, d, flt.Wildcard("s_a%"))
+    q["q_fuzzy"] = lambda s, d: _run_search(s, d, flt.Fuzzy("scam", max_distance=1))
+    q["q_phrase"] = lambda s, d: _run_search(s, d, flt.Phrase(("fast", "scan")))
+
+    # ---- text analysis / pipeline ops (declarative DataFrame plans) ----
+    q["q_token_stats"] = lambda s, d: textops.token_stats(_docs(s, d)).select(
+        "doc_id", F.col("n_tokens").cast("long"), F.col("n_unique").cast("long")
+    )
+    q["q_quality"] = lambda s, d: textops.quality_score(_docs(s, d)).select(
+        "doc_id", F.col("n_tokens").cast("long"), "mean_token_len", "alnum_ratio",
+        F.col("len_ok").cast("long"),
+    )
+    q["q_lang_id"] = lambda s, d: textops.lang_id(_docs(s, d))
+    q["q_fingerprint"] = lambda s, d: textops.fingerprint(_docs(s, d))
+    q["q_exact_dups"] = lambda s, d: textops.exact_duplicates(_docs(s, d)).select(
+        "fp", F.col("dup_count").cast("long"), F.col("keep_id").cast("long")
+    )
+    q["q_jaccard_pairs"] = lambda s, d: (
+        textops.ngram_jaccard_pairs(_docs(s, d), k=3)
+        .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+        .limit(20)
+        .select(F.col("a").cast("long"), F.col("b").cast("long"), "jaccard")
+    )
+    q["q_minhash_sig"] = lambda s, d: textops.minhash_signatures(_docs(s, d), num_hashes=8)
+    q["q_minhash_lsh_pairs"] = lambda s, d: textops.minhash_lsh_pairs(
+        _docs(s, d), num_hashes=8, bands=4
+    ).select(F.col("a").cast("long"), F.col("b").cast("long"))
+    q["q_simhash"] = lambda s, d: textops.simhash64(_docs(s, d))
+    q["q_column_exists"] = lambda s, d: _docs(s, d).where(F.col("lang").isNotNull()).select(
+        "doc_id", "lang"
+    )
+    q["q_binary_meta"] = lambda s, d: _docs(s, d).select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "utf-8")).cast("long").alias("n_bytes"),
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("content_md5"),
+    )
+
+    # ---- embeddings / similarity search ----
+    def cosine_topk(s, d):
+        emb = s.read.parquet(os.path.join(d, "embeddings.parquet"))
+        dbl = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        return vecops.cosine_topk(dbl, qv, k=10).select(
+            F.col("vec_id").cast("long"), "cos_sim"
+        )
+
+    q["q_cosine_topk"] = cosine_topk
+
+    def cosine_pairs(s, d):
+        emb = s.read.parquet(os.path.join(d, "embeddings.parquet")).withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        return vecops.cosine_pairs(emb, threshold=0.35).select(
+            F.col("a").cast("long"), F.col("b").cast("long"), "cos_sim"
+        )
+
+    q["q_cosine_pairs"] = cosine_pairs
+
+    def ann_lsh(s, d):  # approximate — no SQL oracle (rows-only check)
+        emb = s.read.parquet(os.path.join(d, "embeddings.parquet")).withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        return vecops.ann_topk_lsh(emb, qv, k=10, n_planes=8, probe_hamming=1).select(
+            F.col("vec_id").cast("long"), "cos_sim"
+        )
+
+    q["q_ann_lsh_topk"] = ann_lsh
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["q_term_high"] = _bm25_sql("term = 'scan'")
+    o["q_term_low"] = _bm25_sql("term = 'dup'")
+    o["q_and_high_low"] = _bm25_sql("term IN ('scan','dup')", min_match=2)
+    o["q_and_not"] = _bm25_sql("term = 'scan'", exclude_term="dup")
+    o["q_or_high_high"] = _bm25_sql("term IN ('scan','sort')")
+    o["q_or_minmatch"] = _bm25_sql("term IN ('scan','sort','merge','dup')", min_match=2)
+    o["q_terms_set"] = _bm25_sql("term IN ('batch','merge')")
+    o["q_prefix"] = _bm25_sql("term LIKE 's%'")
+    o["q_range"] = _bm25_sql("term > 'query' AND term <= 'spark'")
+    o["q_wildcard"] = _bm25_sql("term LIKE 's_a%'")
+    o["q_fuzzy"] = _bm25_sql("levenshtein(term, 'scam') <= 1")
+    o["q_phrase"] = _phrase_sql(("fast", "scan"))
+
+    o["q_token_stats"] = f"""{_TOKS_CTE}
+SELECT doc_id, len(toks)::BIGINT AS n_tokens, len(list_distinct(toks))::BIGINT AS n_unique FROM t"""
+    o["q_quality"] = f"""{_TOKS_CTE}
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       CAST(round(length(array_to_string(toks, ''))::DOUBLE / greatest(len(toks), 1), 4) AS DOUBLE) AS mean_token_len,
+       CAST(round(length(array_to_string(toks, ''))::DOUBLE / greatest(length(text), 1), 4) AS DOUBLE) AS alnum_ratio,
+       (CASE WHEN len(toks) >= 5 THEN 1 ELSE 0 END)::BIGINT AS len_ok
+FROM t JOIN documents USING (doc_id)"""
+    o["q_lang_id"] = f"""{_TOKS_CTE}
+SELECT doc_id,
+       CAST(round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+                  / greatest(len(toks), 1), 4) AS DOUBLE) AS stopword_ratio,
+       CASE WHEN len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+                 / greatest(len(toks), 1) >= 0.05 THEN 'en' ELSE 'unk' END AS lang_guess
+FROM t"""
+    o["q_fingerprint"] = f"""{_TOKS_CTE}
+SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM t"""
+    o["q_exact_dups"] = f"""{_TOKS_CTE}
+SELECT md5(array_to_string(toks, ' ')) AS fp, count(*)::BIGINT AS dup_count, min(doc_id)::BIGINT AS keep_id
+FROM t GROUP BY 1 HAVING count(*) > 1"""
+    o["q_jaccard_pairs"] = f"""{_shingle_cte(3)},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS set_size FROM sh GROUP BY 1),
+pairs AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS inter
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT a::BIGINT AS a, b::BIGINT AS b,
+       CAST(round(inter::DOUBLE / (sa.set_size + sb.set_size - inter), 4) AS DOUBLE) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = pairs.a JOIN sizes sb ON sb.doc_id = pairs.b
+ORDER BY inter::DOUBLE / (sa.set_size + sb.set_size - inter) DESC, a, b
+LIMIT 20"""
+    o["q_minhash_sig"] = _minhash_sql(8)
+    o["q_minhash_lsh_pairs"] = _minhash_lsh_sql_full(8, 4)
+    o["q_simhash"] = _simhash_sql()
+    o["q_column_exists"] = "SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL"
+    o["q_binary_meta"] = (
+        "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS content_md5 FROM documents"
+    )
+    o["q_cosine_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id::BIGINT AS vec_id,
+       CAST(round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS DOUBLE) AS cos_sim
+FROM e CROSS JOIN q
+ORDER BY list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id
+LIMIT 10"""
+    o["q_cosine_pairs"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT l.vec_id::BIGINT AS a, r.vec_id::BIGINT AS b,
+       CAST(round(list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 4) AS DOUBLE) AS cos_sim
+FROM e l JOIN e r ON l.vec_id < r.vec_id
+WHERE CAST(round(list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 4) AS DOUBLE) >= 0.35"""
+    # q_ann_lsh_topk: approximate, intentionally no oracle (rows-only check)
+    return o

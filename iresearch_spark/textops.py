@@ -1,0 +1,267 @@
+"""Text-analysis + deduplication operators for large-scale training-data
+pipelines — first-class engine components alongside the fulltext index.
+
+All operators are declarative DataFrame transforms (JVM-side built-ins, whole
+stage codegen) unless noted; Python only appears in vectorized Arrow kernels.
+Tokenization matches the index analyzer ``simple`` so every operator shares the
+oracle ``regexp_split_to_array(lower(text), '[^a-z0-9]+')``.
+
+Scale notes per operator are in the docstrings — each was designed for the
+100 TB case (shuffle keys, broadcast sides, skew behavior), then validated on
+the sandbox testdata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens_col(text_col="text"):
+    """array<string> of lowercase alnum tokens (JVM-side, no UDF)."""
+    return F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda x: x != "")
+
+
+def norm_text_col(text_col="text"):
+    """Whitespace-normalized lowercase token join — dedup canonical form."""
+    return F.array_join(tokens_col(text_col), " ")
+
+
+# ------------------------------------------------------------------ analysis
+
+
+def token_stats(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Token counting: total + unique tokens per doc. One narrow map, no shuffle."""
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+    )
+
+
+def quality_score(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Heuristic quality signals: mean token length, alnum ratio, token count.
+
+    Mirrors common webtext quality filters (length / punctuation / repetition);
+    all closed-form column expressions → pushdown-friendly, no shuffle."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    alnum_chars = F.length(F.array_join(toks, ""))
+    total_chars = F.length(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(alnum_chars / F.greatest(n_tok, F.lit(1)), 4).cast("double").alias("mean_token_len"),
+        F.round(alnum_chars / F.greatest(total_chars, F.lit(1)), 4).cast("double").alias("alnum_ratio"),
+        (n_tok >= 5).cast("int").alias("len_ok"),
+    )
+
+
+def lang_id(df: DataFrame, id_col="doc_id", text_col="text", threshold=0.05) -> DataFrame:
+    """N-gram/stopword-heuristic language ID: ratio of English function words.
+
+    A real pipeline would plug a fastText model into the same shape (the
+    reference's ``classification`` analyzer, classification_stream.cpp); the
+    heuristic keeps it model-free and oracle-checkable."""
+    en_stop = ["the", "a", "of", "and", "to", "in", "is", "it"]
+    toks = tokens_col(text_col)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(en_stop)))
+    ratio = n_stop / F.greatest(F.size(toks), F.lit(1))
+    return df.select(
+        F.col(id_col),
+        F.round(ratio, 4).cast("double").alias("stopword_ratio"),
+        F.when(ratio >= threshold, "en").otherwise("unk").alias("lang_guess"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized token stream.
+
+    Content-defined identity that survives whitespace/punct/case noise; the
+    join key for exact dedup. Narrow map only."""
+    return df.select(F.col(id_col), F.md5(norm_text_col(text_col)).alias("fp"))
+
+
+# --------------------------------------------------------------------- dedup
+
+
+def exact_duplicates(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Exact (normalized) dedup groups: fingerprint → count + keeper id.
+
+    groupBy on a high-cardinality hash → uniform shuffle, no skew. At 100 TB
+    this is the cheapest dedup pass and runs first."""
+    return (
+        fingerprint(df, id_col, text_col)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def shingles(df: DataFrame, id_col="doc_id", text_col="text", k: int = 3) -> DataFrame:
+    """k-token shingle set per doc (distinct), exploded to (id, shingle)."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Near-dup candidate pairs by k-token-shingle Jaccard.
+
+    Shuffle pattern: self-join on ``shingle`` (a < b to halve), then
+    group-count intersections; |A∪B| from per-doc set sizes. Head shingles
+    (boilerplate) are the skew risk at scale — cap or MinHash-LSH them
+    (see :func:`minhash_lsh_pairs`); AQE skew-join is the backstop here."""
+    sh = shingles(df, id_col, text_col, k).alias("l")
+    sizes = (
+        shingles(df, id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("set_size"))
+    )
+    pairs = (
+        sh.join(shingles(df, id_col, text_col, k).alias("r"), "shingle")
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("set_size").alias("size_b"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 4
+            ).cast("double").alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _hash32_col(c):
+    """Deterministic engine-agnostic 32-bit hash: first 8 hex chars of md5.
+    Reproducible in DuckDB as ``cast('0x'||substr(md5(x),1,8) as ubigint)``."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+# MinHash parameters (Carter-Wegman (a*x+b) mod p over md5-derived keys).
+# p = 2^31-1 keeps a*x < 2^62 → no BIGINT overflow in Spark or the SQL oracle.
+MINHASH_PRIME = 2147483647
+
+
+def minhash_params(num_hashes: int = 16, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via a tiny LCG — no RNG at plan time."""
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = state % (MINHASH_PRIME - 2) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = state % (MINHASH_PRIME - 1)
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    k: int = 3,
+    num_hashes: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash signature per doc (minhash_token_stream.cpp analogue):
+    shingle → 32-bit md5 key → min over (a*x+b) mod p per hash function.
+
+    One explode + one groupBy(id): linear in corpus shingles, uniform shuffle."""
+    params = minhash_params(num_hashes, seed)
+    sh = shingles(df, id_col, text_col, k)
+    keyed = sh.select(
+        F.col(id_col), (_hash32_col(F.col("shingle")) % MINHASH_PRIME).alias("x")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return keyed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates: band the signature, join on band hash.
+
+    The scale path for near-dedup: candidate generation is |docs|×bands rows
+    joined on banded-signature buckets (uniform by construction) instead of a
+    quadratic shingle join. Verify candidates with exact Jaccard downstream."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, seed)
+    band_cols = [
+        F.md5(F.concat_ws("_", F.lit(bi), *[F.col(f"mh{bi * rows + r}") for r in range(rows)])).alias(
+            f"band{bi}"
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band{bi}") for bi in range(bands)])).alias("bucket"),
+    )
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    return (
+        left.join(right, "bucket")
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """64-bit SimHash over token md5 hashes: per bit, sign of the sum of
+    (+1/−1) weighted by token frequency. Declarative: explode → bit expand via
+    stack-free aggregation of bit counts.
+
+    Implementation: tokens → 64-bit md5-derived hash → for each of 64 bits,
+    sum(±tf) → sign bit. Uses two 32-bit halves to stay in long arithmetic."""
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    h_hi = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    h_lo = F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("bigint")
+    bit_sums = [
+        F.sum(
+            F.when(((h_hi if i < 32 else h_lo).bitwiseAND(F.lit(1 << (i % 32)))) != 0, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = toks.groupBy(id_col).agg(*bit_sums)
+    acc = F.lit(0).cast("bigint")
+    for i in range(63):
+        acc = acc + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
+    # bit 63 via negative to stay in signed long
+    acc = acc + F.when(F.col("b63") > 0, F.lit(-(1 << 63)).cast("bigint")).otherwise(0)
+    return sums.select(F.col(id_col), acc.alias("simhash"))

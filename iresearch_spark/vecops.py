@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a training-data pipeline needs at 100 TB:
+
+* :func:`cosine_topk` — exact brute-force top-k vs a broadcast query vector.
+  The dot product is a JVM-side ``aggregate(zip_with(...))`` expression
+  (whole-stage codegen, no Python). At scale: one narrow map + a global top-k
+  (per-partition heads then driver merge) — no shuffle of the corpus.
+* :func:`lsh_bucket_candidates` — random-hyperplane (sign) LSH bucketing: the
+  scale path for pairwise near-dup / ANN. Hyperplanes are deterministic
+  (seeded LCG baked into plan literals). Candidates join on bucket id
+  (uniform), then exact cosine reranks.
+* :func:`cosine_pairs` — exact all-pairs above a threshold (for candidate
+  verification or small dims); quadratic, use only behind LSH at scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_sim_col(vec_col, query: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = math.sqrt(sum(x * x for x in query))
+    return _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Exact brute-force cosine top-k vs a constant query vector."""
+    sim = cosine_sim_col(vec_col, query)
+    if round_to is not None:
+        sim = F.round(sim, round_to).cast("double")
+    return (
+        df.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (a<b). Quadratic — candidate
+    verification / small corpora only; LSH path below for scale."""
+    l = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    r = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    if round_to is not None:
+        sim = F.round(sim, round_to).cast("double")
+    return (
+        l.crossJoin(r)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 11) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG → uniform in [-1,1))."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+            row.append((state / float(2**63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature_col(vec_col: str, planes: list[list[float]]):
+    """Sign-LSH bucket id: bit i = (v · plane_i) >= 0, packed into a long."""
+    bits = []
+    for i, p in enumerate(planes):
+        pc = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(_dot(F.col(vec_col), pc) >= 0, F.lit(1 << i).cast("bigint")).otherwise(0))
+    acc = F.lit(0).cast("bigint")
+    for b in bits:
+        acc = acc + b
+    return acc
+
+
+def lsh_bucket_candidates(
+    df: DataFrame,
+    n_planes: int = 12,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN candidate pairs: vectors sharing a sign-LSH bucket (a<b).
+
+    Scale path: |docs| rows keyed by bucket → self-join on bucket (uniform by
+    construction when planes are random); rerank with exact cosine."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    sig = df.select(F.col(id_col), lsh_signature_col(vec_col, planes).alias("bucket"))
+    l = sig.select(F.col(id_col).alias("a"), "bucket")
+    r = sig.select(F.col(id_col).alias("b"), "bucket")
+    return l.join(r, "bucket").where(F.col("a") < F.col("b")).select("a", "b", "bucket")
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 11,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: restrict exact cosine to vectors whose LSH bucket is
+    within ``probe_hamming`` bits of the query's bucket (multi-probe LSH)."""
+    dim = len(query)
+    planes = hyperplanes(dim, n_planes, seed)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query, p)) >= 0:
+            qbits |= 1 << i
+    sig = df.withColumn("bucket", lsh_signature_col(vec_col, planes))
+    # popcount(bucket XOR qbits) <= probe_hamming
+    x = F.col("bucket").bitwiseXOR(F.lit(qbits).cast("bigint"))
+    pop = sum(
+        F.when(x.bitwiseAND(F.lit(1 << i).cast("bigint")) != 0, 1).otherwise(0)
+        for i in range(n_planes)
+    )
+    cand = sig.where(pop <= probe_hamming)
+    return cosine_topk(cand, query, k, id_col, vec_col)
