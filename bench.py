@@ -1,0 +1,273 @@
+#!/usr/bin/env python
+"""Headline benchmark for the iresearch_spark engine.
+
+Measures, on ``local[$SPARK_GRAFT_CPUS]``:
+
+* index-build throughput (docs/sec) over a deterministic Common-Crawl-style
+  pages corpus of exactly the BASELINE input shape (url, warc_ts, html, text,
+  lang) — corpus size scales with the sf dir;
+* BM25 top-10 latency for the 18-category reference query set
+  (/root/reference/scripts/iresearch-benchmark.tasks — HighTerm..MinMatch2High2Med),
+  with query terms picked from the built index's df histogram the same way
+  luceneutil tasks pin term frequencies;
+* the training-pipeline headline ops (exact dedup, MinHash-LSH, cosine top-k)
+  over the driver testdata tables in ``$SPARK_GRAFT_SF_DIR``.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+``--scaling`` runs the identical build+query job at two parallelism levels
+(local[8] vs local[32] by default) on the same input and reports throughput at
+both plus scaling efficiency — the sandbox stand-in for the N vs 4N executor
+cluster comparison required by BASELINE.json's north rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+from iresearch_spark import IndexBuilder, IndexReader, Searcher, corpus
+from iresearch_spark import filters as flt
+from iresearch_spark import textops, vecops
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TOPK = 10
+REPEAT = 2
+
+
+def make_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"iresearch-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def _n_pages(sf: float) -> int:
+    override = os.environ.get("SPARK_GRAFT_BENCH_PAGES")
+    if override:
+        return int(override)
+    return max(2_000, int(200_000 * sf))  # sf0.1 → 20k pages (~4.6M tokens)
+
+
+def build_index(spark: SparkSession, n_pages: int, cpus: int, tag: str) -> tuple[IndexReader, float]:
+    path = f"/tmp/iresearch_bench_idx_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    pages = corpus.synth_pages(spark, n_pages, seed=42, partitions=cpus)
+    builder = IndexBuilder(spark, path, analyzer="simple", num_segments=cpus)
+    t0 = time.time()
+    builder.build(pages, key_col="url", text_col="text", stored_cols=("lang",))
+    build_s = time.time() - t0
+    return IndexReader(spark, path), build_s
+
+
+def pick_terms(reader: IndexReader) -> dict[str, object]:
+    """Pin query terms by document frequency, luceneutil-style."""
+    from pyspark.sql import functions as F
+
+    td = reader.term_dict()
+    n = reader.field_stats()["docs_with_field"]
+    rows = td.select("term", "df").orderBy(F.desc("df"), "term").limit(4000).collect()
+    terms = [(r["term"], int(r["df"])) for r in rows]
+    highs = [t for t, _ in terms[:8]]
+
+    def nearest(target_df: int, exclude: set[str]) -> str:
+        best = min(
+            (t for t in terms if t[0] not in exclude),
+            key=lambda t: (abs(t[1] - target_df), t[0]),
+        )
+        return best[0]
+
+    used = set(highs)
+    meds = []
+    for _ in range(6):
+        m = nearest(max(1, n // 10), used)
+        used.add(m)
+        meds.append(m)
+    lows = []
+    for _ in range(4):
+        lo = nearest(max(1, n // 500), used)
+        used.add(lo)
+        lows.append(lo)
+
+    # phrases: consecutive token pairs of doc 0 (guaranteed present)
+    ranks = corpus.token_ranks([0], seed=42)[0]
+    words = [corpus.rank_to_word(int(r)) for r in ranks]
+    dfmap = dict(terms)
+
+    def pick_pair(pred):
+        for i in range(len(words) - 1):
+            if pred(dfmap.get(words[i], 0), dfmap.get(words[i + 1], 0)):
+                return (words[i], words[i + 1])
+        return (words[0], words[1])
+
+    hi_cut, lo_cut = n // 3, max(1, n // 50)
+    return {
+        "high": highs,
+        "med": meds,
+        "low": lows,
+        "phrase_high": pick_pair(lambda a, b: a >= hi_cut and b >= hi_cut),
+        "phrase_med": pick_pair(lambda a, b: lo_cut < a < hi_cut and lo_cut < b < hi_cut),
+        "phrase_low": pick_pair(lambda a, b: 0 < a <= lo_cut or 0 < b <= lo_cut),
+    }
+
+
+def reference_tasks(t: dict[str, object]) -> dict[str, flt.Filter]:
+    """The 18 reference task categories (scripts/iresearch-benchmark.tasks)."""
+    hi, md, lo = t["high"], t["med"], t["low"]
+    T = flt.Term
+    return {
+        "HighTerm": T(hi[0]),
+        "MedTerm": T(md[0]),
+        "LowTerm": T(lo[0]),
+        "HighPhrase": flt.Phrase(t["phrase_high"]),
+        "MedPhrase": flt.Phrase(t["phrase_med"]),
+        "LowPhrase": flt.Phrase(t["phrase_low"]),
+        "AndHighHigh": flt.And((T(hi[0]), T(hi[1]))),
+        "AndHighMed": flt.And((T(hi[2]), T(md[1]))),
+        "AndHighLow": flt.And((T(hi[3]), T(lo[1]))),
+        "OrHighHigh": flt.Or((T(hi[0]), T(hi[1]))),
+        "OrHighMed": flt.Or((T(hi[2]), T(md[2]))),
+        "OrHighLow": flt.Or((T(hi[3]), T(lo[2]))),
+        "Prefix3": flt.Prefix(hi[0][:3] if len(hi[0]) >= 3 else "w00"),
+        "Wildcard": flt.Wildcard("w000_0"),
+        "Fuzzy1": flt.Fuzzy(md[0], max_distance=1),
+        "Fuzzy2": flt.Fuzzy(md[1], max_distance=2),
+        "Or4High": flt.Or(tuple(T(x) for x in hi[:4])),
+        "Or6High4Med2Low": flt.Or(
+            tuple(T(x) for x in hi[:6] + md[:4] + lo[:2])
+        ),
+        "MinMatch2High2Med": flt.Or(
+            tuple(T(x) for x in hi[4:6] + md[3:5]), min_match=2
+        ),
+    }
+
+
+def run_queries(reader: IndexReader, tasks: dict[str, flt.Filter]) -> dict[str, float]:
+    searcher = Searcher(reader)
+    out: dict[str, float] = {}
+    for name, f in tasks.items():
+        best = float("inf")
+        for _ in range(REPEAT):
+            t0 = time.time()
+            searcher.search(f, k=TOPK, with_keys=False).collect()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 4)
+    return out
+
+
+def run_pipeline_ops(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    ops = {
+        "ExactDedup": lambda: textops.exact_duplicates(docs).count(),
+        "MinHashLSH": lambda: textops.minhash_lsh_pairs(docs, num_hashes=8, bands=4).count(),
+        "SimHash": lambda: textops.simhash64(docs).count(),
+        "CosineTopK": lambda: vecops.cosine_topk(emb, qv, k=10).collect(),
+    }
+    out = {}
+    for name, fn in ops.items():
+        t0 = time.time()
+        fn()
+        out[name] = round(time.time() - t0, 4)
+    return out
+
+
+def run_once(cpus: int, n_pages: int, sf_dir: str, with_pipeline: bool = True) -> dict:
+    spark = make_spark(cpus)
+    try:
+        reader, build_s = build_index(spark, n_pages, cpus, tag=f"c{cpus}")
+        terms = pick_terms(reader)
+        tasks = reference_tasks(terms)
+        q = run_queries(reader, tasks)
+        if with_pipeline:
+            q.update(run_pipeline_ops(spark, sf_dir))
+        return {
+            "build_secs": round(build_s, 3),
+            "build_docs_per_sec": round(n_pages / build_s, 1),
+            "queries": q,
+            "query_secs": round(sum(q.values()), 3),
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf = _sf_of(SF_DIR)
+    n_pages = _n_pages(sf)
+
+    if "--scaling" in sys.argv:
+        lo_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
+        hi_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "32"))
+        factor = hi_cpus / lo_cpus
+        r_lo = run_once(lo_cpus, n_pages, SF_DIR, with_pipeline=False)
+        r_hi = run_once(hi_cpus, n_pages, SF_DIR, with_pipeline=False)
+        build_eff = (r_hi["build_docs_per_sec"] / r_lo["build_docs_per_sec"]) / factor
+        qps_lo = len(r_lo["queries"]) / r_lo["query_secs"]
+        qps_hi = len(r_hi["queries"]) / r_hi["query_secs"]
+        query_eff = (qps_hi / qps_lo) / factor
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(build_eff, 3),
+                    "unit": "ratio",
+                    "sf": sf,
+                    "n_pages": n_pages,
+                    "lo_cpus": lo_cpus,
+                    "hi_cpus": hi_cpus,
+                    "build_docs_per_sec": {str(lo_cpus): r_lo["build_docs_per_sec"], str(hi_cpus): r_hi["build_docs_per_sec"]},
+                    "build_efficiency": round(build_eff, 3),
+                    "query_qps": {str(lo_cpus): round(qps_lo, 3), str(hi_cpus): round(qps_hi, 3)},
+                    "query_efficiency": round(query_eff, 3),
+                }
+            )
+        )
+        return
+
+    r = run_once(CPUS, n_pages, SF_DIR)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_18task_bm25_topk",
+                "value": round(r["build_secs"] + r["query_secs"], 3),
+                "unit": "sec",
+                "queries": r["queries"],
+                "sf": sf,
+                "cpus": CPUS,
+                "n_pages": n_pages,
+                "build_secs": r["build_secs"],
+                "build_docs_per_sec": r["build_docs_per_sec"],
+                "query_secs": r["query_secs"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -2,23 +2,26 @@
 
 Spark-first re-expression of the reference write path (SURVEY.md §3.1):
 
-* stage ``tokenize``  — ``repartitionByRange(key)`` fixes deterministic segments
+* stage ``segments``  — ``repartitionByRange(key)`` fixes deterministic segments
   (segment_id = partition index, doc ids dense 1-based per segment, mirroring
-  segment_writer.cpp:93-112); one ``mapInPandas`` pass tokenizes (vectorized,
-  C-backed regex — no per-row Python) and inverts per doc
-  (field_data.cpp:1008-1099 analogue).
-* stage ``docs``      — per-doc stored columns + ``doc_len`` (Norm2,
-  norm.hpp:77-124) written as a plain Parquet table (the columnstore analogue:
-  Parquet already gives us columnar storage + compression).
-* stage ``postings``  — JVM-side ``explode`` then ``groupBy(term, segment_id)``
-  + ``applyInPandas`` encode: per (term, segment) sorted doc ids/freqs/positions
-  VByte-compressed into 128-doc blocks with block-max metadata (codec.py;
-  formats_10.cpp:803-953 analogue). Skew note: the grouping key includes
-  ``segment_id``, so a head term is split across all segments — the same effect
-  as salting, with a deterministic bound (max group = one segment's docs).
-  AQE is the backstop. Output is hash-bucketed by term (``tbucket``) and sorted
-  by term within files so term lookups prune both directories and row groups
-  (the FST/burst-trie role, formats_burst_trie.cpp — done by layout, not code).
+  segment_writer.cpp:93-112); ONE ``mapInPandas`` pass per partition tokenizes
+  (vectorized, C-backed regex — no per-row Python), inverts
+  (field_data.cpp:1008-1099 analogue) and VByte-encodes every term's posting
+  list for that segment in-kernel (segment_writer flush analogue,
+  formats_10.cpp:803-953). Because a segment IS an input partition, posting
+  construction involves **no shuffle of raw token data at all** — the widest
+  data in the job never leaves the task that produced it. The pass emits a
+  union of doc rows (kind='d') and encoded posting rows (kind='p').
+* stage ``docs``      — the kind='d' slice: per-doc stored columns + ``doc_len``
+  (Norm2, norm.hpp:77-124); Parquet is the columnstore analogue.
+* stage ``postings``  — the kind='p' slice (already compact: ~1 row per
+  (term, segment), binary-encoded) is re-laid-out: hash-bucketed by term
+  (``tbucket``) and sorted by term within files so term lookups prune both
+  directories and row groups (the FST/burst-trie role,
+  formats_burst_trie.cpp — done by layout, not code). This shuffle moves only
+  encoded postings — orders of magnitude smaller than the token stream. Skew:
+  a head term is split across all segments by construction (the salting
+  analogue, bounded by segment size); AQE is the backstop.
 * stage ``term_dict`` — per-term global df/ttf (collectors.cpp:75-94 analogue).
 * stage ``norms``     — per-segment dense ``doc_len`` arrays, VByte-encoded, one
   row per segment (Norm2 columnstore reader analogue — kernels index it by
@@ -37,7 +40,6 @@ build resumes at stage/segment granularity without recomputation.
 from __future__ import annotations
 
 import json
-import math
 import os
 import time
 import uuid
@@ -70,6 +72,8 @@ POSTINGS_SCHEMA = (
     "block_last_doc array<long>, block_doc_off array<long>, "
     "block_freq_off array<long>, block_max_freq array<long>"
 )
+
+POSTINGS_BUCKET_SCHEMA = "tbucket int, " + POSTINGS_SCHEMA
 
 NORMS_SCHEMA = "segment_id int, docs_count int, doc_len_enc binary"
 
@@ -111,125 +115,169 @@ class IndexBuilder:
         if committed is not None:
             return committed  # already committed — resume is a no-op
 
-        n_rows = df.count()
-        num_segments = self.num_segments or max(1, min(spark.sparkContext.defaultParallelism, math.ceil(n_rows / 65536)))
+        num_segments = self.num_segments or max(
+            1, spark.sparkContext.defaultParallelism
+        )
 
         tokenizer_name = self.analyzer
         with_positions = self.with_positions
         stored_cols = tuple(stored_cols)
         in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         stored_schema = ", ".join(f"`{c}` {in_fields[c]}" for c in stored_cols)
-        tok_schema = (
-            "segment_id int, doc_id int, doc_key string, doc_len int, "
-            "terms array<string>, freqs array<int>, poss array<array<int>>"
+        doc_cols = ["segment_id", "doc_id", "doc_key", "doc_len", *stored_cols]
+        seg_schema = (
+            "kind string, segment_id int, doc_id int, doc_key string, doc_len int"
             + (", " + stored_schema if stored_cols else "")
+            + ", term string, docs_count int, total_freq long, max_freq int"
+            + ", doc_ids_enc binary, freqs_enc binary, pos_enc binary"
+            + ", block_last_doc array<long>, block_doc_off array<long>"
+            + ", block_freq_off array<long>, block_max_freq array<long>"
         )
+        post_cols = [
+            "term", "docs_count", "total_freq", "max_freq",
+            "doc_ids_enc", "freqs_enc", "pos_enc",
+            "block_last_doc", "block_doc_off", "block_freq_off", "block_max_freq",
+        ]
 
-        def tokenize_partition(batches):
+        def invert_partition(batches):
+            """Tokenize + invert + encode ONE whole segment (= input partition).
+
+            The segment_writer flush analogue: everything from raw text to
+            VByte posting blocks happens inside this task; nothing wide is
+            shuffled. Memory bound = one segment's postings — size segments via
+            `num_segments` (cluster: maxPartitionBytes) so a segment fits an
+            executor, exactly like sizing the reference's flush threshold.
+            """
             from pyspark import TaskContext
 
             sid = TaskContext.get().partitionId()
             tokenizer = get_tokenizer(tokenizer_name)
-            next_doc = 1  # doc ids are 1-based per segment (type_limits.hpp:62-75)
+            keys: list = []
+            stored_acc: dict[str, list] = {c: [] for c in stored_cols}
+            dlens: list[int] = []
+            all_terms: list[np.ndarray] = []
+            all_counts: list[np.ndarray] = []
+            all_pos: list[np.ndarray] = []
             for pdf in batches:
                 toks = tokenizer(pdf[text_col])
-                n = len(pdf)
-                terms_col, freqs_col, poss_col, dlen = [], [], [], np.empty(n, np.int64)
-                for i, tl in enumerate(toks):
+                for tl in toks:
                     uniq, counts, flat_pos = tokens_to_postings(tl)
-                    terms_col.append(list(uniq))
-                    freqs_col.append(counts.astype(np.int32))
+                    all_terms.append(uniq)
+                    all_counts.append(counts)
                     if with_positions:
-                        splits = np.split(flat_pos, np.cumsum(counts)[:-1]) if len(uniq) else []
-                        poss_col.append([p.astype(np.int32) for p in splits])
-                    else:
-                        poss_col.append(None)
-                    dlen[i] = len(tl)
-                out = pd.DataFrame(
-                    {
-                        "segment_id": np.full(n, sid, np.int32),
-                        "doc_id": np.arange(next_doc, next_doc + n, dtype=np.int32),
-                        "doc_key": pdf[key_col].astype(str).values,
-                        "doc_len": dlen.astype(np.int32),
-                        "terms": terms_col,
-                        "freqs": freqs_col,
-                        "poss": poss_col,
-                    }
-                )
+                        all_pos.append(flat_pos)
+                    dlens.append(len(tl))
+                keys.extend(pdf[key_col].astype(str).tolist())
                 for c in stored_cols:
-                    out[c] = pdf[c].values
-                next_doc += n
-                yield out
+                    stored_acc[c].extend(pdf[c].tolist())
+
+            n_docs = len(dlens)
+            if n_docs == 0:
+                return
+            # ---- doc rows (doc ids dense 1-based per segment) ----
+            doc_out = pd.DataFrame(
+                {
+                    "kind": "d",
+                    "segment_id": np.full(n_docs, sid, np.int32),
+                    "doc_id": np.arange(1, n_docs + 1, dtype=np.int32),
+                    "doc_key": keys,
+                    "doc_len": np.asarray(dlens, dtype=np.int32),
+                }
+            )
+            for c in stored_cols:
+                doc_out[c] = stored_acc[c]
+            for c in post_cols:
+                doc_out[c] = None
+            yield doc_out
+
+            # ---- invert across the segment (vectorized group-by term) ----
+            nt_per_doc = np.array([u.size for u in all_terms], dtype=np.int64)
+            if nt_per_doc.sum() == 0:
+                return
+            dt_terms = np.concatenate(all_terms)
+            dt_counts = np.concatenate(all_counts).astype(np.int64)
+            dt_doc = np.repeat(np.arange(1, n_docs + 1, dtype=np.int64), nt_per_doc)
+            codes, uniq_terms = pd.factorize(dt_terms)
+            order = np.lexsort((dt_doc, codes))
+            s_codes = codes[order]
+            s_doc = dt_doc[order]
+            s_counts = dt_counts[order]
+            bounds = np.flatnonzero(np.diff(s_codes, prepend=-1))
+            bounds = np.append(bounds, s_codes.size)
+            if with_positions:
+                pos_flat = np.concatenate(all_pos)
+                # permute flat positions into sorted (term, doc) order, keeping
+                # per-doc ascending position order (stable)
+                rank = np.empty(order.size, np.int64)
+                rank[order] = np.arange(order.size)
+                pos_dt = np.repeat(np.arange(dt_doc.size), dt_counts)
+                pos_sorted = pos_flat[np.argsort(rank[pos_dt], kind="stable")]
+                pstart = np.zeros(order.size + 1, np.int64)
+                np.cumsum(s_counts, out=pstart[1:])
+            out: dict[str, list] = {k: [] for k in post_cols}
+            for gi in range(uniq_terms.size):
+                lo, hi = bounds[gi], bounds[gi + 1]
+                positions = pos_sorted[pstart[lo] : pstart[hi]] if with_positions else None
+                enc = encode_postings(s_doc[lo:hi], s_counts[lo:hi], positions)
+                out["term"].append(uniq_terms[gi])
+                out["docs_count"].append(enc.docs_count)
+                out["total_freq"].append(enc.total_freq)
+                out["max_freq"].append(enc.max_freq)
+                out["doc_ids_enc"].append(enc.doc_ids_enc)
+                out["freqs_enc"].append(enc.freqs_enc)
+                out["pos_enc"].append(enc.pos_enc)
+                out["block_last_doc"].append(enc.block_last_doc.tolist())
+                out["block_doc_off"].append(enc.block_doc_off.tolist())
+                out["block_freq_off"].append(enc.block_freq_off.tolist())
+                out["block_max_freq"].append(enc.block_max_freq.tolist())
+            post_out = pd.DataFrame(out)
+            post_out.insert(0, "kind", "p")
+            post_out.insert(1, "segment_id", np.int32(sid))
+            post_out.insert(2, "doc_id", None)
+            post_out.insert(3, "doc_key", None)
+            post_out.insert(4, "doc_len", None)
+            for c in stored_cols:
+                post_out[c] = None
+            yield post_out[["kind", "segment_id", "doc_id", "doc_key", "doc_len", *stored_cols, *post_cols]]
 
         partitioned = (
             df.repartitionByRange(num_segments, key_col)
             .sortWithinPartitions(key_col)
         )
-        tokenized = partitioned.mapInPandas(tokenize_partition, schema=tok_schema)
+        segments_path = os.path.join(gen_dir, "segments")
+        if not self._stage_done(run_id, gen, "segments", segments_path):
+            t0 = time.time()
+            partitioned.mapInPandas(invert_partition, schema=seg_schema).write.mode(
+                "overwrite"
+            ).partitionBy("kind").parquet(segments_path)
+            self._manifest(run_id, gen, "segments", "done", time.time() - t0)
 
+        # docs table = the kind=d slice; Parquet column pruning makes the null
+        # posting columns free, but we rewrite the projection once so every
+        # later read (norms, stored-column fetch) scans a narrow table.
         docs_path = os.path.join(gen_dir, "docs")
         if not self._stage_done(run_id, gen, "docs", docs_path):
             t0 = time.time()
-            docs = tokenized.drop("terms", "freqs", "poss")
-            docs.write.mode("overwrite").parquet(docs_path)
+            (
+                spark.read.parquet(os.path.join(segments_path, "kind=d"))
+                .select(*doc_cols)
+                .write.mode("overwrite")
+                .parquet(docs_path)
+            )
             self._manifest(run_id, gen, "docs", "done", time.time() - t0)
         docs_df = spark.read.parquet(docs_path)
 
+        # postings layout pass: shuffle the already-encoded rows (compact) into
+        # term-hash buckets, sorted by term within files.
         postings_path = os.path.join(gen_dir, "postings")
         buckets = self.term_buckets
         if not self._stage_done(run_id, gen, "postings", postings_path):
             t0 = time.time()
-            exploded = (
-                tokenized.select(
-                    "segment_id",
-                    "doc_id",
-                    F.explode(F.arrays_zip("terms", "freqs", "poss")).alias("z"),
-                )
-                .select(
-                    F.col("z.terms").alias("term"),
-                    "segment_id",
-                    "doc_id",
-                    F.col("z.freqs").alias("freq"),
-                    F.col("z.poss").alias("pos"),
-                )
-            )
-
-            def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-                pdf = pdf.sort_values("doc_id")
-                doc_ids = pdf["doc_id"].to_numpy(np.int64)
-                freqs = pdf["freq"].to_numpy(np.int64)
-                positions = None
-                if with_positions:
-                    pos_lists = [p for p in pdf["pos"] if p is not None and len(p)]
-                    if pos_lists:
-                        positions = np.concatenate([np.asarray(p, np.int64) for p in pdf["pos"]])
-                enc = encode_postings(doc_ids, freqs, positions)
-                return pd.DataFrame(
-                    [
-                        {
-                            "term": pdf["term"].iloc[0],
-                            "segment_id": int(pdf["segment_id"].iloc[0]),
-                            "docs_count": enc.docs_count,
-                            "total_freq": enc.total_freq,
-                            "max_freq": enc.max_freq,
-                            "doc_ids_enc": enc.doc_ids_enc,
-                            "freqs_enc": enc.freqs_enc,
-                            "pos_enc": enc.pos_enc,
-                            "block_last_doc": enc.block_last_doc.tolist(),
-                            "block_doc_off": enc.block_doc_off.tolist(),
-                            "block_freq_off": enc.block_freq_off.tolist(),
-                            "block_max_freq": enc.block_max_freq.tolist(),
-                        }
-                    ]
-                )
-
-            postings = (
-                exploded.groupBy("term", "segment_id")
-                .applyInPandas(encode_group, schema=POSTINGS_SCHEMA)
-                .withColumn("tbucket", term_bucket_col(F.col("term"), buckets))
-            )
             (
-                postings.repartition("tbucket")
+                spark.read.parquet(os.path.join(segments_path, "kind=p"))
+                .select("segment_id", *post_cols)
+                .withColumn("tbucket", term_bucket_col(F.col("term"), buckets))
+                .repartition("tbucket")
                 .sortWithinPartitions("term", "segment_id")
                 .write.mode("overwrite")
                 .partitionBy("tbucket")
@@ -303,7 +351,7 @@ class IndexBuilder:
             "with_positions": self.with_positions,
             "num_segments": num_segments,
             "term_buckets": buckets,
-            "docs_count": n_rows,
+            "docs_count": docs_df.count(),
             "key_col": key_col,
             "text_col": text_col,
             "stored_cols": list(stored_cols),
