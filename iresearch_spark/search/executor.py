@@ -15,15 +15,33 @@ The reference lifecycle (SURVEY.md §3.2) maps as:
   (score desc, segment_id asc, doc_id asc) ≙ the min-heap loop of
   utils/index-search.cpp:676-748.
 
-Block-max WAND (formats_10.cpp:2239-2578): for single-term and pure-disjunction
-plans the kernel first computes a score upper bound per 128-doc block from
-``block_max_freq`` and the segment's min doc length, and skips decoding blocks
-that cannot beat the running top-k threshold. Conservative (never drops a
-competitive doc): the bound uses the block's max tf and the most favorable norm.
+Top-k pruning (the wanderator, formats_10.cpp:2239-2578):
+
+* single term — **block-max WAND**: per-128-doc-block score upper bounds from
+  ``block_max_freq`` + the segment's min doc length; blocks are processed in
+  descending upper bound and decoding stops once the running k-th score beats
+  the next block's bound.
+* disjunction / multiterm — **MaxScore**: per-term upper bounds, terms
+  processed in descending bound; once the suffix bound-sum drops below the
+  running threshold, later (cheap) terms are decoded only for the blocks that
+  contain surviving candidates (skip-list seek ≙ ``np.searchsorted`` into
+  ``block_last_doc``), and candidates that can no longer reach the k-th score
+  are dropped.
+* conjunction — cost-ordered: the rarest term is decoded fully, every other
+  term decodes only the blocks containing the current intersection.
+
+All bounds are conservative (most favorable norm, strict comparisons), so
+results stay rank-identical to the unpruned evaluation.
+
+``Searcher.search_many`` evaluates a BATCH of queries in one distributed pass:
+postings for the union of all query terms are scanned once per segment, each
+plan is pruned independently in-kernel, and a single window takes the global
+per-query top-k. This amortizes job/scan overhead across queries — the shape
+batched query serving takes on a real cluster.
 
 Scale notes: stats collects are O(#query terms); the postings scan is pruned by
 ``tbucket`` partition + term IN pushdown; per-segment kernels are independent
-tasks; the only driver-side data is #segments × k candidate rows.
+tasks; the only driver-side data is #segments × #queries × k candidate rows.
 """
 
 from __future__ import annotations
@@ -226,21 +244,278 @@ def compile_plan(
 # --------------------------------------------------------------------------
 
 
-def _decode_segment_postings(pdf: pd.DataFrame, want_positions: bool) -> dict[str, Any]:
-    """term → (doc_ids, tfs[, positions]) for one segment's query postings."""
-    out: dict[str, Any] = {}
-    for row in pdf.itertuples(index=False):
-        doc_off = np.asarray(row.block_doc_off, dtype=np.int64)
-        last_doc = np.asarray(row.block_last_doc, dtype=np.int64)
-        freq_off = np.asarray(row.block_freq_off, dtype=np.int64)
-        ids = decode_doc_ids(row.doc_ids_enc, doc_off, last_doc)
-        tfs = decode_freqs(row.freqs_enc, freq_off)
-        if want_positions:
-            pos = decode_positions(row.pos_enc, tfs)
-            out[row.term] = (ids, tfs, pos)
+class PostingsView:
+    """Lazy per-(term, segment) posting list: block-resolution decode.
+
+    The doc_iterator/skip-list analogue (formats_10.cpp:1667-1725): ``seek`` is
+    ``np.searchsorted`` over ``block_last_doc``; only the blocks a caller needs
+    are VByte-decoded.
+    """
+
+    __slots__ = (
+        "docs_count", "max_freq", "block_last", "doc_off", "freq_off",
+        "block_maxf", "doc_enc", "freq_enc", "pos_enc", "_full",
+    )
+
+    def __init__(self, row):
+        self.docs_count = int(row.docs_count)
+        self.max_freq = int(row.max_freq)
+        self.block_last = np.asarray(row.block_last_doc, dtype=np.int64)
+        self.doc_off = np.asarray(row.block_doc_off, dtype=np.int64)
+        self.freq_off = np.asarray(row.block_freq_off, dtype=np.int64)
+        self.block_maxf = np.asarray(row.block_max_freq, dtype=np.int64)
+        self.doc_enc = row.doc_ids_enc
+        self.freq_enc = row.freqs_enc
+        self.pos_enc = getattr(row, "pos_enc", b"")
+        self._full: tuple[np.ndarray, np.ndarray] | None = None
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._full is None:
+            ids = decode_doc_ids(self.doc_enc, self.doc_off, self.block_last)
+            tfs = decode_freqs(self.freq_enc, self.freq_off)
+            self._full = (ids, tfs)
+        return self._full
+
+    def decode_blocks(self, blocks: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if self._full is not None:
+            return self._full  # already fully decoded — cheaper than re-slicing
+        ids = decode_doc_ids(self.doc_enc, self.doc_off, self.block_last, blocks=blocks)
+        tfs = decode_freqs(self.freq_enc, self.freq_off, blocks=blocks)
+        return ids, tfs
+
+    def blocks_for(self, cand_ids: np.ndarray) -> np.ndarray:
+        """Block indexes that may contain any of the sorted candidate doc ids."""
+        b = np.searchsorted(self.block_last, cand_ids, side="left")
+        b = b[b < self.block_last.size]
+        return np.unique(b)
+
+    def positions(self) -> np.ndarray:
+        _, tfs = self.decode_all()
+        return decode_positions(self.pos_enc, tfs)
+
+
+class _SegmentViews:
+    """term → :class:`PostingsView` with full-decode dict compatibility."""
+
+    def __init__(self, pdf: pd.DataFrame):
+        self.views: dict[str, PostingsView] = {
+            row.term: PostingsView(row) for row in pdf.itertuples(index=False)
+        }
+
+    def view(self, term: str) -> PostingsView | None:
+        return self.views.get(term)
+
+    def get(self, term: str, default=None):
+        v = self.views.get(term)
+        return v.decode_all() if v is not None else default
+
+
+def _bm25_ub(maxf: int, idf: float, boost: float, c1_min: float, k1: float, dt) -> float:
+    """Score upper bound for a posting list/block: max tf + most favorable norm."""
+    c0 = dt(boost) * (dt(k1) + dt(1)) * dt(idf)
+    return float(c0 * dt(maxf) / (dt(c1_min) + dt(maxf)))
+
+
+def _merge_scores(
+    cand_ids: np.ndarray, cand_scores: np.ndarray, ids: np.ndarray, scores: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    merged = np.concatenate([cand_ids, ids])
+    msc = np.concatenate([cand_scores, scores.astype(np.float64)])
+    uniq, inv = np.unique(merged, return_inverse=True)
+    acc = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(acc, inv, msc)
+    return uniq, acc
+
+
+def _add_to_candidates(
+    cand_ids: np.ndarray, cand_scores: np.ndarray, ids: np.ndarray, scores: np.ndarray
+) -> None:
+    """Add contributions to existing candidates only (in place)."""
+    if cand_ids.size == 0 or ids.size == 0:
+        return
+    pos = np.searchsorted(cand_ids, ids)
+    pos_c = np.minimum(pos, cand_ids.size - 1)
+    valid = cand_ids[pos_c] == ids
+    np.add.at(cand_scores, pos_c[valid], scores[valid].astype(np.float64))
+
+
+def _kth_threshold(scores: np.ndarray, k: int) -> float:
+    if scores.size < k:
+        return -np.inf
+    return float(np.partition(scores, scores.size - k)[scores.size - k])
+
+
+def _wand_single_term(
+    view: PostingsView, idf: float, boost: float, k: int, dl, avgdl, k1, b, dt
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max WAND for one term: descending-bound block order, early stop."""
+    dl_min = float(dl.min()) if dl.size else 1.0
+    c1_min = k1 * (1 - b) + k1 * b * dl_min / avgdl
+    n_blocks = view.block_last.size
+    if view._full is not None or n_blocks <= 2:
+        ids, tfs = view.decode_all()
+        return ids, bm25_score(tfs, dl[ids - 1], idf, avgdl, k1, b, boost, dt)
+    block_ub = np.array(
+        [_bm25_ub(int(m), idf, boost, c1_min, k1, dt) for m in view.block_maxf]
+    )
+    order = np.argsort(-block_ub, kind="stable")
+    out_ids: list[np.ndarray] = []
+    out_sc: list[np.ndarray] = []
+    n_docs = 0
+    theta = -np.inf
+    chunk = max(1, (k + 127) // 128)
+    i = 0
+    while i < order.size:
+        if block_ub[order[i]] < theta:
+            break  # no later block (all ≤ this bound) can reach the k-th score
+        sel = np.sort(order[i : i + chunk])
+        ids, tfs = view.decode_blocks(sel)
+        sc = bm25_score(tfs, dl[ids - 1], idf, avgdl, k1, b, boost, dt)
+        out_ids.append(ids)
+        out_sc.append(sc)
+        n_docs += ids.size
+        if n_docs >= k:
+            theta = _kth_threshold(np.concatenate(out_sc).astype(np.float64), k)
+        i += chunk
+    ids = np.concatenate(out_ids) if out_ids else np.empty(0, np.int64)
+    sc = np.concatenate(out_sc) if out_sc else np.empty(0, dt)
+    order2 = np.argsort(ids, kind="stable")
+    return ids[order2], sc[order2]
+
+
+def _maxscore_union(
+    legs: list[tuple[PostingsView, float, float]],
+    k: int,
+    dl,
+    avgdl,
+    k1,
+    b,
+    dt,
+) -> tuple[np.ndarray, np.ndarray]:
+    """MaxScore over term legs [(view, idf, boost)] — rank-identical union.
+
+    Terms in descending upper bound; when the remaining bound-sum cannot lift a
+    NEW doc into the top-k, remaining lists are decoded only at blocks holding
+    surviving candidates; candidates that cannot reach the k-th score are
+    dropped. Strict comparisons keep exact ties intact.
+    """
+    dl_min = float(dl.min()) if dl.size else 1.0
+    c1_min = k1 * (1 - b) + k1 * b * dl_min / avgdl
+    ubs = np.array([_bm25_ub(v.max_freq, idf, boost, c1_min, k1, dt) for v, idf, boost in legs])
+    order = np.argsort(-ubs, kind="stable")
+    suffix = np.zeros(order.size + 1)
+    suffix[:-1] = np.cumsum(ubs[order][::-1])[::-1]
+    cand_ids = np.empty(0, np.int64)
+    cand_scores = np.empty(0, np.float64)
+    theta = -np.inf
+    for j, li in enumerate(order):
+        view, idf, boost = legs[li]
+        candidates_only = suffix[j] < theta  # no new doc can reach the k-th score
+        if candidates_only:
+            if cand_ids.size == 0:
+                break
+            blocks = view.blocks_for(cand_ids)
+            if blocks.size == 0:
+                continue
+            ids, tfs = view.decode_blocks(blocks)
         else:
-            out[row.term] = (ids, tfs)
-    return out
+            ids, tfs = view.decode_all()
+        sc = bm25_score(tfs, dl[ids - 1], idf, avgdl, k1, b, boost, dt)
+        if candidates_only:
+            _add_to_candidates(cand_ids, cand_scores, ids, sc)
+        else:
+            cand_ids, cand_scores = _merge_scores(cand_ids, cand_scores, ids, sc)
+        theta = _kth_threshold(cand_scores, k)
+        if theta > -np.inf and suffix[j + 1] < theta:
+            keep = cand_scores + suffix[j + 1] >= theta
+            cand_ids, cand_scores = cand_ids[keep], cand_scores[keep]
+    return cand_ids, cand_scores.astype(dt)
+
+
+def _conjunction_selective(
+    term_legs: list[tuple[PostingsView, float, float]],
+    dl,
+    avgdl,
+    k1,
+    b,
+    dt,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cost-ordered conjunction (conjunction.hpp:112-124): rarest list decoded
+    fully, every other list decoded only at blocks covering the running
+    intersection (galloping via searchsorted)."""
+    term_legs = sorted(term_legs, key=lambda t: t[0].docs_count)
+    view0, idf0, boost0 = term_legs[0]
+    ids, tfs = view0.decode_all()
+    scores = bm25_score(tfs, dl[ids - 1], idf0, avgdl, k1, b, boost0, dt)
+    for view, idf, boost in term_legs[1:]:
+        if ids.size == 0:
+            break
+        blocks = view.blocks_for(ids)
+        if blocks.size == 0:
+            return np.empty(0, np.int64), np.empty(0, dt)
+        oids, otfs = view.decode_blocks(blocks)
+        common, ia, ib = np.intersect1d(ids, oids, assume_unique=True, return_indices=True)
+        osc = bm25_score(otfs[ib], dl[common - 1], idf, avgdl, k1, b, boost, dt)
+        scores = scores[ia] + osc
+        ids = common
+    return ids, scores
+
+
+def _eval_root(
+    plan: dict,
+    sv: "_SegmentViews",
+    k: int,
+    dl: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    dt,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k-aware root dispatch: pruned kernels where rank-identity allows,
+    full evaluation otherwise (ExecutionMode::kTop selection,
+    formats_10.cpp:3257-3282 analogue)."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dt))
+    op = plan["op"]
+    if op == "term":
+        v = sv.view(plan["term"])
+        if v is None:
+            return empty
+        return _wand_single_term(v, plan["idf"], plan["boost"], k, dl, avgdl, k1, b, dt)
+    if op == "mterm" and plan.get("min_match", 1) <= 1:
+        legs = [(sv.view(t), idf, plan["boost"]) for t, idf in plan["terms"]]
+        legs = [(v, i, bo) for v, i, bo in legs if v is not None]
+        if not legs:
+            return empty
+        return _maxscore_union(legs, k, dl, avgdl, k1, b, dt)
+    if (
+        op == "or"
+        and plan.get("min_match", 1) <= 1
+        and all(p["op"] == "term" for p in plan["parts"])
+    ):
+        legs = [(sv.view(p["term"]), p["idf"], p["boost"]) for p in plan["parts"]]
+        legs = [(v, i, bo) for v, i, bo in legs if v is not None]
+        if not legs:
+            return empty
+        ids, sc = _maxscore_union(legs, k, dl, avgdl, k1, b, dt)
+        if plan["boost"] != 1.0:
+            sc = sc * dt(plan["boost"])
+        return ids, sc
+    if op == "and" and all(p["op"] == "term" for p in plan["parts"]):
+        legs = []
+        for p in plan["parts"]:
+            v = sv.view(p["term"])
+            if v is None:
+                return empty
+            legs.append((v, p["idf"], p["boost"]))
+        ids, sc = _conjunction_selective(legs, dl, avgdl, k1, b, dt)
+        for ex in plan.get("exclude", []):
+            eids, _ = _eval_plan(ex, sv, dl, avgdl, k1, b, dt)
+            keep = ~np.isin(ids, eids, assume_unique=True)
+            ids, sc = ids[keep], sc[keep]
+        if plan["boost"] != 1.0:
+            sc = sc * dt(plan["boost"])
+        return ids, sc
+    return _eval_plan(plan, sv, dl, avgdl, k1, b, dt)
 
 
 def _eval_plan(
@@ -372,16 +647,18 @@ class Searcher:
             schema = "doc_key string, segment_id int, doc_id int, score double"
             return spark.createDataFrame([], schema if with_keys else schema.split(", ", 1)[1])
 
+        # no pos_enc: non-positional queries never read position bytes
         pq = self.reader.postings_for_terms(terms).select(
             "segment_id",
             "term",
             "doc_ids_enc",
             "freqs_enc",
-            "pos_enc",
             "block_last_doc",
             "block_doc_off",
             "block_freq_off",
             "block_max_freq",
+            "docs_count",
+            "max_freq",
         )
         norms = self.reader.norms()
 
@@ -392,8 +669,8 @@ class Searcher:
                 )
             sid = int(norm_pdf["segment_id"].iloc[0])
             dl = vbyte_decode(norm_pdf["doc_len_enc"].iloc[0]).astype(np.int64)
-            decoded = _decode_segment_postings(post_pdf, want_positions=False)
-            ids, scores = _eval_plan(plan, decoded, dl, avgdl, k1v, bv, dt)
+            sv = _SegmentViews(post_pdf)
+            ids, scores = _eval_root(plan, sv, k, dl, avgdl, k1v, bv, dt)
             ids, scores = _local_topk(ids, scores, k)
             return pd.DataFrame(
                 {
@@ -412,6 +689,101 @@ class Searcher:
         if not with_keys:
             return topk
         return self._attach_keys(topk, k)
+
+    # ------------------------------------------------------------- batched
+    def search_many(
+        self,
+        queries: dict[str, flt.Filter],
+        k: int = 10,
+        dtype: str = "float64",
+    ) -> DataFrame:
+        """Evaluate a batch of (non-phrase) queries in ONE distributed pass.
+
+        Postings for the union of every query's terms are scanned once per
+        segment; each plan is pruned independently (WAND/MaxScore) in-kernel;
+        a single window takes the per-query global top-k. Returns
+        (query, segment_id, doc_id, score) — ≤ k rows per query, ordered by
+        (query, score desc, segment_id, doc_id). This is the batched query
+        evaluation shape of the north rule: per-query driver overhead is
+        amortized, throughput scales with executors.
+        """
+        names = list(queries)
+        plans: dict[str, dict] = {}
+        all_terms: set[str] = set()
+        for name in names:
+            nf = flt.normalize(queries[name])
+            if isinstance(nf, flt.Phrase):
+                raise ValueError(f"{name}: phrase queries need search() (two-pass stats)")
+            plan, terms = compile_plan(nf, self.reader, self.k1, self.b, dtype)
+            plans[name] = plan
+            all_terms.update(terms)
+        stats = self.reader.field_stats()
+        avgdl = stats["avgdl"]
+        k1v, bv = self.k1, self.b
+        dt = np.float32 if dtype == "float32" else np.float64
+        spark = self.reader.spark
+        if not all_terms:
+            return spark.createDataFrame(
+                [], "query string, segment_id int, doc_id int, score double"
+            )
+
+        pq = self.reader.postings_for_terms(sorted(all_terms)).select(
+            "segment_id",
+            "term",
+            "doc_ids_enc",
+            "freqs_enc",
+            "block_last_doc",
+            "block_doc_off",
+            "block_freq_off",
+            "block_max_freq",
+            "docs_count",
+            "max_freq",
+        )
+        norms = self.reader.norms()
+        plan_items = list(plans.items())
+
+        def kernel(post_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"query": [], "segment_id": [], "doc_id": [], "score": []}
+            ).astype({"query": "object", "segment_id": "int32", "doc_id": "int32", "score": "float64"})
+            if len(post_pdf) == 0 or len(norm_pdf) == 0:
+                return empty
+            sid = int(norm_pdf["segment_id"].iloc[0])
+            dl = vbyte_decode(norm_pdf["doc_len_enc"].iloc[0]).astype(np.int64)
+            sv = _SegmentViews(post_pdf)
+            frames = []
+            for name, plan in plan_items:
+                ids, scores = _eval_root(plan, sv, k, dl, avgdl, k1v, bv, dt)
+                ids, scores = _local_topk(ids, scores, k)
+                if ids.size:
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query": name,
+                                "segment_id": np.full(ids.size, sid, np.int32),
+                                "doc_id": ids.astype(np.int32),
+                                "score": scores.astype(np.float64),
+                            }
+                        )
+                    )
+            return pd.concat(frames, ignore_index=True) if frames else empty
+
+        local = (
+            pq.groupBy("segment_id")
+            .cogroup(norms.groupBy("segment_id"))
+            .applyInPandas(kernel, "query string, " + KERNEL_OUT_SCHEMA)
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query").orderBy(
+            F.desc("score"), F.asc("segment_id"), F.asc("doc_id")
+        )
+        return (
+            local.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+            .orderBy("query", F.desc("score"), F.asc("segment_id"), F.asc("doc_id"))
+        )
 
     def _attach_keys(self, topk: DataFrame, k: int) -> DataFrame:
         """Broadcast the ≤k result rows against the docs table (stored-column
@@ -466,6 +838,9 @@ class Searcher:
             "block_last_doc",
             "block_doc_off",
             "block_freq_off",
+            "block_max_freq",
+            "docs_count",
+            "max_freq",
         )
         norms = self.reader.norms()
         tlist = list(terms)
@@ -478,9 +853,10 @@ class Searcher:
                 return empty
             sid = int(norm_pdf["segment_id"].iloc[0])
             dl = vbyte_decode(norm_pdf["doc_len_enc"].iloc[0]).astype(np.int64)
-            decoded = _decode_segment_postings(post_pdf, want_positions=True)
-            if any(t not in decoded for t in tlist):
+            sv = _SegmentViews(post_pdf)
+            if any(sv.view(t) is None for t in tlist):
                 return empty
+            decoded = {t: sv.view(t).decode_all() + (sv.view(t).positions(),) for t in set(tlist)}
             # conjunction of doc id lists
             ids = decoded[tlist[0]][0]
             for t in tlist[1:]:

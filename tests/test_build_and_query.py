@@ -200,3 +200,35 @@ def test_deterministic_segments(built):
         assert ids == list(range(1, len(ids) + 1))
     # every doc exactly once
     assert sorted(r["doc_key"] for r in docs) == sorted(oracle.keys)
+
+
+def test_search_many_matches_individual(built):
+    """Batched evaluation returns exactly what per-query search returns."""
+    reader, oracle, _ = built
+    s = Searcher(reader)
+    batch = {
+        "t_high": flt.Term("spark"),
+        "t_low": flt.Term("score"),
+        "and2": flt.And((flt.Term("spark"), flt.Term("rank"))),
+        "or3": flt.Or((flt.Term("spark"), flt.Term("hash"), flt.Term("web"))),
+        "prefix": flt.Prefix("s"),
+        "minmatch": flt.Or(
+            (flt.Term("spark"), flt.Term("hash"), flt.Term("web")), min_match=2
+        ),
+    }
+    rows = s.search_many(batch, k=10).collect()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query"], []).append((r["segment_id"], r["doc_id"], r["score"]))
+    for name, f in batch.items():
+        solo = [
+            (r["segment_id"], r["doc_id"], r["score"])
+            for r in s.search(f, k=10, with_keys=False).collect()
+        ]
+        assert by_q.get(name, []) == solo, name
+
+
+def test_search_many_rejects_phrase(built):
+    reader, _, _ = built
+    with pytest.raises(ValueError):
+        Searcher(reader).search_many({"p": flt.Phrase(("quick", "brown"))})
