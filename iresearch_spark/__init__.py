@@ -8,10 +8,12 @@ fuzzy/phrase/boolean) and BM25/TF-IDF top-k retrieval — all expressed as
 DataFrame plans + vectorized Arrow/pandas kernels (no per-row Python).
 """
 
+from .index import consolidate as consolidation
 from .index.builder import IndexBuilder
+from .index.consolidate import consolidate
 from .index.reader import IndexReader
 from .search import filters
 from .search.executor import Searcher
 
-__all__ = ["IndexBuilder", "IndexReader", "Searcher", "filters"]
+__all__ = ["IndexBuilder", "IndexReader", "Searcher", "consolidate", "consolidation", "filters"]
 __version__ = "0.1.0"
