@@ -135,11 +135,28 @@ _REGISTRY: dict[str, Tokenizer] = {
 }
 
 
+def register_analyzer(name: str, fn: Tokenizer) -> None:
+    """REGISTER_ANALYZER_* analogue: add a named analyzer to the registry."""
+    _REGISTRY[name] = fn
+
+
 def get_tokenizer(name: str) -> Tokenizer:
-    try:
+    """Resolve an analyzer spec: plain registry name, or a parameterized spec
+    ``delimiter:<d>`` / ``ngram:<min>,<max>`` / ``simple+stop:<w1>,<w2>,...``
+    (the JSON-options analogue of REGISTER_ANALYZER_JSON, kept shell-safe)."""
+    if name in _REGISTRY:
         return _REGISTRY[name]
-    except KeyError:
-        raise KeyError(f"unknown analyzer {name!r}; known: {sorted(_REGISTRY)}") from None
+    if ":" in name:
+        kind, _, arg = name.partition(":")
+        if kind == "delimiter":
+            return lambda s, d=arg: delimiter_tokenize(s, d)
+        if kind == "ngram":
+            lo, hi = (int(x) for x in arg.split(","))
+            return lambda s, a=lo, b=hi: ngram_tokens(s, a, b)
+        if kind == "simple+stop":
+            words = tuple(arg.split(","))
+            return pipeline(simple_tokenize, lambda t, w=words: stopword_filter(t, w))
+    raise KeyError(f"unknown analyzer {name!r}; known: {sorted(_REGISTRY)}")
 
 
 def tokens_to_postings(

@@ -61,3 +61,88 @@ def tfidf_score(
     dt = np.dtype(dtype).type
     idf = np.log((dt(docs_with_field) + dt(1)) / (dt(docs_with_term) + dt(1))) + dt(1)
     return (dt(boost) * np.sqrt(np.asarray(tf).astype(dtype)) * idf).astype(dtype)
+
+
+# --------------------------------------------------------------------------
+# Scorer strategy (Order::Prepare / bucket analogue, sort.hpp:218-349):
+# every query kernel scores via one of these models. `term_const` is the
+# per-term stats blob baked at prepare time (idf for bm25/tfidf); `score`
+# the per-doc kernel; `ub` a monotone upper bound for WAND/MaxScore pruning.
+# --------------------------------------------------------------------------
+
+
+class ScoreModel:
+    needs_norms = True
+
+    def term_const(self, df: int, n_field: int, dtype) -> float:
+        raise NotImplementedError
+
+    def score(self, tf, dl, const, avgdl, boost, dtype):
+        raise NotImplementedError
+
+    def ub(self, max_tf: int, const: float, dl_min: float, avgdl: float, boost: float, dtype) -> float:
+        raise NotImplementedError
+
+
+class BM25Model(ScoreModel):
+    """Okapi BM25 (bm25.cpp; k=1.2 b=0.75 defaults; b=0→BM15, b=1→BM11)."""
+
+    def __init__(self, k1: float = K_DEFAULT, b: float = B_DEFAULT):
+        self.k1 = k1
+        self.b = b
+
+    def term_const(self, df, n_field, dtype):
+        return float(bm25_idf(df, n_field, dtype=dtype)) if df > 0 else 0.0
+
+    def score(self, tf, dl, const, avgdl, boost, dtype):
+        return bm25_score(tf, dl, const, avgdl, self.k1, self.b, boost, dtype)
+
+    def ub(self, max_tf, const, dl_min, avgdl, boost, dtype):
+        dt = np.dtype(dtype).type
+        c0 = dt(boost) * (dt(self.k1) + dt(1)) * dt(const)
+        c1_min = dt(self.k1) * (dt(1) - dt(self.b)) + dt(self.k1) * dt(self.b) * dt(dl_min) / dt(avgdl)
+        return float(c0 * dt(max_tf) / (c1_min + dt(max_tf)))
+
+
+class TFIDFModel(ScoreModel):
+    """sqrt(tf) * (ln((N+1)/(df+1)) + 1)  (tfidf.cpp:381, 248-250; norm-free
+    variant — the reference's optional 1/sqrt(len) norm is off by default)."""
+
+    needs_norms = False
+
+    def term_const(self, df, n_field, dtype):
+        dt = np.dtype(dtype).type
+        return float(np.log((dt(n_field) + dt(1)) / (dt(df) + dt(1))) + dt(1))
+
+    def score(self, tf, dl, const, avgdl, boost, dtype):
+        dt = np.dtype(dtype).type
+        return (dt(boost) * np.sqrt(np.asarray(tf).astype(dtype)) * dt(const)).astype(dtype)
+
+    def ub(self, max_tf, const, dl_min, avgdl, boost, dtype):
+        return float(boost * np.sqrt(float(max_tf)) * const)
+
+
+class BoostModel(ScoreModel):
+    """Constant score = boost (boost_sort.cpp)."""
+
+    needs_norms = False
+
+    def term_const(self, df, n_field, dtype):
+        return 1.0
+
+    def score(self, tf, dl, const, avgdl, boost, dtype):
+        dt = np.dtype(dtype).type
+        return np.full(np.asarray(tf).shape, dt(boost), dtype=dtype)
+
+    def ub(self, max_tf, const, dl_min, avgdl, boost, dtype):
+        return float(boost)
+
+
+def get_model(name: str, k1: float = K_DEFAULT, b: float = B_DEFAULT) -> ScoreModel:
+    if name == "bm25":
+        return BM25Model(k1, b)
+    if name == "tfidf":
+        return TFIDFModel()
+    if name == "boost":
+        return BoostModel()
+    raise KeyError(f"unknown scorer {name!r}; known: bm25, tfidf, boost")

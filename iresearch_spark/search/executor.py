@@ -61,7 +61,7 @@ from ..index.codec import (
 )
 from ..index.reader import IndexReader
 from . import filters as flt
-from .bm25 import B_DEFAULT, K_DEFAULT, bm25_idf, bm25_score
+from .bm25 import B_DEFAULT, K_DEFAULT, BM25Model, ScoreModel, bm25_idf, get_model
 
 KERNEL_OUT_SCHEMA = "segment_id int, doc_id int, score double"
 MATCH_OUT_SCHEMA = "segment_id int, doc_id int, tf long, dl long"
@@ -159,8 +159,10 @@ def compile_plan(
     k1: float = K_DEFAULT,
     b: float = B_DEFAULT,
     dtype: str = "float64",
+    model: ScoreModel | None = None,
 ) -> tuple[dict, list[str]]:
     """Normalize + expand + bake stats. Returns (plan tree, all terms used)."""
+    model = model or BM25Model(k1, b)
     f = flt.normalize(f)
     stats = reader.field_stats()
     n_field = stats["docs_with_field"]
@@ -188,7 +190,7 @@ def compile_plan(
         df = tstats.get(term, (0, 0))[0]
         if df == 0:
             return 0.0
-        return float(bm25_idf(df, n_field, dtype=dt))
+        return model.term_const(df, n_field, dt)
 
     all_terms: set[str] = set()
 
@@ -205,7 +207,7 @@ def compile_plan(
             members = []
             for t, df in expanded:
                 all_terms.add(t)
-                members.append((t, float(bm25_idf(df, n_field, dtype=dt))))
+                members.append((t, model.term_const(df, n_field, dt)))
             return {"op": "mterm", "terms": members, "min_match": 1, "boost": node.boost}
         if isinstance(node, flt.Phrase):
             all_terms.update(node.terms)
@@ -310,12 +312,6 @@ class _SegmentViews:
         return v.decode_all() if v is not None else default
 
 
-def _bm25_ub(maxf: int, idf: float, boost: float, c1_min: float, k1: float, dt) -> float:
-    """Score upper bound for a posting list/block: max tf + most favorable norm."""
-    c0 = dt(boost) * (dt(k1) + dt(1)) * dt(idf)
-    return float(c0 * dt(maxf) / (dt(c1_min) + dt(maxf)))
-
-
 def _merge_scores(
     cand_ids: np.ndarray, cand_scores: np.ndarray, ids: np.ndarray, scores: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -346,17 +342,16 @@ def _kth_threshold(scores: np.ndarray, k: int) -> float:
 
 
 def _wand_single_term(
-    view: PostingsView, idf: float, boost: float, k: int, dl, avgdl, k1, b, dt
+    view: PostingsView, idf: float, boost: float, k: int, dl, avgdl, model: ScoreModel, dt
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND for one term: descending-bound block order, early stop."""
     dl_min = float(dl.min()) if dl.size else 1.0
-    c1_min = k1 * (1 - b) + k1 * b * dl_min / avgdl
     n_blocks = view.block_last.size
     if view._full is not None or n_blocks <= 2:
         ids, tfs = view.decode_all()
-        return ids, bm25_score(tfs, dl[ids - 1], idf, avgdl, k1, b, boost, dt)
+        return ids, model.score(tfs, dl[ids - 1], idf, avgdl, boost, dt)
     block_ub = np.array(
-        [_bm25_ub(int(m), idf, boost, c1_min, k1, dt) for m in view.block_maxf]
+        [model.ub(int(m), idf, dl_min, avgdl, boost, dt) for m in view.block_maxf]
     )
     order = np.argsort(-block_ub, kind="stable")
     out_ids: list[np.ndarray] = []
@@ -370,7 +365,7 @@ def _wand_single_term(
             break  # no later block (all ≤ this bound) can reach the k-th score
         sel = np.sort(order[i : i + chunk])
         ids, tfs = view.decode_blocks(sel)
-        sc = bm25_score(tfs, dl[ids - 1], idf, avgdl, k1, b, boost, dt)
+        sc = model.score(tfs, dl[ids - 1], idf, avgdl, boost, dt)
         out_ids.append(ids)
         out_sc.append(sc)
         n_docs += ids.size
@@ -388,8 +383,7 @@ def _maxscore_union(
     k: int,
     dl,
     avgdl,
-    k1,
-    b,
+    model: ScoreModel,
     dt,
 ) -> tuple[np.ndarray, np.ndarray]:
     """MaxScore over term legs [(view, idf, boost)] — rank-identical union.
@@ -400,8 +394,7 @@ def _maxscore_union(
     dropped. Strict comparisons keep exact ties intact.
     """
     dl_min = float(dl.min()) if dl.size else 1.0
-    c1_min = k1 * (1 - b) + k1 * b * dl_min / avgdl
-    ubs = np.array([_bm25_ub(v.max_freq, idf, boost, c1_min, k1, dt) for v, idf, boost in legs])
+    ubs = np.array([model.ub(v.max_freq, idf, dl_min, avgdl, boost, dt) for v, idf, boost in legs])
     order = np.argsort(-ubs, kind="stable")
     suffix = np.zeros(order.size + 1)
     suffix[:-1] = np.cumsum(ubs[order][::-1])[::-1]
@@ -420,7 +413,7 @@ def _maxscore_union(
             ids, tfs = view.decode_blocks(blocks)
         else:
             ids, tfs = view.decode_all()
-        sc = bm25_score(tfs, dl[ids - 1], idf, avgdl, k1, b, boost, dt)
+        sc = model.score(tfs, dl[ids - 1], idf, avgdl, boost, dt)
         if candidates_only:
             _add_to_candidates(cand_ids, cand_scores, ids, sc)
         else:
@@ -436,8 +429,7 @@ def _conjunction_selective(
     term_legs: list[tuple[PostingsView, float, float]],
     dl,
     avgdl,
-    k1,
-    b,
+    model: ScoreModel,
     dt,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Cost-ordered conjunction (conjunction.hpp:112-124): rarest list decoded
@@ -446,7 +438,7 @@ def _conjunction_selective(
     term_legs = sorted(term_legs, key=lambda t: t[0].docs_count)
     view0, idf0, boost0 = term_legs[0]
     ids, tfs = view0.decode_all()
-    scores = bm25_score(tfs, dl[ids - 1], idf0, avgdl, k1, b, boost0, dt)
+    scores = model.score(tfs, dl[ids - 1], idf0, avgdl, boost0, dt)
     for view, idf, boost in term_legs[1:]:
         if ids.size == 0:
             break
@@ -455,7 +447,7 @@ def _conjunction_selective(
             return np.empty(0, np.int64), np.empty(0, dt)
         oids, otfs = view.decode_blocks(blocks)
         common, ia, ib = np.intersect1d(ids, oids, assume_unique=True, return_indices=True)
-        osc = bm25_score(otfs[ib], dl[common - 1], idf, avgdl, k1, b, boost, dt)
+        osc = model.score(otfs[ib], dl[common - 1], idf, avgdl, boost, dt)
         scores = scores[ia] + osc
         ids = common
     return ids, scores
@@ -467,8 +459,7 @@ def _eval_root(
     k: int,
     dl: np.ndarray,
     avgdl: float,
-    k1: float,
-    b: float,
+    model: ScoreModel,
     dt,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k-aware root dispatch: pruned kernels where rank-identity allows,
@@ -480,13 +471,13 @@ def _eval_root(
         v = sv.view(plan["term"])
         if v is None:
             return empty
-        return _wand_single_term(v, plan["idf"], plan["boost"], k, dl, avgdl, k1, b, dt)
+        return _wand_single_term(v, plan["idf"], plan["boost"], k, dl, avgdl, model, dt)
     if op == "mterm" and plan.get("min_match", 1) <= 1:
         legs = [(sv.view(t), idf, plan["boost"]) for t, idf in plan["terms"]]
         legs = [(v, i, bo) for v, i, bo in legs if v is not None]
         if not legs:
             return empty
-        return _maxscore_union(legs, k, dl, avgdl, k1, b, dt)
+        return _maxscore_union(legs, k, dl, avgdl, model, dt)
     if (
         op == "or"
         and plan.get("min_match", 1) <= 1
@@ -496,7 +487,7 @@ def _eval_root(
         legs = [(v, i, bo) for v, i, bo in legs if v is not None]
         if not legs:
             return empty
-        ids, sc = _maxscore_union(legs, k, dl, avgdl, k1, b, dt)
+        ids, sc = _maxscore_union(legs, k, dl, avgdl, model, dt)
         if plan["boost"] != 1.0:
             sc = sc * dt(plan["boost"])
         return ids, sc
@@ -507,15 +498,15 @@ def _eval_root(
             if v is None:
                 return empty
             legs.append((v, p["idf"], p["boost"]))
-        ids, sc = _conjunction_selective(legs, dl, avgdl, k1, b, dt)
+        ids, sc = _conjunction_selective(legs, dl, avgdl, model, dt)
         for ex in plan.get("exclude", []):
-            eids, _ = _eval_plan(ex, sv, dl, avgdl, k1, b, dt)
+            eids, _ = _eval_plan(ex, sv, dl, avgdl, model, dt)
             keep = ~np.isin(ids, eids, assume_unique=True)
             ids, sc = ids[keep], sc[keep]
         if plan["boost"] != 1.0:
             sc = sc * dt(plan["boost"])
         return ids, sc
-    return _eval_plan(plan, sv, dl, avgdl, k1, b, dt)
+    return _eval_plan(plan, sv, dl, avgdl, model, dt)
 
 
 def _eval_plan(
@@ -523,8 +514,7 @@ def _eval_plan(
     decoded: dict[str, Any],
     dl: np.ndarray,
     avgdl: float,
-    k1: float,
-    b: float,
+    model: ScoreModel,
     dt,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Bottom-up evaluation → (sorted doc_ids, scores)."""
@@ -535,7 +525,7 @@ def _eval_plan(
         if hit is None:
             return empty
         ids, tfs = hit[0], hit[1]
-        scores = bm25_score(tfs, dl[ids - 1], plan["idf"], avgdl, k1, b, plan["boost"], dt)
+        scores = model.score(tfs, dl[ids - 1], plan["idf"], avgdl, plan["boost"], dt)
         return ids, scores
     if op == "mterm":
         legs = []
@@ -544,10 +534,10 @@ def _eval_plan(
             if hit is None:
                 continue
             ids, tfs = hit[0], hit[1]
-            legs.append((ids, bm25_score(tfs, dl[ids - 1], idf, avgdl, k1, b, plan["boost"], dt)))
+            legs.append((ids, model.score(tfs, dl[ids - 1], idf, avgdl, plan["boost"], dt)))
         return _union(legs, plan.get("min_match", 1), dt)
     if op == "and":
-        parts = [_eval_plan(p, decoded, dl, avgdl, k1, b, dt) for p in plan["parts"]]
+        parts = [_eval_plan(p, decoded, dl, avgdl, model, dt) for p in plan["parts"]]
         # cost-ordered: smallest first (conjunction.hpp:112-124)
         parts.sort(key=lambda t: t[0].size)
         ids, scores = parts[0]
@@ -555,14 +545,14 @@ def _eval_plan(
             ids, ia, ib = np.intersect1d(ids, oids, assume_unique=True, return_indices=True)
             scores = scores[ia] + oscores[ib]
         for ex in plan.get("exclude", []):
-            eids, _ = _eval_plan(ex, decoded, dl, avgdl, k1, b, dt)
+            eids, _ = _eval_plan(ex, decoded, dl, avgdl, model, dt)
             keep = ~np.isin(ids, eids, assume_unique=True)
             ids, scores = ids[keep], scores[keep]
         if plan["boost"] != 1.0:
             scores = scores * dt(plan["boost"])
         return ids, scores
     if op == "or":
-        legs = [_eval_plan(p, decoded, dl, avgdl, k1, b, dt) for p in plan["parts"]]
+        legs = [_eval_plan(p, decoded, dl, avgdl, model, dt) for p in plan["parts"]]
         ids, scores = _union(legs, plan.get("min_match", 1), dt)
         if plan["boost"] != 1.0:
             scores = scores * dt(plan["boost"])
@@ -611,10 +601,17 @@ def _local_topk(ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray
 
 
 class Searcher:
-    def __init__(self, reader: IndexReader, k1: float = K_DEFAULT, b: float = B_DEFAULT):
+    def __init__(
+        self,
+        reader: IndexReader,
+        k1: float = K_DEFAULT,
+        b: float = B_DEFAULT,
+        scorer: str = "bm25",
+    ):
         self.reader = reader
         self.k1 = k1
         self.b = b
+        self.model = get_model(scorer, k1, b)
 
     def search(
         self,
@@ -629,11 +626,15 @@ class Searcher:
         """
         nf = flt.normalize(f)
         if isinstance(nf, flt.Phrase):
-            return self._search_phrase(nf, k, dtype, with_keys)
-        plan, terms = compile_plan(nf, self.reader, self.k1, self.b, dtype)
+            return self._search_phrase(nf, list(nf.terms), list(range(len(nf.terms))), k, dtype, with_keys)
+        if isinstance(nf, flt.SamePosition):
+            return self._search_phrase(nf, list(nf.terms), [0] * len(nf.terms), k, dtype, with_keys)
+        if isinstance(nf, flt.ColumnExists):
+            return self._search_column_exists(nf, k, with_keys)
+        plan, terms = compile_plan(nf, self.reader, self.k1, self.b, dtype, model=self.model)
         stats = self.reader.field_stats()
         avgdl = stats["avgdl"]
-        k1v, bv = self.k1, self.b
+        model = self.model
         dt = np.float32 if dtype == "float32" else np.float64
         spark = self.reader.spark
 
@@ -670,7 +671,7 @@ class Searcher:
             sid = int(norm_pdf["segment_id"].iloc[0])
             dl = vbyte_decode(norm_pdf["doc_len_enc"].iloc[0]).astype(np.int64)
             sv = _SegmentViews(post_pdf)
-            ids, scores = _eval_root(plan, sv, k, dl, avgdl, k1v, bv, dt)
+            ids, scores = _eval_root(plan, sv, k, dl, avgdl, model, dt)
             ids, scores = _local_topk(ids, scores, k)
             return pd.DataFrame(
                 {
@@ -714,12 +715,12 @@ class Searcher:
             nf = flt.normalize(queries[name])
             if isinstance(nf, flt.Phrase):
                 raise ValueError(f"{name}: phrase queries need search() (two-pass stats)")
-            plan, terms = compile_plan(nf, self.reader, self.k1, self.b, dtype)
+            plan, terms = compile_plan(nf, self.reader, self.k1, self.b, dtype, model=self.model)
             plans[name] = plan
             all_terms.update(terms)
         stats = self.reader.field_stats()
         avgdl = stats["avgdl"]
-        k1v, bv = self.k1, self.b
+        model = self.model
         dt = np.float32 if dtype == "float32" else np.float64
         spark = self.reader.spark
         if not all_terms:
@@ -753,7 +754,7 @@ class Searcher:
             sv = _SegmentViews(post_pdf)
             frames = []
             for name, plan in plan_items:
-                ids, scores = _eval_root(plan, sv, k, dl, avgdl, k1v, bv, dt)
+                ids, scores = _eval_root(plan, sv, k, dl, avgdl, model, dt)
                 ids, scores = _local_topk(ids, scores, k)
                 if ids.size:
                     frames.append(
@@ -795,14 +796,33 @@ class Searcher:
             .orderBy(F.desc("score"), F.asc("segment_id"), F.asc("doc_id"))
         )
 
+    def _search_column_exists(self, node: flt.ColumnExists, k: int, with_keys: bool) -> DataFrame:
+        """by_column_existence (column_existence_filter.cpp): docs whose stored
+        column is non-null, constant score = boost. Catalyst pushes the
+        IS NOT NULL to the parquet scan."""
+        docs = self.reader.docs()
+        if node.column not in docs.columns:
+            schema = "doc_key string, segment_id int, doc_id int, score double"
+            return self.reader.spark.createDataFrame([], schema if with_keys else schema.split(", ", 1)[1])
+        out = (
+            docs.where(F.col(node.column).isNotNull())
+            .select("doc_key", "segment_id", "doc_id", F.lit(float(node.boost)).alias("score"))
+            .orderBy("segment_id", "doc_id")
+            .limit(k)
+        )
+        return out if with_keys else out.drop("doc_key")
+
     # ------------------------------------------------------------- phrase
-    def _search_phrase(self, node: flt.Phrase, k: int, dtype: str, with_keys: bool) -> DataFrame:
-        """Two-pass phrase: (1) distributed positional match → (doc, tf, dl);
-        (2) exact phrase df from pass 1, BM25 scored declaratively
-        (phrase_iterator.hpp analogue; scoring divergence documented in
-        filters.Phrase)."""
-        terms = list(node.terms)
-        matches = self.phrase_matches(terms)
+    def _search_phrase(
+        self, node: flt.Filter, terms: list[str], shifts: list[int], k: int, dtype: str, with_keys: bool
+    ) -> DataFrame:
+        """Two-pass positional query: (1) distributed positional match →
+        (doc, tf, dl); (2) exact match-df from pass 1, BM25 scored
+        declaratively (phrase_iterator.hpp analogue; scoring divergence
+        documented in filters.Phrase). ``shifts`` = per-term position offsets:
+        ``0..n-1`` for a phrase, all-zero for SamePosition
+        (same_position_filter.cpp)."""
+        matches = self.phrase_matches(terms, shifts)
         matches = matches.cache()
         stats = self.reader.field_stats()
         n, avgdl = stats["docs_with_field"], stats["avgdl"]
@@ -810,25 +830,37 @@ class Searcher:
         if df_phrase == 0:
             schema = "doc_key string, segment_id int, doc_id int, score double"
             return self.reader.spark.createDataFrame([], schema)
-        idf = float(bm25_idf(df_phrase, n))
-        k1v, bv, boost = self.k1, self.b, node.boost
-        c0 = boost * (k1v + 1.0) * idf
-        scored = matches.withColumn(
-            "score",
-            F.lit(c0)
-            * F.col("tf")
-            / (F.lit(k1v * (1 - bv)) + F.lit(k1v * bv) * F.col("dl") / F.lit(avgdl) + F.col("tf")),
-        )
+        # declarative per-model score column over (tf, dl)
+        const = self.model.term_const(df_phrase, n, np.float64)
+        boost = node.boost
+        from .bm25 import BoostModel, TFIDFModel
+
+        if isinstance(self.model, TFIDFModel):
+            score_col = F.lit(boost) * F.sqrt(F.col("tf")) * F.lit(const)
+        elif isinstance(self.model, BoostModel):
+            score_col = F.lit(float(boost))
+        else:
+            k1v, bv = self.k1, self.b
+            c0 = boost * (k1v + 1.0) * const
+            score_col = (
+                F.lit(c0)
+                * F.col("tf")
+                / (F.lit(k1v * (1 - bv)) + F.lit(k1v * bv) * F.col("dl") / F.lit(avgdl) + F.col("tf"))
+            )
+        scored = matches.withColumn("score", score_col)
         topk = scored.orderBy(F.desc("score"), F.asc("segment_id"), F.asc("doc_id")).limit(k)
         if not with_keys:
             return topk.select("segment_id", "doc_id", "score")
         return self._attach_keys(topk.select("segment_id", "doc_id", "score"), k)
 
-    def phrase_matches(self, terms: list[str]) -> DataFrame:
+    def phrase_matches(self, terms: list[str], shifts: list[int] | None = None) -> DataFrame:
         """All docs containing the exact phrase, with occurrence counts.
 
         Kernel: conjunction over the phrase terms' postings, then vectorized
-        position-offset intersection (positions of term j shifted by -j)."""
+        position-offset intersection (positions of term j shifted by
+        ``-shifts[j]``; default shifts 0..n-1 = fixed phrase)."""
+        if shifts is None:
+            shifts = list(range(len(terms)))
         pq = self.reader.postings_for_terms(sorted(set(terms))).select(
             "segment_id",
             "term",
@@ -844,6 +876,7 @@ class Searcher:
         )
         norms = self.reader.norms()
         tlist = list(terms)
+        shift_list = list(shifts)
 
         def kernel(post_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"segment_id": [], "doc_id": [], "tf": [], "dl": []}).astype(
@@ -872,15 +905,15 @@ class Searcher:
                 per_term.append((t_ids, starts, t_pos))
             out_ids, out_tf = [], []
             for d in ids:
-                # positions of term j in doc d, shifted by -j; phrase tf =
+                # positions of term j in doc d, shifted by -shifts[j]; tf =
                 # size of the running intersection
                 t_ids, starts, t_pos = per_term[0]
                 i0 = int(np.searchsorted(t_ids, d))
-                cur = t_pos[starts[i0] : starts[i0 + 1]]
+                cur = t_pos[starts[i0] : starts[i0 + 1]] - shift_list[0]
                 for j in range(1, len(tlist)):
                     t_ids, starts, t_pos = per_term[j]
                     ij = int(np.searchsorted(t_ids, d))
-                    pj = t_pos[starts[ij] : starts[ij + 1]] - j
+                    pj = t_pos[starts[ij] : starts[ij + 1]] - shift_list[j]
                     cur = np.intersect1d(cur, pj, assume_unique=True)
                     if cur.size == 0:
                         break

@@ -88,6 +88,16 @@ class Phrase(Filter):
 
 
 @dataclass
+class SamePosition(Filter):
+    """All terms occurring at the identical position in a doc
+    (same_position_filter.cpp). tf = number of shared positions; scored like
+    :class:`Phrase` (exact match-df BM25)."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass
 class And(Filter):
     parts: tuple[Filter, ...]
     boost: float = 1.0

@@ -232,3 +232,54 @@ def test_search_many_rejects_phrase(built):
     reader, _, _ = built
     with pytest.raises(ValueError):
         Searcher(reader).search_many({"p": flt.Phrase(("quick", "brown"))})
+
+
+def test_column_exists_and_same_position(built):
+    reader, oracle, _ = built
+    s = Searcher(reader)
+    # ColumnExists on doc_key (always stored) → first k docs in segment order,
+    # constant boost score
+    rows = s.search(flt.ColumnExists("doc_key", boost=2.5), k=5).collect()
+    assert len(rows) == 5
+    assert all(r["score"] == 2.5 for r in rows)
+    # missing column → empty
+    assert s.search(flt.ColumnExists("nope"), k=5).count() == 0
+    # SamePosition: single-field bag-of-words → distinct terms never share a
+    # position (no 0-increment analyzers yet); identical terms degenerate to
+    # the term's own positions
+    assert s.search(flt.SamePosition(("quick", "brown")), k=5).count() == 0
+    same = s.search(flt.SamePosition(("quick", "quick")), k=5).collect()
+    assert {r["doc_key"] for r in same} >= {"doc99990", "doc99991"}
+
+
+def test_tfidf_scorer(built):
+    """sqrt(tf) * (ln((N+1)/(df+1)) + 1), summed over legs (tfidf.cpp:381)."""
+    reader, oracle, _ = built
+    s = Searcher(reader, scorer="tfidf")
+
+    def expect(terms, k=10):
+        hits = []
+        for key in oracle.keys:
+            total, any_hit = 0.0, False
+            for t in terms:
+                tf = oracle.tf[key].get(t)
+                if tf:
+                    any_hit = True
+                    idf = math.log((oracle.n + 1) / (oracle.df[t] + 1)) + 1
+                    total += math.sqrt(tf) * idf
+            if any_hit:
+                hits.append((key, total))
+        hits.sort(key=lambda t: (-t[1], t[0]))
+        return hits[:k]
+
+    got = run(s, flt.Term("spark"))
+    assert_matches(got, expect(["spark"]))
+    got = run(s, flt.Or((flt.Term("scan"), flt.Term("hash"))))
+    assert_matches(got, expect(["scan", "hash"]))
+
+
+def test_boost_scorer(built):
+    reader, _, _ = built
+    s = Searcher(reader, scorer="boost")
+    rows = s.search(flt.Term("spark", boost=3.0), k=5).collect()
+    assert len(rows) == 5 and all(r["score"] == 3.0 for r in rows)

@@ -86,3 +86,22 @@ def test_tokens_to_postings():
     np.testing.assert_array_equal(pos, [2, 5, 1, 3, 6, 4])
     uniq0, counts0, pos0 = tokens_to_postings([])
     assert len(uniq0) == 0 and len(counts0) == 0 and len(pos0) == 0
+
+
+def test_parameterized_analyzer_specs():
+    import pandas as pd
+    from iresearch_spark.analysis.tokenizers import get_tokenizer, register_analyzer
+
+    s = pd.Series(["a,b,,c", "x,y"])
+    assert get_tokenizer("delimiter:,")(s).tolist() == [["a", "b", "c"], ["x", "y"]]
+    g = get_tokenizer("ngram:2,3")(pd.Series(["abcd"]))
+    assert g.tolist() == [["ab", "bc", "cd", "abc", "bcd"]]
+    st = get_tokenizer("simple+stop:the,a")(pd.Series(["The cat a hat"]))
+    assert st.tolist() == [["cat", "hat"]]
+    register_analyzer("upper", lambda ser: ser.str.upper().str.split())
+    assert get_tokenizer("upper")(pd.Series(["ab cd"])).tolist() == [["AB", "CD"]]
+
+    import pytest
+
+    with pytest.raises(KeyError):
+        get_tokenizer("nope")

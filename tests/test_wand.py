@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 
 from iresearch_spark.index.codec import encode_postings
-from iresearch_spark.search.bm25 import bm25_idf, bm25_score
+from iresearch_spark.search.bm25 import BM25Model, bm25_idf, bm25_score
 from iresearch_spark.search.executor import (
     PostingsView,
     _conjunction_selective,
@@ -25,6 +25,7 @@ from iresearch_spark.search.executor import (
 
 N_DOCS = 3000
 K1, B = 1.2, 0.75
+MODEL = BM25Model(K1, B)
 
 
 def _make_corpus(rng, n_terms):
@@ -69,7 +70,7 @@ def test_wand_single_term_rank_identical(seed, dtype):
     rng = np.random.default_rng(seed)
     views, idfs, dl, avgdl = _make_corpus(rng, 1)
     fresh = views[0]
-    got = _wand_single_term(fresh, idfs[0], 1.0, 10, dl, avgdl, K1, B, dtype)
+    got = _wand_single_term(fresh, idfs[0], 1.0, 10, dl, avgdl, MODEL, dtype)
     want = _full_term(views[0], idfs[0], dl, avgdl, dtype)
     assert _topk_tuple(*got) == _topk_tuple(*want)
 
@@ -81,7 +82,7 @@ def test_maxscore_union_rank_identical(seed, dtype):
     n_terms = int(rng.integers(2, 9))
     views, idfs, dl, avgdl = _make_corpus(rng, n_terms)
     legs = [(v, idf, 1.0) for v, idf in zip(views, idfs)]
-    got = _maxscore_union(legs, 10, dl, avgdl, K1, B, dtype)
+    got = _maxscore_union(legs, 10, dl, avgdl, MODEL, dtype)
     full_legs = [_full_term(v, idf, dl, avgdl, dtype) for v, idf in zip(views, idfs)]
     want = _union(full_legs, 1, dtype)
     assert _topk_tuple(*got) == _topk_tuple(*want)
@@ -93,7 +94,7 @@ def test_conjunction_selective_identical(seed):
     n_terms = int(rng.integers(2, 5))
     views, idfs, dl, avgdl = _make_corpus(rng, n_terms)
     legs = [(v, idf, 1.0) for v, idf in zip(views, idfs)]
-    got_ids, got_sc = _conjunction_selective(legs, dl, avgdl, K1, B, np.float64)
+    got_ids, got_sc = _conjunction_selective(legs, dl, avgdl, MODEL, np.float64)
     # full reference: intersect all, sum leg scores
     full = [_full_term(v, idf, dl, avgdl, np.float64) for v, idf in zip(views, idfs)]
     ids = full[0][0]
@@ -131,5 +132,5 @@ def test_wand_actually_skips_blocks():
 
     view = Spy(row)
     dl = np.full(20000, 100, dtype=np.int64)
-    _wand_single_term(view, 2.0, 1.0, 10, dl, 100.0, K1, B, np.float64)
+    _wand_single_term(view, 2.0, 1.0, 10, dl, 100.0, MODEL, np.float64)
     assert sum(calls) < enc.block_last_doc.size  # decoded strictly fewer blocks
