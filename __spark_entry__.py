@@ -119,6 +119,23 @@ ORDER BY s_sum DESC, doc_id
 LIMIT {k}"""
 
 
+def _tfidf_sql(term_pred: str, k: int = TOPK) -> str:
+    """TF-IDF top-k: sqrt(tf) * (ln((n+1)/(df+1)) + 1) summed over legs."""
+    return f"""{_BM25_CTE},
+q AS (SELECT term FROM dfreq WHERE {term_pred}),
+leg AS (
+  SELECT tf.doc_id, sqrt(tf.tf) * (ln((st.n + 1) / (d.df + 1)) + 1) AS s
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN dfreq d ON d.term = tf.term
+  CROSS JOIN st
+)
+SELECT doc_id, CAST(round(s_sum, 4) AS DOUBLE) AS score
+FROM (SELECT doc_id, sum(s) AS s_sum FROM leg GROUP BY doc_id)
+ORDER BY s_sum DESC, doc_id
+LIMIT {k}"""
+
+
 def _phrase_sql(terms: tuple[str, ...], k: int = TOPK) -> str:
     """Phrase BM25: tf = occurrence count via non-overlapping double-space
     token join; df = matching docs; same formula as the engine phrase path."""
@@ -247,6 +264,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_fuzzy"] = lambda s, d: _run_search(s, d, flt.Fuzzy("scam", max_distance=1))
     q["q_phrase"] = lambda s, d: _run_search(s, d, flt.Phrase(("fast", "scan")))
 
+    def tfidf_search(s, d, f):
+        reader = _index(s, d)
+        res = Searcher(reader, scorer="tfidf").search(f, k=TOPK)
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.round(F.col("score"), 4).cast("double").alias("score"),
+        )
+
+    q["q_tfidf_term"] = lambda s, d: tfidf_search(s, d, flt.Term("scan"))
+    q["q_tfidf_or"] = lambda s, d: tfidf_search(s, d, flt.Or((flt.Term("sort"), flt.Term("merge"))))
+
+    def batch_search(s, d):
+        reader = _index(s, d)
+        res = Searcher(reader).search_many(
+            {"qa": flt.Term("scan"), "qb": flt.Or((flt.Term("sort"), flt.Term("merge")))},
+            k=TOPK,
+        )
+        docs = reader.docs().select("segment_id", "doc_id", "doc_key")
+        return (
+            res.join(docs, ["segment_id", "doc_id"])
+            .select(
+                "query",
+                F.col("doc_key").cast("bigint").alias("doc_id"),
+                F.round(F.col("score"), 4).cast("double").alias("score"),
+            )
+            .orderBy("query", F.desc("score"), F.asc(F.col("doc_key").cast("bigint")))
+        )
+
+    q["q_batch_topk"] = batch_search
+
     # ---- text analysis / pipeline ops (declarative DataFrame plans) ----
     q["q_token_stats"] = lambda s, d: textops.token_stats(_docs(s, d)).select(
         "doc_id", F.col("n_tokens").cast("long"), F.col("n_unique").cast("long")
@@ -328,6 +375,15 @@ def oracle_sql() -> dict[str, str]:
     o["q_wildcard"] = _bm25_sql("term LIKE 's_a%'")
     o["q_fuzzy"] = _bm25_sql("levenshtein(term, 'scam') <= 1")
     o["q_phrase"] = _phrase_sql(("fast", "scan"))
+    o["q_tfidf_term"] = _tfidf_sql("term = 'scan'")
+    o["q_tfidf_or"] = _tfidf_sql("term IN ('sort','merge')")
+    o["q_batch_topk"] = f"""
+SELECT * FROM (
+  SELECT 'qa' AS query, doc_id, score FROM ({_bm25_sql("term = 'scan'")})
+  UNION ALL
+  SELECT 'qb' AS query, doc_id, score FROM ({_bm25_sql("term IN ('sort','merge')")})
+)
+ORDER BY query, score DESC, doc_id"""
 
     o["q_token_stats"] = f"""{_TOKS_CTE}
 SELECT doc_id, len(toks)::BIGINT AS n_tokens, len(list_distinct(toks))::BIGINT AS n_unique FROM t"""

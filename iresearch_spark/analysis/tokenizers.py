@@ -140,6 +140,45 @@ def register_analyzer(name: str, fn: Tokenizer) -> None:
     _REGISTRY[name] = fn
 
 
+def arrow_tokenize_encode(texts: list, name: str):
+    """Arrow-native tokenize + dictionary-encode for supported analyzers.
+
+    Returns ``(codes int64[n_tokens], uniq_terms list[str], doc_lens int64)``
+    where codes index uniq_terms and tokens are in (doc, position) order — or
+    ``None`` when the analyzer has no Arrow fast path (caller falls back to the
+    pandas tokenizer).
+
+    Why: the hot path of index build is tokenization + term hashing; doing it
+    with Python string objects thrashes the allocator (it stops scaling past a
+    few concurrent workers). Arrow's utf8_lower/split_pattern_regex/
+    dictionary_encode keep every token inside Arrow buffers — C memory, no
+    per-token PyObject — and hand back integer codes.
+
+    Identity: split on ``[^a-z0-9]+`` of lowered text with empties dropped ==
+    ``findall([a-z0-9]+)`` == the DuckDB oracle's regexp_split_to_array filter
+    (asserted against :func:`simple_tokenize` in tests).
+    """
+    if name != "simple":
+        return None
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(["" if t is None else t for t in texts], type=pa.large_string())
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), "[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    raw_lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    kept = pc.filter(flat, keep)
+    enc = pc.dictionary_encode(kept)
+    codes = enc.indices.to_numpy().astype(np.int64)
+    uniq_terms = enc.dictionary.to_pylist()
+    doc_of_raw = np.repeat(np.arange(raw_lens.size, dtype=np.int64), raw_lens)
+    doc_lens = np.bincount(doc_of_raw[keep_np], minlength=raw_lens.size).astype(np.int64)
+    return codes, uniq_terms, doc_lens
+
+
 def get_tokenizer(name: str) -> Tokenizer:
     """Resolve an analyzer spec: plain registry name, or a parameterized spec
     ``delimiter:<d>`` / ``ngram:<min>,<max>`` / ``simple+stop:<w1>,<w2>,...``

@@ -49,8 +49,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analysis.tokenizers import get_tokenizer, tokens_to_postings
-from .codec import encode_postings, vbyte_encode
+from ..analysis.tokenizers import arrow_tokenize_encode, get_tokenizer
+from .codec import encode_postings_batch, vbyte_encode
 
 NUM_TERM_BUCKETS = 16
 
@@ -151,29 +151,34 @@ class IndexBuilder:
             from pyspark import TaskContext
 
             sid = TaskContext.get().partitionId()
-            tokenizer = get_tokenizer(tokenizer_name)
             keys: list = []
             stored_acc: dict[str, list] = {c: [] for c in stored_cols}
-            dlens: list[int] = []
-            all_terms: list[np.ndarray] = []
-            all_counts: list[np.ndarray] = []
-            all_pos: list[np.ndarray] = []
+            texts: list = []
             for pdf in batches:
-                toks = tokenizer(pdf[text_col])
-                for tl in toks:
-                    uniq, counts, flat_pos = tokens_to_postings(tl)
-                    all_terms.append(uniq)
-                    all_counts.append(counts)
-                    if with_positions:
-                        all_pos.append(flat_pos)
-                    dlens.append(len(tl))
+                texts.extend(pdf[text_col].tolist())
                 keys.extend(pdf[key_col].astype(str).tolist())
                 for c in stored_cols:
                     stored_acc[c].extend(pdf[c].tolist())
 
-            n_docs = len(dlens)
+            n_docs = len(texts)
             if n_docs == 0:
                 return
+            # tokenize + term-id encode: Arrow fast path (tokens never become
+            # Python objects) or pandas fallback for custom analyzers
+            res = arrow_tokenize_encode(texts, tokenizer_name)
+            if res is not None:
+                codes, uniq_terms, lens = res
+            else:
+                tokenizer = get_tokenizer(tokenizer_name)
+                tok_lists = tokenizer(pd.Series(texts)).tolist()
+                lens = np.fromiter((len(t) for t in tok_lists), count=n_docs, dtype=np.int64)
+                flat = np.empty(int(lens.sum()), dtype=object)
+                off = 0
+                for t in tok_lists:
+                    flat[off : off + len(t)] = t
+                    off += len(t)
+                codes, uniq_arr = pd.factorize(flat)
+                uniq_terms = list(uniq_arr)
             # ---- doc rows (doc ids dense 1-based per segment) ----
             doc_out = pd.DataFrame(
                 {
@@ -181,7 +186,7 @@ class IndexBuilder:
                     "segment_id": np.full(n_docs, sid, np.int32),
                     "doc_id": np.arange(1, n_docs + 1, dtype=np.int32),
                     "doc_key": keys,
-                    "doc_len": np.asarray(dlens, dtype=np.int32),
+                    "doc_len": lens.astype(np.int32),
                 }
             )
             for c in stored_cols:
@@ -190,47 +195,35 @@ class IndexBuilder:
                 doc_out[c] = None
             yield doc_out
 
-            # ---- invert across the segment (vectorized group-by term) ----
-            nt_per_doc = np.array([u.size for u in all_terms], dtype=np.int64)
-            if nt_per_doc.sum() == 0:
+            # ---- invert across the segment (field_data::invert analogue,
+            # fully vectorized: one hash pass + one int sort for the whole
+            # segment, no per-doc Python) ----
+            n_tokens = int(lens.sum())
+            if n_tokens == 0:
                 return
-            dt_terms = np.concatenate(all_terms)
-            dt_counts = np.concatenate(all_counts).astype(np.int64)
-            dt_doc = np.repeat(np.arange(1, n_docs + 1, dtype=np.int64), nt_per_doc)
-            codes, uniq_terms = pd.factorize(dt_terms)
-            order = np.lexsort((dt_doc, codes))
-            s_codes = codes[order]
-            s_doc = dt_doc[order]
-            s_counts = dt_counts[order]
+            tok_doc = np.repeat(np.arange(1, n_docs + 1, dtype=np.int64), lens)
+            starts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            tok_pos = np.arange(1, n_tokens + 1, dtype=np.int64) - np.repeat(starts, lens)
+            # sort tokens by (term, doc, pos): positions land flat in final order
+            order = np.lexsort((tok_pos, tok_doc, codes))
+            c_s = codes[order]
+            d_s = tok_doc[order]
+            pos_sorted = tok_pos[order]
+            # (term, doc) run boundaries → per-posting doc ids + freqs
+            dt_break = np.flatnonzero(
+                np.diff(c_s, prepend=-1) | np.diff(d_s, prepend=-1)
+            )
+            s_codes = c_s[dt_break]
+            s_doc = d_s[dt_break]
+            s_counts = np.diff(np.append(dt_break, n_tokens))
             bounds = np.flatnonzero(np.diff(s_codes, prepend=-1))
             bounds = np.append(bounds, s_codes.size)
-            if with_positions:
-                pos_flat = np.concatenate(all_pos)
-                # permute flat positions into sorted (term, doc) order, keeping
-                # per-doc ascending position order (stable)
-                rank = np.empty(order.size, np.int64)
-                rank[order] = np.arange(order.size)
-                pos_dt = np.repeat(np.arange(dt_doc.size), dt_counts)
-                pos_sorted = pos_flat[np.argsort(rank[pos_dt], kind="stable")]
-                pstart = np.zeros(order.size + 1, np.int64)
-                np.cumsum(s_counts, out=pstart[1:])
-            out: dict[str, list] = {k: [] for k in post_cols}
-            for gi in range(uniq_terms.size):
-                lo, hi = bounds[gi], bounds[gi + 1]
-                positions = pos_sorted[pstart[lo] : pstart[hi]] if with_positions else None
-                enc = encode_postings(s_doc[lo:hi], s_counts[lo:hi], positions)
-                out["term"].append(uniq_terms[gi])
-                out["docs_count"].append(enc.docs_count)
-                out["total_freq"].append(enc.total_freq)
-                out["max_freq"].append(enc.max_freq)
-                out["doc_ids_enc"].append(enc.doc_ids_enc)
-                out["freqs_enc"].append(enc.freqs_enc)
-                out["pos_enc"].append(enc.pos_enc)
-                out["block_last_doc"].append(enc.block_last_doc.tolist())
-                out["block_doc_off"].append(enc.block_doc_off.tolist())
-                out["block_freq_off"].append(enc.block_freq_off.tolist())
-                out["block_max_freq"].append(enc.block_max_freq.tolist())
-            post_out = pd.DataFrame(out)
+            enc_cols = encode_postings_batch(
+                s_doc, s_counts, bounds, pos_sorted if with_positions else None
+            )
+            out: dict[str, list] = {"term": list(uniq_terms), **enc_cols}
+            post_out = pd.DataFrame(out)[post_cols]
             post_out.insert(0, "kind", "p")
             post_out.insert(1, "segment_id", np.int32(sid))
             post_out.insert(2, "doc_id", None)
@@ -240,8 +233,12 @@ class IndexBuilder:
                 post_out[c] = None
             yield post_out[["kind", "segment_id", "doc_id", "doc_key", "doc_len", *stored_cols, *post_cols]]
 
+        # prune to the consumed columns BEFORE the range shuffle — the input
+        # may carry wide payloads (e.g. raw html binary) that the index never
+        # touches; without this they ride the whole shuffle.
         partitioned = (
-            df.repartitionByRange(num_segments, key_col)
+            df.select(key_col, text_col, *stored_cols)
+            .repartitionByRange(num_segments, key_col)
             .sortWithinPartitions(key_col)
         )
         segments_path = os.path.join(gen_dir, "segments")
@@ -277,7 +274,7 @@ class IndexBuilder:
                 spark.read.parquet(os.path.join(segments_path, "kind=p"))
                 .select("segment_id", *post_cols)
                 .withColumn("tbucket", term_bucket_col(F.col("term"), buckets))
-                .repartition("tbucket")
+                .repartition(buckets, "tbucket")
                 .sortWithinPartitions("term", "segment_id")
                 .write.mode("overwrite")
                 .partitionBy("tbucket")
@@ -297,7 +294,7 @@ class IndexBuilder:
                     F.max("max_freq").alias("max_freq"),
                 )
                 .withColumn("tbucket", term_bucket_col(F.col("term"), buckets))
-                .repartition("tbucket")
+                .repartition(buckets, "tbucket")
                 .sortWithinPartitions("term")
                 .write.mode("overwrite")
                 .partitionBy("tbucket")

@@ -166,6 +166,107 @@ def encode_postings(
     )
 
 
+def _vbyte_len(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized)."""
+    a = np.asarray(values, dtype=np.uint64)
+    n = np.ones(a.size, dtype=np.int64)
+    for k in range(1, _MAX_VBYTE_LEN):
+        n += (a >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return n
+
+
+def encode_postings_batch(
+    doc_ids: np.ndarray,
+    freqs: np.ndarray,
+    term_bounds: np.ndarray,
+    positions: np.ndarray | None = None,
+) -> dict[str, list]:
+    """Encode MANY posting lists at once — the whole-segment flush.
+
+    ``doc_ids``/``freqs`` are the concatenation of every term's postings,
+    sorted by (term, doc); ``term_bounds`` (len T+1) delimits terms;
+    ``positions`` is the matching flattened position stream (token order
+    (term, doc, pos)). Semantically identical to calling
+    :func:`encode_postings` per term (property-tested), but the VByte encode,
+    byte-offset prefix sums and block metadata are single numpy passes over
+    the segment — per-term Python work is reduced to slicing the shared
+    buffers. This is what makes the invert stage CPU-bound on real work
+    instead of on a million tiny Python calls.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    term_bounds = np.asarray(term_bounds, dtype=np.int64)
+    n = doc_ids.size
+    T = term_bounds.size - 1
+    starts = term_bounds[:-1]
+    ends = term_bounds[1:]
+    counts = ends - starts
+
+    deltas = np.empty(n, dtype=np.int64)
+    if n:
+        deltas[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+    deltas[starts] = doc_ids[starts]  # absolute at each term start
+    doc_buf = vbyte_encode(deltas)
+    freq_buf = vbyte_encode(freqs)
+    dpre = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(_vbyte_len(deltas), out=dpre[1:])
+    fpre = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(_vbyte_len(freqs), out=fpre[1:])
+
+    total_freq = np.add.reduceat(freqs, starts) if n else np.empty(0, np.int64)
+    max_freq = np.maximum.reduceat(freqs, starts) if n else np.empty(0, np.int64)
+
+    # block starts: term_start + 128*j for each term (rows are contiguous, so
+    # consecutive block-start indices delimit blocks exactly)
+    nb = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+    first_block = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(nb, out=first_block[1:])
+    total_blocks = int(first_block[-1])
+    term_of_block = np.repeat(np.arange(T), nb)
+    j_in_term = np.arange(total_blocks) - first_block[term_of_block]
+    bstart = starts[term_of_block] + BLOCK_SIZE * j_in_term
+    bend = np.minimum(bstart + BLOCK_SIZE, ends[term_of_block])
+    blk_last = doc_ids[bend - 1]
+    blk_maxf = np.maximum.reduceat(freqs, bstart) if total_blocks else np.empty(0, np.int64)
+    blk_doff = dpre[bstart] - dpre[starts[term_of_block]]
+    blk_foff = fpre[bstart] - fpre[starts[term_of_block]]
+
+    out: dict[str, list] = {
+        "docs_count": counts.tolist(),
+        "total_freq": total_freq.tolist(),
+        "max_freq": max_freq.tolist(),
+        "doc_ids_enc": [doc_buf[dpre[starts[t]] : dpre[ends[t]]] for t in range(T)],
+        "freqs_enc": [freq_buf[fpre[starts[t]] : fpre[ends[t]]] for t in range(T)],
+        "block_last_doc": [blk_last[first_block[t] : first_block[t + 1]].tolist() for t in range(T)],
+        "block_doc_off": [blk_doff[first_block[t] : first_block[t + 1]].tolist() for t in range(T)],
+        "block_freq_off": [blk_foff[first_block[t] : first_block[t + 1]].tolist() for t in range(T)],
+        "block_max_freq": [blk_maxf[first_block[t] : first_block[t + 1]].tolist() for t in range(T)],
+    }
+
+    if positions is not None:
+        pos = np.asarray(positions, dtype=np.int64)
+        if pos.size != int(freqs.sum()):
+            raise ValueError("positions length must equal sum(freqs)")
+        ppre = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(freqs, out=ppre[1:])
+        pdelta = np.empty(pos.size, dtype=np.int64)
+        if pos.size:
+            pdelta[0] = pos[0]
+            np.subtract(pos[1:], pos[:-1], out=pdelta[1:])
+        row_starts = ppre[:-1]
+        pdelta[row_starts] = pos[row_starts]  # absolute at each doc start
+        pos_buf = vbyte_encode(pdelta)
+        plen_pre = np.zeros(pos.size + 1, dtype=np.int64)
+        np.cumsum(_vbyte_len(pdelta), out=plen_pre[1:])
+        t_pos_lo = plen_pre[ppre[starts]]
+        t_pos_hi = plen_pre[ppre[ends]]
+        out["pos_enc"] = [pos_buf[t_pos_lo[t] : t_pos_hi[t]] for t in range(T)]
+    else:
+        out["pos_enc"] = [b""] * T
+    return out
+
+
 def decode_doc_ids(
     doc_ids_enc: bytes,
     block_doc_off: np.ndarray,

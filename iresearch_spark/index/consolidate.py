@@ -160,7 +160,7 @@ def consolidate(
         passthrough.drop("tbucket")
         .unionByName(merged)
         .withColumn("tbucket", term_bucket_col(F.col("term"), buckets))
-        .repartition("tbucket")
+        .repartition(buckets, "tbucket")
         .sortWithinPartitions("term", "segment_id")
         .write.mode("overwrite")
         .partitionBy("tbucket")

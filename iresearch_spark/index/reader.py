@@ -24,22 +24,32 @@ class IndexReader:
         with open(os.path.join(index_path, "meta.json")) as f:
             self.meta = json.load(f)
         self._field_stats: dict | None = None
+        self._tables: dict[str, DataFrame] = {}
 
     @property
     def term_buckets(self) -> int:
         return self.meta["term_buckets"]
 
+    def _table(self, name: str) -> DataFrame:
+        """Point-in-time table handle, created ONCE per reader: re-reading
+        parquet per query would redo file listing + footer reads (a multi-second
+        serial driver cost on big indexes); a pinned reader is also exactly the
+        reference's snapshot semantics (segment_reader.hpp:35-110)."""
+        if name not in self._tables:
+            self._tables[name] = self.spark.read.parquet(self.meta["tables"][name])
+        return self._tables[name]
+
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(self.meta["tables"]["docs"])
+        return self._table("docs")
 
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.meta["tables"]["postings"])
+        return self._table("postings")
 
     def term_dict(self) -> DataFrame:
-        return self.spark.read.parquet(self.meta["tables"]["term_dict"])
+        return self._table("term_dict")
 
     def norms(self) -> DataFrame:
-        return self.spark.read.parquet(self.meta["tables"]["norms"])
+        return self._table("norms")
 
     def field_stats(self) -> dict:
         """{docs_with_field, total_term_freq, avgdl} — collected once, tiny."""
@@ -55,21 +65,28 @@ class IndexReader:
         return self._field_stats
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
-        """Pruned postings scan: tbucket partition pruning + term IN pushdown
-        (the FST term-index role, done by layout)."""
+        """Pruned postings scan (the FST term-index role, done by layout):
+        tbucket partition pruning always; small term sets push an IN filter
+        down to the parquet row groups, large ones use a broadcast semi-join
+        (an O(1000)-element In predicate costs seconds of driver planning and
+        pushes nothing useful once every row group matches)."""
         buckets = sorted({term_bucket_py(t, self.term_buckets) for t in terms})
-        return self.postings().where(
-            F.col("tbucket").isin(buckets) & F.col("term").isin(list(terms))
-        )
+        pruned = self.postings().where(F.col("tbucket").isin(buckets))
+        if len(terms) <= 64:
+            return pruned.where(F.col("term").isin(list(terms)))
+        tdf = self.spark.createDataFrame([(t,) for t in terms], "term string")
+        return pruned.join(F.broadcast(tdf), "term", "leftsemi")
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """term → (df, ttf); the term_collector phase (collectors.cpp:144-219)."""
         buckets = sorted({term_bucket_py(t, self.term_buckets) for t in terms})
-        rows = (
-            self.term_dict()
-            .where(F.col("tbucket").isin(buckets) & F.col("term").isin(list(terms)))
-            .collect()
-        )
+        pruned = self.term_dict().where(F.col("tbucket").isin(buckets))
+        if len(terms) <= 64:
+            pruned = pruned.where(F.col("term").isin(list(terms)))
+        else:
+            tdf = self.spark.createDataFrame([(t,) for t in terms], "term string")
+            pruned = pruned.join(F.broadcast(tdf), "term", "leftsemi")
+        rows = pruned.collect()
         return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
 
     def doc_lens(self, segment_id: int) -> np.ndarray:

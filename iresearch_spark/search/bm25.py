@@ -83,6 +83,13 @@ class ScoreModel:
     def ub(self, max_tf: int, const: float, dl_min: float, avgdl: float, boost: float, dtype) -> float:
         raise NotImplementedError
 
+    def ub_batch(self, max_tfs, consts, boosts, dl_min, avgdl, dtype):
+        """Vectorized upper bounds (one numpy expression per MaxScore call)."""
+        return np.array(
+            [self.ub(int(m), float(c), dl_min, avgdl, float(b), dtype)
+             for m, c, b in zip(max_tfs, consts, boosts)]
+        )
+
 
 class BM25Model(ScoreModel):
     """Okapi BM25 (bm25.cpp; k=1.2 b=0.75 defaults; b=0→BM15, b=1→BM11)."""
@@ -103,6 +110,14 @@ class BM25Model(ScoreModel):
         c1_min = dt(self.k1) * (dt(1) - dt(self.b)) + dt(self.k1) * dt(self.b) * dt(dl_min) / dt(avgdl)
         return float(c0 * dt(max_tf) / (c1_min + dt(max_tf)))
 
+    def ub_batch(self, max_tfs, consts, boosts, dl_min, avgdl, dtype):
+        m = np.asarray(max_tfs, dtype=np.float64)
+        c = np.asarray(consts, dtype=np.float64)
+        b = np.asarray(boosts, dtype=np.float64)
+        c0 = b * (self.k1 + 1.0) * c
+        c1_min = self.k1 * (1.0 - self.b) + self.k1 * self.b * dl_min / avgdl
+        return c0 * m / (c1_min + m)
+
 
 class TFIDFModel(ScoreModel):
     """sqrt(tf) * (ln((N+1)/(df+1)) + 1)  (tfidf.cpp:381, 248-250; norm-free
@@ -120,6 +135,13 @@ class TFIDFModel(ScoreModel):
 
     def ub(self, max_tf, const, dl_min, avgdl, boost, dtype):
         return float(boost * np.sqrt(float(max_tf)) * const)
+
+    def ub_batch(self, max_tfs, consts, boosts, dl_min, avgdl, dtype):
+        return (
+            np.asarray(boosts, np.float64)
+            * np.sqrt(np.asarray(max_tfs, np.float64))
+            * np.asarray(consts, np.float64)
+        )
 
 
 class BoostModel(ScoreModel):

@@ -101,14 +101,16 @@ def _levenshtein_leq(cands: list[str], query: str, maxd: int) -> np.ndarray:
     return result
 
 
-def expand_multiterm(node: flt.Filter, reader: IndexReader) -> list[tuple[str, int]]:
-    """Term-dict expansion for multiterm filters → [(term, df)], sorted by term.
+def expand_multiterm(
+    node: flt.Filter, reader: IndexReader
+) -> tuple[list[tuple[str, int]], list[str]]:
+    """Term-dict expansion for multiterm filters → (scored, unscored_tail).
 
-    The reference caps scored terms at ``scored_terms_limit`` and unions the
-    rest as an unscored bitset (multiterm_query.cpp:36-168); we score all
-    matches when the expansion fits the limit and otherwise keep the
-    ``limit`` highest-df terms scored and drop the tail from scoring
-    (documented divergence: no unscored-bitset tail yet).
+    Mirrors the reference: at most ``scored_terms_limit`` terms (highest df)
+    are scored; the remaining matches are still MATCHED but contribute no
+    score — the unscored-bitset union of multiterm_query.cpp:36-168 /
+    limited_sample_collector. ``scored`` is [(term, df)] sorted by term;
+    ``unscored_tail`` a sorted term list.
     """
     td = reader.term_dict()
     limit = getattr(node, "scored_terms_limit", 1 << 30)
@@ -137,15 +139,17 @@ def expand_multiterm(node: flt.Filter, reader: IndexReader) -> list[tuple[str, i
         within_udf = pandas_udf(within, "boolean")
         matched = cand.where(within_udf(F.col("term"))).orderBy("term").limit(max_terms)
         rows = matched.collect()
-        return [(r["term"], int(r["df"])) for r in rows]
+        return [(r["term"], int(r["df"])) for r in rows], []
     else:
         raise TypeError(f"not a multiterm filter: {node}")
     rows = df.select("term", "df").orderBy("term").collect()
     out = [(r["term"], int(r["df"])) for r in rows]
     if len(out) > limit:
-        out = sorted(out, key=lambda t: (-t[1], t[0]))[:limit]
-        out.sort()
-    return out
+        ranked = sorted(out, key=lambda t: (-t[1], t[0]))
+        scored = sorted(ranked[:limit])
+        tail = sorted(t for t, _ in ranked[limit:])
+        return scored, tail
+    return out, []
 
 
 # --------------------------------------------------------------------------
@@ -153,17 +157,23 @@ def expand_multiterm(node: flt.Filter, reader: IndexReader) -> list[tuple[str, i
 # --------------------------------------------------------------------------
 
 
-def compile_plan(
-    f: flt.Filter,
+def compile_plans(
+    filters: dict[str, flt.Filter],
     reader: IndexReader,
     k1: float = K_DEFAULT,
     b: float = B_DEFAULT,
     dtype: str = "float64",
     model: ScoreModel | None = None,
-) -> tuple[dict, list[str]]:
-    """Normalize + expand + bake stats. Returns (plan tree, all terms used)."""
+) -> tuple[dict[str, dict], list[str]]:
+    """Normalize + expand + bake stats for a BATCH of filters.
+
+    ONE term_stats fetch covers every query (the prepare phase runs once per
+    batch, not per query), and multiterm expansions are cached by filter value
+    so duplicated prefixes/wildcards in a batch expand once. Returns
+    ({name: plan}, union of terms used).
+    """
     model = model or BM25Model(k1, b)
-    f = flt.normalize(f)
+    normalized = {name: flt.normalize(f) for name, f in filters.items()}
     stats = reader.field_stats()
     n_field = stats["docs_with_field"]
     dt = np.float32 if dtype == "float32" else np.float64
@@ -183,8 +193,10 @@ def compile_plan(
         elif isinstance(node, flt.Not):
             collect_terms(node.part)
 
-    collect_terms(f)
+    for nf in normalized.values():
+        collect_terms(nf)
     tstats = reader.term_stats(sorted(set(terms_needed))) if terms_needed else {}
+    expansion_cache: dict[str, list] = {}
 
     def idf_of(term: str) -> float:
         df = tstats.get(term, (0, 0))[0]
@@ -203,12 +215,22 @@ def compile_plan(
             all_terms.update(node.terms)
             return {"op": "mterm", "terms": members, "min_match": node.min_match, "boost": node.boost}
         if isinstance(node, (flt.Prefix, flt.Range, flt.Wildcard, flt.Fuzzy)):
-            expanded = expand_multiterm(node, reader)
+            ckey = repr(node)
+            if ckey not in expansion_cache:
+                expansion_cache[ckey] = expand_multiterm(node, reader)
+            expanded, unscored = expansion_cache[ckey]
             members = []
             for t, df in expanded:
                 all_terms.add(t)
                 members.append((t, model.term_const(df, n_field, dt)))
-            return {"op": "mterm", "terms": members, "min_match": 1, "boost": node.boost}
+            all_terms.update(unscored)
+            return {
+                "op": "mterm",
+                "terms": members,
+                "unscored": list(unscored),
+                "min_match": 1,
+                "boost": node.boost,
+            }
         if isinstance(node, flt.Phrase):
             all_terms.update(node.terms)
             return {"op": "phrase", "terms": list(node.terms), "boost": node.boost}
@@ -237,8 +259,21 @@ def compile_plan(
             return {"op": "empty"}
         raise TypeError(f"unsupported filter: {node}")
 
-    plan = build(f)
-    return plan, sorted(all_terms)
+    plans = {name: build(nf) for name, nf in normalized.items()}
+    return plans, sorted(all_terms)
+
+
+def compile_plan(
+    f: flt.Filter,
+    reader: IndexReader,
+    k1: float = K_DEFAULT,
+    b: float = B_DEFAULT,
+    dtype: str = "float64",
+    model: ScoreModel | None = None,
+) -> tuple[dict, list[str]]:
+    """Single-query convenience wrapper over :func:`compile_plans`."""
+    plans, terms = compile_plans({"q": f}, reader, k1, b, dtype, model)
+    return plans["q"], terms
 
 
 # --------------------------------------------------------------------------
@@ -394,7 +429,12 @@ def _maxscore_union(
     dropped. Strict comparisons keep exact ties intact.
     """
     dl_min = float(dl.min()) if dl.size else 1.0
-    ubs = np.array([model.ub(v.max_freq, idf, dl_min, avgdl, boost, dt) for v, idf, boost in legs])
+    ubs = model.ub_batch(
+        np.array([v.max_freq for v, _, _ in legs], dtype=np.int64),
+        np.array([idf for _, idf, _ in legs]),
+        np.array([boost for _, _, boost in legs]),
+        dl_min, avgdl, dt,
+    )
     order = np.argsort(-ubs, kind="stable")
     suffix = np.zeros(order.size + 1)
     suffix[:-1] = np.cumsum(ubs[order][::-1])[::-1]
@@ -475,9 +515,23 @@ def _eval_root(
     if op == "mterm" and plan.get("min_match", 1) <= 1:
         legs = [(sv.view(t), idf, plan["boost"]) for t, idf in plan["terms"]]
         legs = [(v, i, bo) for v, i, bo in legs if v is not None]
-        if not legs:
+        unscored = plan.get("unscored", ())
+        if not legs and not unscored:
             return empty
-        return _maxscore_union(legs, k, dl, avgdl, model, dt)
+        ids, sc = (
+            _maxscore_union(legs, k, dl, avgdl, model, dt)
+            if legs
+            else (np.empty(0, np.int64), np.empty(0, dtype=dt))
+        )
+        if unscored and ids.size < k:
+            # fill the tail with unscored matches at score 0 (smallest doc ids
+            # win ties, same as the reference's doc-order heap insertion)
+            tails = [sv.view(t).decode_all()[0] for t in unscored if sv.view(t) is not None]
+            if tails:
+                extra = np.setdiff1d(np.unique(np.concatenate(tails)), ids)[: k - ids.size]
+                ids = np.concatenate([ids, extra])
+                sc = np.concatenate([sc, np.zeros(extra.size, dtype=dt)])
+        return ids, sc
     if (
         op == "or"
         and plan.get("min_match", 1) <= 1
@@ -535,6 +589,10 @@ def _eval_plan(
                 continue
             ids, tfs = hit[0], hit[1]
             legs.append((ids, model.score(tfs, dl[ids - 1], idf, avgdl, plan["boost"], dt)))
+        for term in plan.get("unscored", ()):  # bitset tail: matches, score 0
+            hit = decoded.get(term)
+            if hit is not None:
+                legs.append((hit[0], np.zeros(hit[0].size, dtype=dt)))
         return _union(legs, plan.get("min_match", 1), dt)
     if op == "and":
         parts = [_eval_plan(p, decoded, dl, avgdl, model, dt) for p in plan["parts"]]
@@ -613,6 +671,20 @@ class Searcher:
         self.b = b
         self.model = get_model(scorer, k1, b)
 
+    def _seg_partitioned(self, df: DataFrame) -> DataFrame:
+        """Explicit hash(segment_id) partitioning with FIXED partition count
+        before the cogroup kernels. Without it, AQE sees a tiny shuffle (the
+        encoded postings are a few MB) and coalesces to ~1 partition — which
+        serializes the CPU-heavy per-segment kernels. An explicit-N repartition
+        is never coalesced, and the following groupBy reuses the partitioning
+        (no extra exchange). One task per segment ≙ the reference's per-segment
+        execute loop, but parallel. Over-partitioned 4× the segment count:
+        plain hash(segment_id) % n collides for small n (several segments
+        share a task and their kernels serialize); with 4n buckets collisions
+        are rare and empty partitions cost nothing."""
+        n = max(1, 4 * int(self.reader.meta.get("num_segments", 1)))
+        return df.repartition(n, "segment_id")
+
     def search(
         self,
         f: flt.Filter,
@@ -682,8 +754,9 @@ class Searcher:
             )
 
         local = (
-            pq.groupBy("segment_id")
-            .cogroup(norms.groupBy("segment_id"))
+            self._seg_partitioned(pq)
+            .groupBy("segment_id")
+            .cogroup(self._seg_partitioned(norms).groupBy("segment_id"))
             .applyInPandas(kernel, KERNEL_OUT_SCHEMA)
         )
         topk = local.orderBy(F.desc("score"), F.asc("segment_id"), F.asc("doc_id")).limit(k)
@@ -692,6 +765,25 @@ class Searcher:
         return self._attach_keys(topk, k)
 
     # ------------------------------------------------------------- batched
+    def prepare(
+        self,
+        queries: dict[str, flt.Filter],
+        dtype: str = "float64",
+    ) -> "PreparedBatch":
+        """The ``filter::prepare`` phase for a query batch (filter.hpp:53-110):
+        normalize, expand multiterm leaves, collect global stats ONCE, bake
+        per-term constants. The returned :class:`PreparedBatch` can be
+        ``execute()``d repeatedly without touching the driver-side stats again
+        — the exact analogue of the reference's prepared-query reuse."""
+        normalized = {name: flt.normalize(f) for name, f in queries.items()}
+        for name, nf in normalized.items():
+            if isinstance(nf, flt.Phrase):
+                raise ValueError(f"{name}: phrase queries need search() (two-pass stats)")
+        plans, all_terms = compile_plans(
+            normalized, self.reader, self.k1, self.b, dtype, model=self.model
+        )
+        return PreparedBatch(self, plans, list(all_terms), dtype)
+
     def search_many(
         self,
         queries: dict[str, flt.Filter],
@@ -708,27 +800,10 @@ class Searcher:
         evaluation shape of the north rule: per-query driver overhead is
         amortized, throughput scales with executors.
         """
-        names = list(queries)
-        plans: dict[str, dict] = {}
-        all_terms: set[str] = set()
-        for name in names:
-            nf = flt.normalize(queries[name])
-            if isinstance(nf, flt.Phrase):
-                raise ValueError(f"{name}: phrase queries need search() (two-pass stats)")
-            plan, terms = compile_plan(nf, self.reader, self.k1, self.b, dtype, model=self.model)
-            plans[name] = plan
-            all_terms.update(terms)
-        stats = self.reader.field_stats()
-        avgdl = stats["avgdl"]
-        model = self.model
-        dt = np.float32 if dtype == "float32" else np.float64
-        spark = self.reader.spark
-        if not all_terms:
-            return spark.createDataFrame(
-                [], "query string, segment_id int, doc_id int, score double"
-            )
+        return self.prepare(queries, dtype).execute(k)
 
-        pq = self.reader.postings_for_terms(sorted(all_terms)).select(
+    def _batch_postings(self, all_terms: list[str]) -> DataFrame:
+        return self.reader.postings_for_terms(sorted(all_terms)).select(
             "segment_id",
             "term",
             "doc_ids_enc",
@@ -740,10 +815,37 @@ class Searcher:
             "docs_count",
             "max_freq",
         )
+
+    def _execute_batch(
+        self,
+        plans: dict[str, dict],
+        all_terms: list[str],
+        k: int,
+        dtype: str,
+        pq: DataFrame | None = None,
+    ) -> DataFrame:
+        stats = self.reader.field_stats()
+        avgdl = stats["avgdl"]
+        model = self.model
+        dt = np.float32 if dtype == "float32" else np.float64
+        spark = self.reader.spark
+        if not all_terms:
+            return spark.createDataFrame(
+                [], "query string, segment_id int, doc_id int, score double"
+            )
+
+        if pq is None:
+            pq = self._batch_postings(all_terms)
         norms = self.reader.norms()
         plan_items = list(plans.items())
 
         def kernel(post_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
+            import os as _os
+            import sys as _sys
+            import time as _time
+
+            _dbg = _os.environ.get("IRS_DEBUG_KERNEL")
+            _t0 = _time.time()
             empty = pd.DataFrame(
                 {"query": [], "segment_id": [], "doc_id": [], "score": []}
             ).astype({"query": "object", "segment_id": "int32", "doc_id": "int32", "score": "float64"})
@@ -767,13 +869,36 @@ class Searcher:
                             }
                         )
                     )
+            if _dbg:
+                print(
+                    f"KERNEL sid={sid} start={_t0:.2f} dur={_time.time() - _t0:.2f}",
+                    file=_sys.stderr,
+                    flush=True,
+                )
             return pd.concat(frames, ignore_index=True) if frames else empty
 
         local = (
-            pq.groupBy("segment_id")
-            .cogroup(norms.groupBy("segment_id"))
+            self._seg_partitioned(pq)
+            .groupBy("segment_id")
+            .cogroup(self._seg_partitioned(norms).groupBy("segment_id"))
             .applyInPandas(kernel, "query string, " + KERNEL_OUT_SCHEMA)
         )
+        n_segments = int(self.reader.meta.get("num_segments", 1))
+        if n_segments * len(plans) * k <= 2_000_000:
+            # driver-side merge — the reference's own top-k heap loop
+            # (index-search.cpp:676-748): candidate rows are tiny
+            # (#segments × #queries × k), one Spark stage total; the windowed
+            # path below is the scale fallback for huge batch×segment products.
+            pdf = local.toPandas()
+            pdf = pdf.sort_values(
+                ["query", "score", "segment_id", "doc_id"],
+                ascending=[True, False, True, True],
+                kind="stable",
+            )
+            topk = pdf.groupby("query", sort=False).head(k).reset_index(drop=True)
+            return spark.createDataFrame(
+                topk, "query string, segment_id int, doc_id int, score double"
+            )
         from pyspark.sql import Window
 
         w = Window.partitionBy("query").orderBy(
@@ -933,7 +1058,33 @@ class Searcher:
             )
 
         return (
-            pq.groupBy("segment_id")
-            .cogroup(norms.groupBy("segment_id"))
+            self._seg_partitioned(pq)
+            .groupBy("segment_id")
+            .cogroup(self._seg_partitioned(norms).groupBy("segment_id"))
             .applyInPandas(kernel, MATCH_OUT_SCHEMA)
         )
+
+
+class PreparedBatch:
+    """A compiled query batch (``filter::prepared`` analogue): stats baked,
+    multiterm leaves expanded, and the pruned postings scan **persisted** on
+    first execute — the reference's per-segment seek-cookie / proxy_filter
+    caching (term_filter.cpp:40-66, proxy_filter.cpp:34-54): repeated
+    ``execute`` calls run only the scoring kernels over the cached postings."""
+
+    def __init__(self, searcher: Searcher, plans: dict[str, dict], terms: list[str], dtype: str):
+        self._searcher = searcher
+        self.plans = plans
+        self.terms = terms
+        self.dtype = dtype
+        self._pq: DataFrame | None = None
+
+    def execute(self, k: int = 10) -> DataFrame:
+        if self._pq is None and self.terms:
+            self._pq = self._searcher._batch_postings(self.terms).persist()
+        return self._searcher._execute_batch(self.plans, self.terms, k, self.dtype, pq=self._pq)
+
+    def unpersist(self) -> None:
+        if self._pq is not None:
+            self._pq.unpersist()
+            self._pq = None

@@ -51,6 +51,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # v2 committer: task-side file moves instead of a serial driver-side
+        # commitJob rename loop — matters for partitioned writes (many files)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     spark = b.getOrCreate()
     spark.sparkContext.addPyFile(package_zip())

@@ -283,3 +283,18 @@ def test_boost_scorer(built):
     s = Searcher(reader, scorer="boost")
     rows = s.search(flt.Term("spark", boost=3.0), k=5).collect()
     assert len(rows) == 5 and all(r["score"] == 3.0 for r in rows)
+
+
+def test_scored_terms_limit_unscored_tail(built):
+    """Multiterm cap: top-df terms scored, the tail still MATCHES at score 0
+    (multiterm_query.cpp unscored bitset). With a huge k, limited and
+    unlimited prefixes must match the same doc set; scored docs rank first."""
+    reader, oracle, _ = built
+    s = Searcher(reader)
+    full = s.search(flt.Prefix("s"), k=400).collect()
+    lim = s.search(flt.Prefix("s", scored_terms_limit=2), k=400).collect()
+    assert {r["doc_key"] for r in full} == {r["doc_key"] for r in lim}
+    # limited run: every zero-scored doc ranks after every scored doc
+    scores = [r["score"] for r in lim]
+    assert scores == sorted(scores, reverse=True)
+    assert any(sc == 0.0 for sc in scores) and any(sc > 0 for sc in scores)

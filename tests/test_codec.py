@@ -79,3 +79,41 @@ def test_partial_block_decode():
 def test_rejects_unsorted():
     with pytest.raises(ValueError):
         encode_postings(np.array([5, 3]), np.array([1, 1]))
+
+
+def test_encode_postings_batch_matches_per_term():
+    """encode_postings_batch must be byte-identical to per-term encode_postings."""
+    import numpy as np
+    from iresearch_spark.index.codec import encode_postings, encode_postings_batch
+
+    rng = np.random.default_rng(5)
+    for trial in range(10):
+        T = int(rng.integers(1, 40))
+        doc_parts, freq_parts, pos_parts, bounds = [], [], [], [0]
+        for _ in range(T):
+            df = int(rng.integers(1, 400))
+            ids = np.sort(rng.choice(np.arange(1, 2000), size=df, replace=False))
+            tfs = rng.integers(1, 9, size=df).astype(np.int64)
+            pos = np.concatenate(
+                [np.sort(rng.choice(np.arange(1, 500), size=t, replace=False)) for t in tfs]
+            )
+            doc_parts.append(ids); freq_parts.append(tfs); pos_parts.append(pos)
+            bounds.append(bounds[-1] + df)
+        doc_ids = np.concatenate(doc_parts)
+        freqs = np.concatenate(freq_parts)
+        positions = np.concatenate(pos_parts)
+        batch = encode_postings_batch(doc_ids, freqs, np.array(bounds), positions)
+        for t in range(T):
+            lo, hi = bounds[t], bounds[t + 1]
+            ppos = np.concatenate(pos_parts[: t + 1])[-len(pos_parts[t]):] if False else pos_parts[t]
+            single = encode_postings(doc_parts[t], freq_parts[t], pos_parts[t])
+            assert batch["docs_count"][t] == single.docs_count
+            assert batch["total_freq"][t] == single.total_freq
+            assert batch["max_freq"][t] == single.max_freq
+            assert batch["doc_ids_enc"][t] == single.doc_ids_enc, (trial, t)
+            assert batch["freqs_enc"][t] == single.freqs_enc
+            assert batch["pos_enc"][t] == single.pos_enc
+            assert batch["block_last_doc"][t] == single.block_last_doc.tolist()
+            assert batch["block_doc_off"][t] == single.block_doc_off.tolist()
+            assert batch["block_freq_off"][t] == single.block_freq_off.tolist()
+            assert batch["block_max_freq"][t] == single.block_max_freq.tolist()

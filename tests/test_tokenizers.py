@@ -105,3 +105,35 @@ def test_parameterized_analyzer_specs():
 
     with pytest.raises(KeyError):
         get_tokenizer("nope")
+
+
+def test_arrow_tokenize_matches_pandas_simple():
+    """Arrow fast path must be token-identical to simple_tokenize, including
+    unicode edge cases and empty/None docs."""
+    import numpy as np
+    import pandas as pd
+    from iresearch_spark.analysis.tokenizers import arrow_tokenize_encode, simple_tokenize
+
+    # NOTE: chars whose lowercase EXPANDS to multiple codepoints (e.g. 'İ' →
+    # 'i' + combining dot in Python, single 'i' in Arrow) are a documented
+    # divergence between the two paths; everything else must match exactly.
+    texts = [
+        "Hello, World! 123",
+        "",
+        None,
+        "  --- ",
+        "Straße K café né 0x1F",
+        "a" * 5000 + " b0b",
+        "tab\tsep\nnewline e2e2e",
+    ]
+    res = arrow_tokenize_encode(texts, "simple")
+    assert res is not None
+    codes, uniq, lens = res
+    # rebuild per-doc token lists from codes
+    got, off = [], 0
+    for L in lens:
+        got.append([uniq[c] for c in codes[off : off + L]])
+        off += int(L)
+    want = simple_tokenize(pd.Series(texts)).tolist()
+    assert got == want
+    assert arrow_tokenize_encode(texts, "segmentation") is None  # no fast path
