@@ -51,6 +51,8 @@ def make_spark(cpus: int) -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .getOrCreate()
     )
 
@@ -283,6 +285,9 @@ def main() -> None:
         hi_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "32"))
         factor = hi_cpus / lo_cpus
         segs = hi_cpus
+        # below ~40k pages the build is fixed-overhead dominated and the
+        # efficiency number measures Spark job latency, not the engine
+        n_pages = max(n_pages, 40_000)
         rep = int(os.environ.get("SPARK_GRAFT_BATCH_REPLICATE", "64"))
         r_lo = run_once(lo_cpus, n_pages, SF_DIR, with_pipeline=False, n_segments=segs, batch_repeat=2, batch_replicate=rep)
         r_hi = run_once(hi_cpus, n_pages, SF_DIR, with_pipeline=False, n_segments=segs, batch_repeat=2, batch_replicate=rep)

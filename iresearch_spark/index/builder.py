@@ -75,7 +75,10 @@ POSTINGS_SCHEMA = (
 
 POSTINGS_BUCKET_SCHEMA = "tbucket int, " + POSTINGS_SCHEMA
 
-NORMS_SCHEMA = "segment_id int, docs_count int, doc_len_enc binary"
+NORMS_SCHEMA = (
+    "segment_id int, docs_count int, doc_len_enc binary, "
+    "docs_with_field int, sum_len long"
+)
 
 
 class IndexBuilder:
@@ -132,6 +135,7 @@ class IndexBuilder:
             + ", doc_ids_enc binary, freqs_enc binary, pos_enc binary"
             + ", block_last_doc array<long>, block_doc_off array<long>"
             + ", block_freq_off array<long>, block_max_freq array<long>"
+            + ", doc_len_enc binary, docs_with_field int, sum_len long"
         )
         post_cols = [
             "term", "docs_count", "total_freq", "max_freq",
@@ -191,9 +195,30 @@ class IndexBuilder:
             )
             for c in stored_cols:
                 doc_out[c] = stored_acc[c]
-            for c in post_cols:
+            for c in [*post_cols, "doc_len_enc", "docs_with_field", "sum_len"]:
                 doc_out[c] = None
             yield doc_out
+
+            # ---- norms row (Norm2 columnstore + field stats, zero extra
+            # stages: the kernel already holds the segment's doc lengths) ----
+            norm_out = pd.DataFrame(
+                [{
+                    "kind": "n",
+                    "segment_id": np.int32(sid),
+                    "docs_count": int(n_docs),
+                    "doc_len_enc": vbyte_encode(lens),
+                    "docs_with_field": int((lens > 0).sum()),
+                    "sum_len": int(lens.sum()),
+                }]
+            )
+            for c in ["doc_id", "doc_key", "doc_len", *stored_cols,
+                      "term", "total_freq", "max_freq", "doc_ids_enc",
+                      "freqs_enc", "pos_enc", "block_last_doc",
+                      "block_doc_off", "block_freq_off", "block_max_freq"]:
+                norm_out[c] = None
+            yield norm_out[["kind", "segment_id", "doc_id", "doc_key", "doc_len",
+                            *stored_cols, *post_cols,
+                            "doc_len_enc", "docs_with_field", "sum_len"]]
 
             # ---- invert across the segment (field_data::invert analogue,
             # fully vectorized: one hash pass + one int sort for the whole
@@ -229,13 +254,19 @@ class IndexBuilder:
             post_out.insert(2, "doc_id", None)
             post_out.insert(3, "doc_key", None)
             post_out.insert(4, "doc_len", None)
-            for c in stored_cols:
+            for c in [*stored_cols, "doc_len_enc", "docs_with_field", "sum_len"]:
                 post_out[c] = None
-            yield post_out[["kind", "segment_id", "doc_id", "doc_key", "doc_len", *stored_cols, *post_cols]]
+            yield post_out[["kind", "segment_id", "doc_id", "doc_key", "doc_len",
+                            *stored_cols, *post_cols,
+                            "doc_len_enc", "docs_with_field", "sum_len"]]
 
         # prune to the consumed columns BEFORE the range shuffle — the input
         # may carry wide payloads (e.g. raw html binary) that the index never
-        # touches; without this they ride the whole shuffle.
+        # touches; without this they ride the whole shuffle. Range (not hash)
+        # partitioning is load-bearing: segment order follows key order, so the
+        # engine's (segment_id, doc_id) tie-break equals the oracle's doc_key
+        # tie-break — rank identity on equal scores (SURVEY §7.3 risk 3). The
+        # price is the range-boundary sampling pass over the input.
         partitioned = (
             df.select(key_col, text_col, *stored_cols)
             .repartitionByRange(num_segments, key_col)
@@ -249,20 +280,11 @@ class IndexBuilder:
             ).partitionBy("kind").parquet(segments_path)
             self._manifest(run_id, gen, "segments", "done", time.time() - t0)
 
-        # docs table = the kind=d slice; Parquet column pruning makes the null
-        # posting columns free, but we rewrite the projection once so every
-        # later read (norms, stored-column fetch) scans a narrow table.
-        docs_path = os.path.join(gen_dir, "docs")
-        if not self._stage_done(run_id, gen, "docs", docs_path):
-            t0 = time.time()
-            (
-                spark.read.parquet(os.path.join(segments_path, "kind=d"))
-                .select(*doc_cols)
-                .write.mode("overwrite")
-                .parquet(docs_path)
-            )
-            self._manifest(run_id, gen, "docs", "done", time.time() - t0)
-        docs_df = spark.read.parquet(docs_path)
+        # docs and norms tables are column-pruned VIEWS of the segments
+        # output (kind=d / kind=n) — no rewrite stages; Parquet column pruning
+        # makes the unused null columns free.
+        docs_path = os.path.join(segments_path, "kind=d")
+        norms_path = os.path.join(segments_path, "kind=n")
 
         # postings layout pass: shuffle the already-encoded rows (compact) into
         # term-hash buckets, sorted by term within files.
@@ -302,53 +324,20 @@ class IndexBuilder:
             )
             self._manifest(run_id, gen, "term_dict", "done", time.time() - t0)
 
-        norms_path = os.path.join(gen_dir, "norms")
-        if not self._stage_done(run_id, gen, "norms", norms_path):
-            t0 = time.time()
-
-            def encode_norms(pdf: pd.DataFrame) -> pd.DataFrame:
-                pdf = pdf.sort_values("doc_id")
-                dl = pdf["doc_len"].to_numpy(np.int64)
-                return pd.DataFrame(
-                    [
-                        {
-                            "segment_id": int(pdf["segment_id"].iloc[0]),
-                            "docs_count": len(dl),
-                            "doc_len_enc": vbyte_encode(dl),
-                        }
-                    ]
-                )
-
-            (
-                docs_df.select("segment_id", "doc_id", "doc_len")
-                .groupBy("segment_id")
-                .applyInPandas(encode_norms, schema=NORMS_SCHEMA)
-                .write.mode("overwrite")
-                .parquet(norms_path)
-            )
-            self._manifest(run_id, gen, "norms", "done", time.time() - t0)
-
-        stats_path = os.path.join(gen_dir, "field_stats")
-        if not self._stage_done(run_id, gen, "field_stats", stats_path):
-            t0 = time.time()
-            (
-                docs_df.where(F.col("doc_len") > 0)
-                .agg(
-                    F.count(F.lit(1)).alias("docs_with_field"),
-                    F.sum("doc_len").alias("total_term_freq"),
-                )
-                .write.mode("overwrite")
-                .parquet(stats_path)
-            )
-            self._manifest(run_id, gen, "field_stats", "done", time.time() - t0)
-
+        # docs_count for the meta from the tiny kind=n slice (one row/segment)
+        norm_rows = (
+            spark.read.parquet(norms_path)
+            .select("segment_id", "docs_count")
+            .collect()
+        )
         meta = {
             "generation": gen,
             "analyzer": self.analyzer,
             "with_positions": self.with_positions,
             "num_segments": num_segments,
             "term_buckets": buckets,
-            "docs_count": docs_df.count(),
+            "docs_count": sum(int(r["docs_count"]) for r in norm_rows),
+            "doc_cols": doc_cols,
             "key_col": key_col,
             "text_col": text_col,
             "stored_cols": list(stored_cols),
@@ -358,7 +347,6 @@ class IndexBuilder:
                 "postings": postings_path,
                 "term_dict": term_dict_path,
                 "norms": norms_path,
-                "field_stats": stats_path,
             },
         }
         pending = os.path.join(self.index_path, "_pending.json")

@@ -177,7 +177,13 @@ def consolidate(
         pdf = pdf.sort_values("segment_id")
         dl = np.concatenate([vbyte_decode(e).astype(np.int64) for e in pdf["doc_len_enc"]])
         return pd.DataFrame(
-            [{"segment_id": min(offs), "docs_count": len(dl), "doc_len_enc": vbyte_encode(dl)}]
+            [{
+                "segment_id": min(offs),
+                "docs_count": len(dl),
+                "doc_len_enc": vbyte_encode(dl),
+                "docs_with_field": int((dl > 0).sum()),
+                "sum_len": int(dl.sum()),
+            }]
         )
 
     norms_path = os.path.join(gen_dir, "norms")
@@ -189,7 +195,7 @@ def consolidate(
     )
     (
         norms.where(~F.col("segment_id").isin(merge_ids))
-        .unionByName(merged_norms)
+        .unionByName(merged_norms, allowMissingColumns=True)
         .write.mode("overwrite")
         .parquet(norms_path)
     )

@@ -40,7 +40,9 @@ class IndexReader:
         return self._tables[name]
 
     def docs(self) -> DataFrame:
-        return self._table("docs")
+        df = self._table("docs")
+        doc_cols = self.meta.get("doc_cols")
+        return df.select(*doc_cols) if doc_cols else df
 
     def postings(self) -> DataFrame:
         return self._table("postings")
@@ -49,14 +51,24 @@ class IndexReader:
         return self._table("term_dict")
 
     def norms(self) -> DataFrame:
-        return self._table("norms")
+        df = self._table("norms")
+        keep = [c for c in ("segment_id", "docs_count", "doc_len_enc", "docs_with_field", "sum_len") if c in df.columns]
+        return df.select(*keep)
 
     def field_stats(self) -> dict:
-        """{docs_with_field, total_term_freq, avgdl} — collected once, tiny."""
+        """{docs_with_field, total_term_freq, avgdl} — collected once, tiny.
+
+        Derived from the per-segment norms rows (one row per segment); legacy
+        indexes with a dedicated field_stats table still read that."""
         if self._field_stats is None:
-            row = self.spark.read.parquet(self.meta["tables"]["field_stats"]).collect()[0]
-            n = int(row["docs_with_field"])
-            ttf = int(row["total_term_freq"])
+            if "field_stats" in self.meta["tables"]:
+                row = self.spark.read.parquet(self.meta["tables"]["field_stats"]).collect()[0]
+                n = int(row["docs_with_field"])
+                ttf = int(row["total_term_freq"])
+            else:
+                rows = self.norms().select("docs_with_field", "sum_len").collect()
+                n = sum(int(r["docs_with_field"]) for r in rows)
+                ttf = sum(int(r["sum_len"]) for r in rows)
             self._field_stats = {
                 "docs_with_field": n,
                 "total_term_freq": ttf,
