@@ -275,6 +275,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_tfidf_term"] = lambda s, d: tfidf_search(s, d, flt.Term("scan"))
     q["q_tfidf_or"] = lambda s, d: tfidf_search(s, d, flt.Or((flt.Term("sort"), flt.Term("merge"))))
 
+    q["q_range_incl"] = lambda s, d: _run_search(
+        s, d, flt.Range(low="merge", high="query", include_low=True, include_high=True)
+    )
+    q["q_terms_minmatch"] = lambda s, d: _run_search(
+        s, d, flt.Terms(("scan", "sort", "batch"), min_match=2)
+    )
+
+    def boost_search(s, d):
+        reader = _index(s, d)
+        res = Searcher(reader, scorer="boost").search(flt.Term("scan", boost=2.0), k=TOPK)
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.col("score").cast("double").alias("score"),
+        )
+
+    q["q_boost_scorer"] = boost_search
+
+    def same_position(s, d):
+        # distinct terms never share a position in a single bag-of-words field
+        # (no 0-increment analyzers) → provably empty; exercises the engine's
+        # positional-intersection path and the empty-result contract
+        reader = _index(s, d)
+        res = Searcher(reader).search(flt.SamePosition(("scan", "sort")), k=TOPK)
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.round(F.col("score"), 4).cast("double").alias("score"),
+        )
+
+    q["q_same_position_empty"] = same_position
+
     def batch_search(s, d):
         reader = _index(s, d)
         res = Searcher(reader).search_many(
@@ -377,6 +407,15 @@ def oracle_sql() -> dict[str, str]:
     o["q_phrase"] = _phrase_sql(("fast", "scan"))
     o["q_tfidf_term"] = _tfidf_sql("term = 'scan'")
     o["q_tfidf_or"] = _tfidf_sql("term IN ('sort','merge')")
+    o["q_range_incl"] = _bm25_sql("term >= 'merge' AND term <= 'query'")
+    o["q_terms_minmatch"] = _bm25_sql("term IN ('scan','sort','batch')", min_match=2)
+    o["q_boost_scorer"] = f"""{_TOKS_CTE}
+SELECT doc_id, CAST(2.0 AS DOUBLE) AS score
+FROM t WHERE list_contains(toks, 'scan')
+ORDER BY doc_id LIMIT {TOPK}"""
+    o["q_same_position_empty"] = (
+        "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+    )
     o["q_batch_topk"] = f"""
 SELECT * FROM (
   SELECT 'qa' AS query, doc_id, score FROM ({_bm25_sql("term = 'scan'")})
