@@ -15,13 +15,17 @@ Spark-first re-expression of the reference write path (SURVEY.md §3.1):
 * stage ``docs``      — the kind='d' slice: per-doc stored columns + ``doc_len``
   (Norm2, norm.hpp:77-124); Parquet is the columnstore analogue.
 * stage ``postings``  — the kind='p' slice (already compact: ~1 row per
-  (term, segment), binary-encoded) is re-laid-out: hash-bucketed by term
-  (``tbucket``) and sorted by term within files so term lookups prune both
-  directories and row groups (the FST/burst-trie role,
-  formats_burst_trie.cpp — done by layout, not code). This shuffle moves only
-  encoded postings — orders of magnitude smaller than the token stream. Skew:
-  a head term is split across all segments by construction (the salting
-  analogue, bounded by segment size); AQE is the backstop.
+  (term, segment), binary-encoded) is re-laid-out **range-partitioned and
+  sorted by (term, segment_id)**: every parquet file covers a contiguous term
+  range, so Catalyst's parquet row-group/file stats prune exact lookups
+  (``term IN ...``), prefixes (``term LIKE 'p%'`` → StartsWith pushdown) AND
+  lexicographic ranges (``term >= lo AND term < hi``) — the FST/burst-trie
+  term-index role (formats_burst_trie.cpp:854-861) done by layout + stats, not
+  code. This shuffle moves only encoded postings — orders of magnitude smaller
+  than the token stream. Skew: a head term is split across all segments by
+  construction (the salting analogue, bounded by segment size), and
+  ``repartitionByRange(term, segment_id)`` further splits a head term's rows
+  across adjacent range partitions; AQE is the backstop.
 * stage ``term_dict`` — per-term global df/ttf (collectors.cpp:75-94 analogue).
 * stage ``norms``     — per-segment dense ``doc_len`` arrays, VByte-encoded, one
   row per segment (Norm2 columnstore reader analogue — kernels index it by
@@ -50,21 +54,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analysis.tokenizers import arrow_tokenize_encode, get_tokenizer
+
 from .codec import encode_postings_batch, vbyte_encode
-
-NUM_TERM_BUCKETS = 16
-
-
-def term_bucket_py(term: str, buckets: int = NUM_TERM_BUCKETS) -> int:
-    """Driver-side twin of :func:`term_bucket_col` (md5-based, engine-agnostic)."""
-    import hashlib
-
-    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % buckets
-
-
-def term_bucket_col(col, buckets: int = NUM_TERM_BUCKETS):
-    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % buckets).cast("int")
-
 
 POSTINGS_SCHEMA = (
     "term string, segment_id int, docs_count int, total_freq long, max_freq int, "
@@ -72,8 +63,6 @@ POSTINGS_SCHEMA = (
     "block_last_doc array<long>, block_doc_off array<long>, "
     "block_freq_off array<long>, block_max_freq array<long>"
 )
-
-POSTINGS_BUCKET_SCHEMA = "tbucket int, " + POSTINGS_SCHEMA
 
 NORMS_SCHEMA = (
     "segment_id int, docs_count int, doc_len_enc binary, "
@@ -86,17 +75,22 @@ class IndexBuilder:
         self,
         spark: SparkSession,
         index_path: str,
-        analyzer: str = "simple",
+        analyzer="simple",
         num_segments: int | None = None,
         with_positions: bool = True,
-        term_buckets: int = NUM_TERM_BUCKETS,
+        postings_partitions: int | None = None,
     ):
+        """``analyzer`` is a registry name/spec (resolved on executors) or a
+        Tokenizer callable captured directly in the task closure — the
+        distributed-safe way to use a custom analyzer (driver-side
+        ``register_analyzer`` mutations are NOT visible to executor processes,
+        which re-import the registry module)."""
         self.spark = spark
         self.index_path = index_path
         self.analyzer = analyzer
         self.num_segments = num_segments
         self.with_positions = with_positions
-        self.term_buckets = term_buckets
+        self.postings_partitions = postings_partitions
 
     # ---------------------------------------------------------------- build
     def build(
@@ -122,7 +116,7 @@ class IndexBuilder:
             1, spark.sparkContext.defaultParallelism
         )
 
-        tokenizer_name = self.analyzer
+        tokenizer_spec = self.analyzer  # registry name/spec, or a callable captured in the closure
         with_positions = self.with_positions
         stored_cols = tuple(stored_cols)
         in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -169,14 +163,44 @@ class IndexBuilder:
                 return
             # tokenize + term-id encode: Arrow fast path (tokens never become
             # Python objects) or pandas fallback for custom analyzers
-            res = arrow_tokenize_encode(texts, tokenizer_name)
+            explicit_pos = None  # set by positional analyzers (0-increment synonyms)
+            res = (
+                arrow_tokenize_encode(texts, tokenizer_spec)
+                if isinstance(tokenizer_spec, str)
+                else None
+            )
             if res is not None:
                 codes, uniq_terms, lens = res
+                tok_counts = lens
             else:
-                tokenizer = get_tokenizer(tokenizer_name)
-                tok_lists = tokenizer(pd.Series(texts)).tolist()
-                lens = np.fromiter((len(t) for t in tok_lists), count=n_docs, dtype=np.int64)
-                flat = np.empty(int(lens.sum()), dtype=object)
+                tokenizer = (
+                    get_tokenizer(tokenizer_spec)
+                    if isinstance(tokenizer_spec, str)
+                    else tokenizer_spec
+                )
+                tok_res = tokenizer(pd.Series(texts)).tolist()
+                if getattr(tokenizer, "emits_positions", False):
+                    # analyzer emits (tokens, positions): positions are 1-based
+                    # and may repeat (increment-0 tokens, e.g. synonyms at the
+                    # same slot — token_stream `increment` semantics)
+                    tok_lists = [t for t, _ in tok_res]
+                    pos_lists = [p for _, p in tok_res]
+                    explicit_pos = np.concatenate(
+                        [np.asarray(p, dtype=np.int64) for p in pos_lists]
+                    ) if tok_res else np.empty(0, np.int64)
+                    # doc_len (Norm2) counts position slots, not emitted tokens
+                    lens = np.fromiter(
+                        (max(p) if p else 0 for p in pos_lists), count=n_docs, dtype=np.int64
+                    )
+                else:
+                    tok_lists = tok_res
+                    lens = None
+                tok_counts = np.fromiter(
+                    (len(t) for t in tok_lists), count=n_docs, dtype=np.int64
+                )
+                if lens is None:
+                    lens = tok_counts
+                flat = np.empty(int(tok_counts.sum()), dtype=object)
                 off = 0
                 for t in tok_lists:
                     flat[off : off + len(t)] = t
@@ -223,13 +247,16 @@ class IndexBuilder:
             # ---- invert across the segment (field_data::invert analogue,
             # fully vectorized: one hash pass + one int sort for the whole
             # segment, no per-doc Python) ----
-            n_tokens = int(lens.sum())
+            n_tokens = int(tok_counts.sum())
             if n_tokens == 0:
                 return
-            tok_doc = np.repeat(np.arange(1, n_docs + 1, dtype=np.int64), lens)
-            starts = np.zeros(n_docs, dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            tok_pos = np.arange(1, n_tokens + 1, dtype=np.int64) - np.repeat(starts, lens)
+            tok_doc = np.repeat(np.arange(1, n_docs + 1, dtype=np.int64), tok_counts)
+            if explicit_pos is not None:
+                tok_pos = explicit_pos
+            else:
+                starts = np.zeros(n_docs, dtype=np.int64)
+                np.cumsum(tok_counts[:-1], out=starts[1:])
+                tok_pos = np.arange(1, n_tokens + 1, dtype=np.int64) - np.repeat(starts, tok_counts)
             # sort tokens by (term, doc, pos): positions land flat in final order
             order = np.lexsort((tok_pos, tok_doc, codes))
             c_s = codes[order]
@@ -285,41 +312,57 @@ class IndexBuilder:
         # makes the unused null columns free.
         docs_path = os.path.join(segments_path, "kind=d")
         norms_path = os.path.join(segments_path, "kind=n")
+        postings_path = os.path.join(gen_dir, "postings")
+        term_dict_path = os.path.join(gen_dir, "term_dict")
+        p_parts = self.postings_partitions or max(16, num_segments)
+
+        if not os.path.isdir(os.path.join(segments_path, "kind=p")):
+            # empty input (or no tokens at all): publish empty tables with
+            # explicit schemas so readers see a valid (0-doc) generation
+            for path, schema in (
+                (postings_path, POSTINGS_SCHEMA),
+                (term_dict_path, "term string, df long, ttf long, max_freq long"),
+            ):
+                spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+            if not os.path.isdir(norms_path):
+                spark.createDataFrame([], NORMS_SCHEMA).write.mode("overwrite").parquet(norms_path)
+            if not os.path.isdir(docs_path):
+                doc_schema = "segment_id int, doc_id int, doc_key string, doc_len int" + (
+                    ", " + stored_schema if stored_cols else ""
+                )
+                spark.createDataFrame([], doc_schema).write.mode("overwrite").parquet(docs_path)
 
         # postings layout pass: shuffle the already-encoded rows (compact) into
-        # term-hash buckets, sorted by term within files.
-        postings_path = os.path.join(gen_dir, "postings")
-        buckets = self.term_buckets
-        if not self._stage_done(run_id, gen, "postings", postings_path):
+        # term-RANGE partitions sorted by (term, segment_id) — every parquet
+        # file/row-group covers a contiguous term range, so Catalyst min/max
+        # stats prune exact, prefix and range term predicates (the FST role).
+        # Range-partitioning on (term, segment_id) also splits head terms'
+        # per-segment rows across adjacent partitions (skew split).
+        elif not self._stage_done(run_id, gen, "postings", postings_path):
             t0 = time.time()
             (
                 spark.read.parquet(os.path.join(segments_path, "kind=p"))
                 .select("segment_id", *post_cols)
-                .withColumn("tbucket", term_bucket_col(F.col("term"), buckets))
-                .repartition(buckets, "tbucket")
+                .repartitionByRange(p_parts, "term", "segment_id")
                 .sortWithinPartitions("term", "segment_id")
                 .write.mode("overwrite")
-                .partitionBy("tbucket")
                 .parquet(postings_path)
             )
             self._manifest(run_id, gen, "postings", "done", time.time() - t0)
-        postings_df = spark.read.parquet(postings_path)
 
-        term_dict_path = os.path.join(gen_dir, "term_dict")
         if not self._stage_done(run_id, gen, "term_dict", term_dict_path):
             t0 = time.time()
             (
-                postings_df.groupBy("term")
+                spark.read.parquet(postings_path)
+                .groupBy("term")
                 .agg(
                     F.sum("docs_count").alias("df"),
                     F.sum("total_freq").alias("ttf"),
                     F.max("max_freq").alias("max_freq"),
                 )
-                .withColumn("tbucket", term_bucket_col(F.col("term"), buckets))
-                .repartition(buckets, "tbucket")
+                .repartitionByRange(max(8, p_parts // 4), "term")
                 .sortWithinPartitions("term")
                 .write.mode("overwrite")
-                .partitionBy("tbucket")
                 .parquet(term_dict_path)
             )
             self._manifest(run_id, gen, "term_dict", "done", time.time() - t0)
@@ -332,10 +375,10 @@ class IndexBuilder:
         )
         meta = {
             "generation": gen,
-            "analyzer": self.analyzer,
+            "analyzer": self.analyzer if isinstance(self.analyzer, str) else repr(self.analyzer),
             "with_positions": self.with_positions,
             "num_segments": num_segments,
-            "term_buckets": buckets,
+            "postings_partitions": p_parts,
             "docs_count": sum(int(r["docs_count"]) for r in norm_rows),
             "doc_cols": doc_cols,
             "key_col": key_col,

@@ -35,33 +35,53 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
-from .builder import POSTINGS_SCHEMA, NORMS_SCHEMA, IndexBuilder, term_bucket_col
-from .codec import decode_doc_ids, decode_freqs, encode_postings, vbyte_decode, vbyte_encode
+from .builder import POSTINGS_SCHEMA, NORMS_SCHEMA, IndexBuilder
+from .codec import encode_postings_batch, vbyte_decode, vbyte_encode
 from .reader import IndexReader
 
 
 # ---------------------------------------------------------------- policies
 
 
+def _longest_contiguous(ids: list[int]) -> list[int]:
+    """Longest run of consecutive segment ids (≥2) — merging a NON-contiguous
+    subset would fold later segments' docs below untouched middle segments,
+    reordering the global (segment_id, doc_id) tie-break on equal scores.
+    Restricting policies to contiguous runs keeps rank identity exact."""
+    ids = sorted(ids)
+    best: list[int] = []
+    cur: list[int] = []
+    for s in ids:
+        if cur and s == cur[-1] + 1:
+            cur.append(s)
+        else:
+            cur = [s]
+        if len(cur) > len(best):
+            best = list(cur)
+    return best if len(best) >= 2 else []
+
+
 def pick_small_segments(reader: IndexReader, max_docs: int) -> list[int]:
-    """``consolidate_docs_live``-style policy: merge all segments whose live
-    doc count is below ``max_docs`` (index_utils.hpp:96-111 analogue)."""
+    """``consolidate_docs_live``-style policy: merge segments whose live doc
+    count is below ``max_docs`` (index_utils.hpp:96-111 analogue); restricted
+    to the longest contiguous id run (tie-break identity, see above)."""
     rows = reader.norms().select("segment_id", "docs_count").collect()
     out = sorted(int(r["segment_id"]) for r in rows if int(r["docs_count"]) < max_docs)
-    return out if len(out) >= 2 else []
+    return _longest_contiguous(out)
 
 
 def pick_count(reader: IndexReader, target_segments: int) -> list[int]:
-    """``consolidate_count``-style policy: merge the smallest segments until
-    ≤ ``target_segments`` remain (index_utils.hpp:84-94 analogue)."""
-    rows = sorted(
-        ((int(r["docs_count"]), int(r["segment_id"])) for r in
-         reader.norms().select("segment_id", "docs_count").collect())
+    """``consolidate_count``-style policy: merge the first segments until
+    ≤ ``target_segments`` remain (index_utils.hpp:84-94 analogue); contiguous
+    prefix run so the doc-id remap preserves global tie order."""
+    ids = sorted(
+        int(r["segment_id"])
+        for r in reader.norms().select("segment_id", "docs_count").collect()
     )
-    n_merge = len(rows) - target_segments + 1
+    n_merge = len(ids) - target_segments + 1
     if n_merge < 2:
         return []
-    return sorted(sid for _, sid in rows[:n_merge])
+    return _longest_contiguous(ids[:n_merge])
 
 
 # ------------------------------------------------------------------ merge
@@ -87,6 +107,12 @@ def consolidate(
     merge_ids = sorted(segment_ids) if segment_ids is not None else all_ids
     if len(merge_ids) < 2:
         return meta  # nothing to merge
+    if merge_ids != list(range(merge_ids[0], merge_ids[-1] + 1)):
+        raise ValueError(
+            f"consolidate requires a contiguous segment-id run, got {merge_ids}: "
+            "merging a gapped subset reorders the global (segment_id, doc_id) "
+            "tie-break on equal scores"
+        )
     docs_count = dict(seg_rows)
     target = merge_ids[0]
     offsets = {}
@@ -95,8 +121,7 @@ def consolidate(
         offsets[s] = acc
         acc += docs_count[s]
     b_offsets = spark.sparkContext.broadcast(offsets)
-    merge_set = set(merge_ids)
-    buckets = meta["term_buckets"]
+    p_parts = int(meta.get("postings_partitions", 16))
 
     t_all = time.time()
     builder = IndexBuilder(spark, index_path)
@@ -106,64 +131,65 @@ def consolidate(
     passthrough = postings.where(~F.col("segment_id").isin(merge_ids))
     to_merge = postings.where(F.col("segment_id").isin(merge_ids))
 
-    def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        offs = b_offsets.value
-        tgt = min(offs)
-        pdf = pdf.sort_values(["term", "segment_id"], kind="stable")
-        codes, uniq_terms = pd.factorize(pdf["term"])
-        bounds = np.flatnonzero(np.diff(codes, prepend=-1))
-        bounds = np.append(bounds, len(codes))
-        rows = list(pdf.itertuples(index=False))
-        out: dict[str, list] = {k: [] for k in (
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Merge one term-hash group of posting rows into the target segment.
+
+        Whole-group batch codec: TWO vbyte decode passes (vbyte streams are
+        self-delimiting, so all rows' buffers concatenate) + ONE
+        :func:`encode_postings_batch` call — no per-term Python re-encode
+        (merge_writer.cpp's remapping iterators collapsed into flat numpy)."""
+        cols = (
             "term", "segment_id", "docs_count", "total_freq", "max_freq",
             "doc_ids_enc", "freqs_enc", "pos_enc",
             "block_last_doc", "block_doc_off", "block_freq_off", "block_max_freq",
-        )}
-        for gi in range(uniq_terms.size):
-            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-            ids_parts, tf_parts, pos_parts = [], [], []
-            for r in rows[lo:hi]:
-                off = offs[int(r.segment_id)]
-                ids = decode_doc_ids(
-                    r.doc_ids_enc,
-                    np.asarray(r.block_doc_off, np.int64),
-                    np.asarray(r.block_last_doc, np.int64),
-                )
-                ids_parts.append(ids + off)
-                tf_parts.append(decode_freqs(r.freqs_enc, np.asarray(r.block_freq_off, np.int64)))
-                pos_parts.append(r.pos_enc or b"")
-            ids = np.concatenate(ids_parts)
-            tfs = np.concatenate(tf_parts)
-            enc = encode_postings(ids, tfs)  # positions re-attached below
-            out["term"].append(uniq_terms[gi])
-            out["segment_id"].append(tgt)
-            out["docs_count"].append(enc.docs_count)
-            out["total_freq"].append(enc.total_freq)
-            out["max_freq"].append(enc.max_freq)
-            out["doc_ids_enc"].append(enc.doc_ids_enc)
-            out["freqs_enc"].append(enc.freqs_enc)
-            # per-doc position deltas are remap-invariant → byte concat
-            out["pos_enc"].append(b"".join(pos_parts))
-            out["block_last_doc"].append(enc.block_last_doc.tolist())
-            out["block_doc_off"].append(enc.block_doc_off.tolist())
-            out["block_freq_off"].append(enc.block_freq_off.tolist())
-            out["block_max_freq"].append(enc.block_max_freq.tolist())
-        return pd.DataFrame(out)
+        )
+        if len(pdf) == 0:
+            return pd.DataFrame({k: [] for k in cols})
+        offs = b_offsets.value
+        tgt = min(offs)
+        pdf = pdf.sort_values(["term", "segment_id"], kind="stable").reset_index(drop=True)
+        n_rows = len(pdf)
+        counts = pdf["docs_count"].to_numpy(np.int64)
+        n = int(counts.sum())
+        # doc ids: delta streams are absolute at each row start → one global
+        # decode + per-row cumsum reset + per-row segment offset
+        deltas = vbyte_decode(b"".join(pdf["doc_ids_enc"])).astype(np.int64)
+        row_starts = np.zeros(n_rows, np.int64)
+        np.cumsum(counts[:-1], out=row_starts[1:])
+        row_of = np.repeat(np.arange(n_rows), counts)
+        csum = np.cumsum(deltas)
+        carry = csum[row_starts] - deltas[row_starts]
+        seg_off = pdf["segment_id"].map(offs).to_numpy(np.int64)
+        ids = csum - carry[row_of] + seg_off[row_of]
+        freqs = vbyte_decode(b"".join(pdf["freqs_enc"])).astype(np.int64)
+        # term boundaries in element space
+        codes, uniq_terms = pd.factorize(pdf["term"])
+        first_row = np.flatnonzero(np.diff(codes, prepend=-1))
+        tb = np.append(row_starts[first_row], n)
+        enc = encode_postings_batch(ids, freqs, tb, positions=None)
+        # per-doc position deltas are remap-invariant → byte concat per term
+        row_bounds = np.append(first_row, n_rows)
+        pos_vals = [v if v is not None else b"" for v in pdf["pos_enc"]]
+        enc["pos_enc"] = [
+            b"".join(pos_vals[row_bounds[t] : row_bounds[t + 1]])
+            for t in range(uniq_terms.size)
+        ]
+        out = {"term": list(uniq_terms), "segment_id": np.full(uniq_terms.size, tgt, np.int32)}
+        out.update(enc)
+        return pd.DataFrame(out)[list(cols)]
 
+    n_groups = max(8, p_parts)
     merged = (
-        to_merge.withColumn("tbucket", term_bucket_col(F.col("term"), buckets))
-        .groupBy("tbucket")
-        .applyInPandas(merge_bucket, POSTINGS_SCHEMA)
+        to_merge.withColumn("mgrp", F.abs(F.hash("term")) % n_groups)
+        .groupBy("mgrp")
+        .applyInPandas(lambda pdf: merge_group(pdf.drop(columns=["mgrp"])), POSTINGS_SCHEMA)
     )
     postings_path = os.path.join(gen_dir, "postings")
     (
-        passthrough.drop("tbucket")
-        .unionByName(merged)
-        .withColumn("tbucket", term_bucket_col(F.col("term"), buckets))
-        .repartition(buckets, "tbucket")
+        passthrough.unionByName(merged)
+        .repartitionByRange(p_parts, "term", "segment_id")
         .sortWithinPartitions("term", "segment_id")
         .write.mode("overwrite")
-        .partitionBy("tbucket")
         .parquet(postings_path)
     )
     builder._manifest(meta["run_id"], gen, "consolidate_postings", "done", time.time() - t_all)

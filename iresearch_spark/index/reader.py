@@ -13,7 +13,6 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .builder import term_bucket_py
 from .codec import vbyte_decode
 
 
@@ -25,10 +24,6 @@ class IndexReader:
             self.meta = json.load(f)
         self._field_stats: dict | None = None
         self._tables: dict[str, DataFrame] = {}
-
-    @property
-    def term_buckets(self) -> int:
-        return self.meta["term_buckets"]
 
     def _table(self, name: str) -> DataFrame:
         """Point-in-time table handle, created ONCE per reader: re-reading
@@ -76,29 +71,44 @@ class IndexReader:
             }
         return self._field_stats
 
-    def postings_for_terms(self, terms: list[str]) -> DataFrame:
+    @staticmethod
+    def _term_pred(terms: list[str]):
+        """Pushdown-friendly membership predicate: an explicit min/max range
+        (always prunable from parquet row-group stats on the term-sorted
+        layout) AND'd with the In set. Spark only converts small In lists to
+        parquet filters, so the range clause is what guarantees file/row-group
+        pruning for big term sets."""
+        ts = sorted(terms)
+        rng = (F.col("term") >= ts[0]) & (F.col("term") <= ts[-1])
+        return rng & F.col("term").isin(ts)
+
+    def postings_for_terms(self, terms: list[str], extra_pred=None) -> DataFrame:
         """Pruned postings scan (the FST term-index role, done by layout):
-        tbucket partition pruning always; small term sets push an IN filter
-        down to the parquet row groups, large ones use a broadcast semi-join
-        (an O(1000)-element In predicate costs seconds of driver planning and
-        pushes nothing useful once every row group matches)."""
-        buckets = sorted({term_bucket_py(t, self.term_buckets) for t in terms})
-        pruned = self.postings().where(F.col("tbucket").isin(buckets))
-        if len(terms) <= 64:
-            return pruned.where(F.col("term").isin(list(terms)))
-        tdf = self.spark.createDataFrame([(t,) for t in terms], "term string")
-        return pruned.join(F.broadcast(tdf), "term", "leftsemi")
+        the postings table is range-partitioned + sorted by term, so the
+        min/max + In predicate prunes files and row groups. ``extra_pred``
+        widens the scan with a pushable term predicate (prefix/range/wildcard
+        multiterm tails) OR'd in — evaluated in-scan, never collected.
+
+        Very large term sets without an extra predicate use a broadcast
+        semi-join plus the min/max range clause instead of a giant In
+        expression (which costs seconds of driver planning)."""
+        if not terms:
+            return self.postings().where(
+                extra_pred if extra_pred is not None else F.lit(False)
+            )
+        ts = sorted(terms)
+        if len(ts) > 2048 and extra_pred is None:
+            rng = (F.col("term") >= ts[0]) & (F.col("term") <= ts[-1])
+            tdf = self.spark.createDataFrame([(t,) for t in ts], "term string")
+            return self.postings().where(rng).join(F.broadcast(tdf), "term", "leftsemi")
+        pred = self._term_pred(ts)
+        if extra_pred is not None:
+            pred = pred | extra_pred
+        return self.postings().where(pred)
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """term → (df, ttf); the term_collector phase (collectors.cpp:144-219)."""
-        buckets = sorted({term_bucket_py(t, self.term_buckets) for t in terms})
-        pruned = self.term_dict().where(F.col("tbucket").isin(buckets))
-        if len(terms) <= 64:
-            pruned = pruned.where(F.col("term").isin(list(terms)))
-        else:
-            tdf = self.spark.createDataFrame([(t,) for t in terms], "term string")
-            pruned = pruned.join(F.broadcast(tdf), "term", "leftsemi")
-        rows = pruned.collect()
+        rows = self.term_dict().where(self._term_pred(terms)).collect()
         return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
 
     def doc_lens(self, segment_id: int) -> np.ndarray:

@@ -108,7 +108,21 @@ class BM25Model(ScoreModel):
         dt = np.dtype(dtype).type
         c0 = dt(boost) * (dt(self.k1) + dt(1)) * dt(const)
         c1_min = dt(self.k1) * (dt(1) - dt(self.b)) + dt(self.k1) * dt(self.b) * dt(dl_min) / dt(avgdl)
-        return float(c0 * dt(max_tf) / (c1_min + dt(max_tf)))
+        ub = float(c0 * dt(max_tf) / (c1_min + dt(max_tf)))
+        return self._inflate(ub, dtype)
+
+    @staticmethod
+    def _inflate(ub, dtype):
+        """Under f32 the actual scores use the factored form
+        ``c0 - c0*c1/(c1+tf)`` whose rounding can land ~1 ULP ABOVE this exact
+        bound; nudge the bound up a few f32 ULPs so a bound-attaining doc is
+        never pruned (strict rank identity under f32)."""
+        if np.dtype(dtype) == np.float32:
+            f = np.float32(ub)
+            for _ in range(4):
+                f = np.nextafter(f, np.float32(np.inf), dtype=np.float32)
+            return float(f)
+        return ub
 
     def ub_batch(self, max_tfs, consts, boosts, dl_min, avgdl, dtype):
         m = np.asarray(max_tfs, dtype=np.float64)
@@ -116,7 +130,13 @@ class BM25Model(ScoreModel):
         b = np.asarray(boosts, dtype=np.float64)
         c0 = b * (self.k1 + 1.0) * c
         c1_min = self.k1 * (1.0 - self.b) + self.k1 * self.b * dl_min / avgdl
-        return c0 * m / (c1_min + m)
+        ub = c0 * m / (c1_min + m)
+        if np.dtype(dtype) == np.float32:
+            f = ub.astype(np.float32)
+            for _ in range(4):
+                f = np.nextafter(f, np.float32(np.inf), dtype=np.float32)
+            return f.astype(np.float64)
+        return ub
 
 
 class TFIDFModel(ScoreModel):

@@ -72,9 +72,13 @@ MATCH_OUT_SCHEMA = "segment_id int, doc_id int, tf long, dl long"
 # --------------------------------------------------------------------------
 
 
-def _levenshtein_leq(cands: list[str], query: str, maxd: int) -> np.ndarray:
+def _levenshtein_leq(
+    cands: list[str], query: str, maxd: int, transpose: bool = False
+) -> np.ndarray:
     """Vectorized Levenshtein over a candidate batch (numpy DP; the parametric
-    automaton of levenshtein_utils.cpp replaced by a batched matrix)."""
+    automaton of levenshtein_utils.cpp replaced by a batched matrix).
+    ``transpose=True`` adds adjacent-transposition edits (the Damerau/OSA
+    variant of levenshtein_filter.cpp's ``with_transpositions``)."""
     n = len(cands)
     if n == 0:
         return np.empty(0, dtype=np.int64)
@@ -86,6 +90,7 @@ def _levenshtein_leq(cands: list[str], query: str, maxd: int) -> np.ndarray:
     q = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
     m = len(q)
     prev = np.tile(np.arange(m + 1, dtype=np.int64), (n, 1))
+    prev2 = None  # row i-2 (transposition lookback)
     result = np.where(lens == 0, m, np.iinfo(np.int64).max // 2)
     for i in range(1, lmax + 1):
         cur = np.empty_like(prev)
@@ -93,45 +98,112 @@ def _levenshtein_leq(cands: list[str], query: str, maxd: int) -> np.ndarray:
         ci = chars[:, i - 1]
         for j in range(1, m + 1):
             sub = prev[:, j - 1] + (ci != q[j - 1])
-            cur[:, j] = np.minimum(np.minimum(sub, prev[:, j] + 1), cur[:, j - 1] + 1)
+            best = np.minimum(np.minimum(sub, prev[:, j] + 1), cur[:, j - 1] + 1)
+            if transpose and i > 1 and j > 1:
+                tr_ok = (chars[:, i - 2] == q[j - 1]) & (ci == q[j - 2])
+                best = np.where(tr_ok, np.minimum(best, prev2[:, j - 2] + 1), best)
+            cur[:, j] = best
         done = lens == i
         if done.any():
             result[done] = cur[done, m]
+        prev2 = prev
         prev = cur
     return result
 
 
+def _spec_of(node: flt.Filter) -> tuple | None:
+    """Serializable term-predicate spec for a multiterm filter — the form the
+    per-segment kernels re-evaluate when the expansion overflows
+    ``scored_terms_limit`` (the unscored-bitset tail stays IN the postings
+    scan + kernel; it is never collected to the driver)."""
+    if isinstance(node, flt.Prefix):
+        return ("prefix", node.prefix)
+    if isinstance(node, flt.Range):
+        return ("range", node.low, node.high, node.include_low, node.include_high)
+    if isinstance(node, flt.Wildcard):
+        return ("wildcard", node.pattern)
+    return None
+
+
+def spec_pred(spec: tuple):
+    """Spark Column predicate for a spec — pushable into the term-sorted
+    parquet scan (StartsWith / range comparisons reach row-group stats)."""
+    kind = spec[0]
+    if kind == "prefix":
+        return F.col("term").startswith(spec[1])
+    if kind == "range":
+        _, lo, hi, il, ih = spec
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col("term") >= lo if il else F.col("term") > lo)
+        if hi is not None:
+            pred = pred & (F.col("term") <= hi if ih else F.col("term") < hi)
+        return pred
+    if kind == "wildcard":
+        return F.col("term").like(spec[1])
+    raise ValueError(f"bad spec {spec}")
+
+
+def specs_pred(specs) -> "F.Column | None":
+    """OR of spec predicates (None when no specs)."""
+    pred = None
+    for s in specs:
+        p = spec_pred(s)
+        pred = p if pred is None else (pred | p)
+    return pred
+
+
+def _like_regex(pattern: str):
+    import re as _re
+
+    return _re.compile(
+        "^" + "".join(".*" if c == "%" else "." if c == "_" else _re.escape(c) for c in pattern) + "$",
+        _re.DOTALL,
+    )
+
+
+def spec_match(spec: tuple, term: str) -> bool:
+    """Python twin of :func:`spec_pred` for kernel-side tail identification."""
+    kind = spec[0]
+    if kind == "prefix":
+        return term.startswith(spec[1])
+    if kind == "range":
+        _, lo, hi, il, ih = spec
+        if lo is not None and (term < lo or (not il and term == lo)):
+            return False
+        if hi is not None and (term > hi or (not ih and term == hi)):
+            return False
+        return True
+    if kind == "wildcard":
+        return _like_regex(spec[1]).match(term) is not None
+    raise ValueError(f"bad spec {spec}")
+
+
 def expand_multiterm(
     node: flt.Filter, reader: IndexReader
-) -> tuple[list[tuple[str, int]], list[str]]:
-    """Term-dict expansion for multiterm filters → (scored, unscored_tail).
+) -> tuple[list[tuple[str, int]], tuple | None]:
+    """Term-dict expansion for multiterm filters → (scored, tail_spec).
 
     Mirrors the reference: at most ``scored_terms_limit`` terms (highest df)
     are scored; the remaining matches are still MATCHED but contribute no
     score — the unscored-bitset union of multiterm_query.cpp:36-168 /
-    limited_sample_collector. ``scored`` is [(term, df)] sorted by term;
-    ``unscored_tail`` a sorted term list.
+    limited_sample_collector. The driver collect is BOUNDED at
+    ``scored_terms_limit + 1`` rows (a distributed df-ranked top-k job over
+    the pruned term_dict scan); when the expansion overflows, the tail is
+    returned as a predicate spec that the postings scan + kernels evaluate
+    in place — no unbounded ``collect`` anywhere on this path.
     """
     td = reader.term_dict()
     limit = getattr(node, "scored_terms_limit", 1 << 30)
-    if isinstance(node, flt.Prefix):
-        df = td.where(F.col("term").startswith(node.prefix))
-    elif isinstance(node, flt.Range):
-        df = td
-        if node.low is not None:
-            df = df.where(F.col("term") >= node.low if node.include_low else F.col("term") > node.low)
-        if node.high is not None:
-            df = df.where(F.col("term") <= node.high if node.include_high else F.col("term") < node.high)
-    elif isinstance(node, flt.Wildcard):
-        df = td.where(F.col("term").like(node.pattern))
-    elif isinstance(node, flt.Fuzzy):
+    if isinstance(node, flt.Fuzzy):
         q, maxd, max_terms = node.term, node.max_distance, node.max_terms
+        transpose = getattr(node, "with_transpositions", False)
         cand = td.where(
             (F.length("term") >= len(q) - maxd) & (F.length("term") <= len(q) + maxd)
         )
 
         def within(batch: pd.Series) -> pd.Series:
-            d = _levenshtein_leq(batch.tolist(), q, maxd)
+            d = _levenshtein_leq(batch.tolist(), q, maxd, transpose=transpose)
             return pd.Series(d <= maxd, index=batch.index)
 
         from pyspark.sql.functions import pandas_udf
@@ -139,17 +211,21 @@ def expand_multiterm(
         within_udf = pandas_udf(within, "boolean")
         matched = cand.where(within_udf(F.col("term"))).orderBy("term").limit(max_terms)
         rows = matched.collect()
-        return [(r["term"], int(r["df"])) for r in rows], []
-    else:
+        return [(r["term"], int(r["df"])) for r in rows], None
+    spec = _spec_of(node)
+    if spec is None:
         raise TypeError(f"not a multiterm filter: {node}")
-    rows = df.select("term", "df").orderBy("term").collect()
-    out = [(r["term"], int(r["df"])) for r in rows]
-    if len(out) > limit:
-        ranked = sorted(out, key=lambda t: (-t[1], t[0]))
-        scored = sorted(ranked[:limit])
-        tail = sorted(t for t, _ in ranked[limit:])
-        return scored, tail
-    return out, []
+    rows = (
+        td.where(spec_pred(spec))
+        .select("term", "df")
+        .orderBy(F.desc("df"), "term")
+        .limit(limit + 1)
+        .collect()
+    )
+    if len(rows) > limit:
+        scored = sorted((r["term"], int(r["df"])) for r in rows[:limit])
+        return scored, spec
+    return sorted((r["term"], int(r["df"])) for r in rows), None
 
 
 # --------------------------------------------------------------------------
@@ -164,13 +240,14 @@ def compile_plans(
     b: float = B_DEFAULT,
     dtype: str = "float64",
     model: ScoreModel | None = None,
-) -> tuple[dict[str, dict], list[str]]:
+) -> tuple[dict[str, dict], list[str], list[tuple]]:
     """Normalize + expand + bake stats for a BATCH of filters.
 
     ONE term_stats fetch covers every query (the prepare phase runs once per
     batch, not per query), and multiterm expansions are cached by filter value
     so duplicated prefixes/wildcards in a batch expand once. Returns
-    ({name: plan}, union of terms used).
+    ({name: plan}, union of terms used, unscored-tail predicate specs the
+    postings scan must OR in).
     """
     model = model or BM25Model(k1, b)
     normalized = {name: flt.normalize(f) for name, f in filters.items()}
@@ -196,7 +273,8 @@ def compile_plans(
     for nf in normalized.values():
         collect_terms(nf)
     tstats = reader.term_stats(sorted(set(terms_needed))) if terms_needed else {}
-    expansion_cache: dict[str, list] = {}
+    expansion_cache: dict[str, tuple] = {}
+    tail_specs: list[tuple] = []
 
     def idf_of(term: str) -> float:
         df = tstats.get(term, (0, 0))[0]
@@ -218,16 +296,17 @@ def compile_plans(
             ckey = repr(node)
             if ckey not in expansion_cache:
                 expansion_cache[ckey] = expand_multiterm(node, reader)
-            expanded, unscored = expansion_cache[ckey]
+            expanded, tail_spec = expansion_cache[ckey]
             members = []
             for t, df in expanded:
                 all_terms.add(t)
                 members.append((t, model.term_const(df, n_field, dt)))
-            all_terms.update(unscored)
+            if tail_spec is not None:
+                tail_specs.append(tail_spec)
             return {
                 "op": "mterm",
                 "terms": members,
-                "unscored": list(unscored),
+                "unscored_spec": tail_spec,
                 "min_match": 1,
                 "boost": node.boost,
             }
@@ -260,7 +339,7 @@ def compile_plans(
         raise TypeError(f"unsupported filter: {node}")
 
     plans = {name: build(nf) for name, nf in normalized.items()}
-    return plans, sorted(all_terms)
+    return plans, sorted(all_terms), tail_specs
 
 
 def compile_plan(
@@ -270,10 +349,10 @@ def compile_plan(
     b: float = B_DEFAULT,
     dtype: str = "float64",
     model: ScoreModel | None = None,
-) -> tuple[dict, list[str]]:
+) -> tuple[dict, list[str], list[tuple]]:
     """Single-query convenience wrapper over :func:`compile_plans`."""
-    plans, terms = compile_plans({"q": f}, reader, k1, b, dtype, model)
-    return plans["q"], terms
+    plans, terms, specs = compile_plans({"q": f}, reader, k1, b, dtype, model)
+    return plans["q"], terms, specs
 
 
 # --------------------------------------------------------------------------
@@ -345,6 +424,23 @@ class _SegmentViews:
     def get(self, term: str, default=None):
         v = self.views.get(term)
         return v.decode_all() if v is not None else default
+
+
+def _tail_terms(plan: dict, sv) -> list[str]:
+    """Unscored-tail members for an overflowed multiterm plan: terms present
+    in THIS segment's scanned postings that match the tail spec and are not
+    already scored (multiterm_query.cpp unscored bitset, evaluated in-kernel
+    instead of via a driver-collected term list)."""
+    tails = list(plan.get("unscored", ()))
+    spec = plan.get("unscored_spec")
+    if spec is not None:
+        scored = {t for t, _ in plan["terms"]}
+        seen = set(tails)
+        keys = sv.views.keys() if hasattr(sv, "views") else sv.keys()
+        tails.extend(
+            t for t in keys if t not in scored and t not in seen and spec_match(spec, t)
+        )
+    return tails
 
 
 def _merge_scores(
@@ -515,7 +611,7 @@ def _eval_root(
     if op == "mterm" and plan.get("min_match", 1) <= 1:
         legs = [(sv.view(t), idf, plan["boost"]) for t, idf in plan["terms"]]
         legs = [(v, i, bo) for v, i, bo in legs if v is not None]
-        unscored = plan.get("unscored", ())
+        unscored = _tail_terms(plan, sv)
         if not legs and not unscored:
             return empty
         ids, sc = (
@@ -589,7 +685,7 @@ def _eval_plan(
                 continue
             ids, tfs = hit[0], hit[1]
             legs.append((ids, model.score(tfs, dl[ids - 1], idf, avgdl, plan["boost"], dt)))
-        for term in plan.get("unscored", ()):  # bitset tail: matches, score 0
+        for term in _tail_terms(plan, decoded):  # bitset tail: matches, score 0
             hit = decoded.get(term)
             if hit is not None:
                 legs.append((hit[0], np.zeros(hit[0].size, dtype=dt)))
@@ -639,6 +735,17 @@ def _union(legs, min_match: int, dt) -> tuple[np.ndarray, np.ndarray]:
         keep = counts >= min_match
         return uniq[keep], sums[keep]
     return uniq, sums
+
+
+def _plan_has_all(plan: dict) -> bool:
+    """True when the plan (or a sub-plan) matches docs without any postings —
+    such plans must be evaluated from the norms side in every segment."""
+    if plan["op"] == "all":
+        return True
+    for p in plan.get("parts", ()):
+        if _plan_has_all(p):
+            return True
+    return False
 
 
 def _local_topk(ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -703,7 +810,7 @@ class Searcher:
             return self._search_phrase(nf, list(nf.terms), [0] * len(nf.terms), k, dtype, with_keys)
         if isinstance(nf, flt.ColumnExists):
             return self._search_column_exists(nf, k, with_keys)
-        plan, terms = compile_plan(nf, self.reader, self.k1, self.b, dtype, model=self.model)
+        plan, terms, specs = compile_plan(nf, self.reader, self.k1, self.b, dtype, model=self.model)
         stats = self.reader.field_stats()
         avgdl = stats["avgdl"]
         model = self.model
@@ -716,12 +823,12 @@ class Searcher:
                 "doc_key", "segment_id", "doc_id", F.lit(float(plan["boost"])).alias("score")
             ).orderBy("segment_id", "doc_id").limit(k)
             return out if with_keys else out.drop("doc_key")
-        if plan["op"] == "empty" or not terms:
+        if plan["op"] == "empty" or (not terms and not specs and not _plan_has_all(plan)):
             schema = "doc_key string, segment_id int, doc_id int, score double"
             return spark.createDataFrame([], schema if with_keys else schema.split(", ", 1)[1])
 
         # no pos_enc: non-positional queries never read position bytes
-        pq = self.reader.postings_for_terms(terms).select(
+        pq = self.reader.postings_for_terms(terms, extra_pred=specs_pred(specs)).select(
             "segment_id",
             "term",
             "doc_ids_enc",
@@ -736,7 +843,9 @@ class Searcher:
         norms = self.reader.norms()
 
         def kernel(post_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
-            if len(post_pdf) == 0 or len(norm_pdf) == 0:
+            # norms cover every segment (one row each); postings may be empty
+            # for this segment — All-based plans still match its docs
+            if len(norm_pdf) == 0:
                 return pd.DataFrame({"segment_id": [], "doc_id": [], "score": []}).astype(
                     {"segment_id": "int32", "doc_id": "int32", "score": "float64"}
                 )
@@ -779,10 +888,12 @@ class Searcher:
         for name, nf in normalized.items():
             if isinstance(nf, flt.Phrase):
                 raise ValueError(f"{name}: phrase queries need search() (two-pass stats)")
-        plans, all_terms = compile_plans(
+            if isinstance(nf, (flt.SamePosition, flt.ColumnExists)):
+                raise ValueError(f"{name}: {type(nf).__name__} queries need search()")
+        plans, all_terms, specs = compile_plans(
             normalized, self.reader, self.k1, self.b, dtype, model=self.model
         )
-        return PreparedBatch(self, plans, list(all_terms), dtype)
+        return PreparedBatch(self, plans, list(all_terms), dtype, specs)
 
     def search_many(
         self,
@@ -802,8 +913,10 @@ class Searcher:
         """
         return self.prepare(queries, dtype).execute(k)
 
-    def _batch_postings(self, all_terms: list[str]) -> DataFrame:
-        return self.reader.postings_for_terms(sorted(all_terms)).select(
+    def _batch_postings(self, all_terms: list[str], specs: list[tuple] | None = None) -> DataFrame:
+        return self.reader.postings_for_terms(
+            sorted(all_terms), extra_pred=specs_pred(specs or [])
+        ).select(
             "segment_id",
             "term",
             "doc_ids_enc",
@@ -823,19 +936,20 @@ class Searcher:
         k: int,
         dtype: str,
         pq: DataFrame | None = None,
+        specs: list[tuple] | None = None,
     ) -> DataFrame:
         stats = self.reader.field_stats()
         avgdl = stats["avgdl"]
         model = self.model
         dt = np.float32 if dtype == "float32" else np.float64
         spark = self.reader.spark
-        if not all_terms:
+        if not all_terms and not specs and not any(_plan_has_all(p) for p in plans.values()):
             return spark.createDataFrame(
                 [], "query string, segment_id int, doc_id int, score double"
             )
 
         if pq is None:
-            pq = self._batch_postings(all_terms)
+            pq = self._batch_postings(all_terms, specs)
         norms = self.reader.norms()
         plan_items = list(plans.items())
 
@@ -849,8 +963,8 @@ class Searcher:
             empty = pd.DataFrame(
                 {"query": [], "segment_id": [], "doc_id": [], "score": []}
             ).astype({"query": "object", "segment_id": "int32", "doc_id": "int32", "score": "float64"})
-            if len(post_pdf) == 0 or len(norm_pdf) == 0:
-                return empty
+            if len(norm_pdf) == 0:
+                return empty  # postings may be empty: All plans use norms only
             sid = int(norm_pdf["segment_id"].iloc[0])
             dl = vbyte_decode(norm_pdf["doc_len_enc"].iloc[0]).astype(np.int64)
             sv = _SegmentViews(post_pdf)
@@ -1072,17 +1186,27 @@ class PreparedBatch:
     caching (term_filter.cpp:40-66, proxy_filter.cpp:34-54): repeated
     ``execute`` calls run only the scoring kernels over the cached postings."""
 
-    def __init__(self, searcher: Searcher, plans: dict[str, dict], terms: list[str], dtype: str):
+    def __init__(
+        self,
+        searcher: Searcher,
+        plans: dict[str, dict],
+        terms: list[str],
+        dtype: str,
+        specs: list[tuple] | None = None,
+    ):
         self._searcher = searcher
         self.plans = plans
         self.terms = terms
         self.dtype = dtype
+        self.specs = specs or []
         self._pq: DataFrame | None = None
 
     def execute(self, k: int = 10) -> DataFrame:
-        if self._pq is None and self.terms:
-            self._pq = self._searcher._batch_postings(self.terms).persist()
-        return self._searcher._execute_batch(self.plans, self.terms, k, self.dtype, pq=self._pq)
+        if self._pq is None and (self.terms or self.specs):
+            self._pq = self._searcher._batch_postings(self.terms, self.specs).persist()
+        return self._searcher._execute_batch(
+            self.plans, self.terms, k, self.dtype, pq=self._pq, specs=self.specs
+        )
 
     def unpersist(self) -> None:
         if self._pq is not None:

@@ -69,11 +69,13 @@ class Wildcard(Filter):
 @dataclass
 class Fuzzy(Filter):
     """by_edit_distance (levenshtein_filter.cpp:139-310): terms within
-    ``max_distance`` Levenshtein edits; candidate cap ``max_terms``."""
+    ``max_distance`` Levenshtein edits; candidate cap ``max_terms``;
+    ``with_transpositions`` enables the Damerau/OSA variant."""
 
     term: str
     max_distance: int = 1
     max_terms: int = 50  # benchmark default, index-search.cpp:393-394
+    with_transpositions: bool = False
     boost: float = 1.0
 
 

@@ -1,0 +1,166 @@
+"""Round-2 behaviors: All-filter batches, empty-input build, transposition
+fuzzy, contiguous consolidation, distributed multiterm expansion specs."""
+
+import os
+
+import numpy as np
+import pytest
+
+from iresearch_spark import IndexBuilder, IndexReader, Searcher, filters as flt
+from iresearch_spark.search.executor import (
+    _levenshtein_leq,
+    expand_multiterm,
+    spec_match,
+)
+
+DOCS = {
+    f"d{i:04d}": t
+    for i, t in enumerate(
+        [
+            "spark index merge query fast",
+            "spark spark table scan",
+            "merge sort batch window",
+            "query plan scan filter",
+            "fast slow spark merge",
+            "table scan index spark",
+            "window batch stream spark",
+            "sort merge join hash",
+        ]
+    )
+}
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r2idx"))
+    df = spark.createDataFrame(list(DOCS.items()), "doc_key string, text string")
+    IndexBuilder(spark, path, analyzer="simple", num_segments=3).build(
+        df, key_col="doc_key", text_col="text"
+    )
+    return IndexReader(spark, path)
+
+
+# ---------------------------------------------------------------- All batches
+
+
+def test_search_many_all_only(built):
+    """A batch of only All filters must return every doc (norms-side eval)."""
+    s = Searcher(built)
+    rows = s.search_many({"qa": flt.All()}, k=100).collect()
+    assert len(rows) == len(DOCS)
+    assert all(r["score"] == 1.0 for r in rows)
+
+
+def test_search_many_mixed_all(built):
+    """All plans see every segment even when that segment has no postings for
+    the batch's term union."""
+    s = Searcher(built)
+    res = s.search_many({"qa": flt.All(boost=3.0), "qb": flt.Term("hash")}, k=100)
+    by_q = {}
+    for r in res.collect():
+        by_q.setdefault(r["query"], []).append(r)
+    assert len(by_q["qa"]) == len(DOCS)
+    assert all(r["score"] == 3.0 for r in by_q["qa"])
+    # "hash" appears in exactly one doc
+    assert len(by_q["qb"]) == 1
+
+
+def test_search_all_single(built):
+    s = Searcher(built)
+    assert len(s.search(flt.All(), k=100).collect()) == len(DOCS)
+
+
+# ---------------------------------------------------------------- empty build
+
+
+def test_empty_input_build(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("emptyidx"))
+    df = spark.createDataFrame([], "doc_key string, text string")
+    meta = IndexBuilder(spark, path, num_segments=2).build(
+        df, key_col="doc_key", text_col="text"
+    )
+    assert meta["docs_count"] == 0
+    reader = IndexReader(spark, path)
+    assert reader.field_stats()["docs_with_field"] == 0
+    s = Searcher(reader)
+    assert s.search(flt.Term("anything"), k=5).collect() == []
+    assert s.search_many({"q": flt.Term("x")}, k=5).collect() == []
+
+
+# ---------------------------------------------------------------- fuzzy
+
+
+def test_levenshtein_transpositions_unit():
+    # plain Levenshtein: "ab" -> "ba" costs 2; OSA transposition costs 1
+    d_plain = _levenshtein_leq(["ba"], "ab", 2, transpose=False)
+    d_tr = _levenshtein_leq(["ba"], "ab", 2, transpose=True)
+    assert d_plain[0] == 2 and d_tr[0] == 1
+    d = _levenshtein_leq(["sprak", "spark", "spurk", "sparkle"], "spark", 2, transpose=True)
+    assert list(d) == [1, 0, 1, 2]
+
+
+def test_fuzzy_with_transpositions(built):
+    s = Searcher(built)
+    # "saprk" is a transposition of "spark": distance 2 plain, 1 with OSA
+    plain = s.search(flt.Fuzzy("saprk", max_distance=1), k=10).collect()
+    tr = s.search(
+        flt.Fuzzy("saprk", max_distance=1, with_transpositions=True), k=10
+    ).collect()
+    assert plain == []
+    assert {r["doc_key"] for r in tr} == {
+        k for k, t in DOCS.items() if "spark" in t.split()
+    }
+
+
+# ---------------------------------------------------------------- expansion
+
+
+def test_expand_overflow_returns_spec(built):
+    scored, spec = expand_multiterm(flt.Prefix("s", scored_terms_limit=2), built)
+    assert len(scored) == 2 and spec == ("prefix", "s")
+    scored_all, spec_none = expand_multiterm(flt.Prefix("s"), built)
+    assert spec_none is None and len(scored_all) >= 4
+
+
+def test_spec_match_twins():
+    assert spec_match(("prefix", "sp"), "spark") and not spec_match(("prefix", "sp"), "sort")
+    assert spec_match(("range", "a", "m", True, False), "index")
+    assert not spec_match(("range", "a", "m", True, False), "m")
+    assert spec_match(("wildcard", "s_a%"), "spark") and not spec_match(("wildcard", "s_a%"), "sort")
+
+
+def test_batch_overflowed_prefix_matches_single(built):
+    """search_many with an overflowed multiterm (tail spec in the scan) must
+    equal the single-query result."""
+    s = Searcher(built)
+    f = flt.Prefix("s", scored_terms_limit=2)
+    single = [(r["doc_key"], round(r["score"], 9)) for r in s.search(f, k=50).collect()]
+    docs = built.docs().select("segment_id", "doc_id", "doc_key")
+    many = (
+        s.search_many({"q": f}, k=50)
+        .join(docs, ["segment_id", "doc_id"])
+        .collect()
+    )
+    got = sorted(
+        ((r["doc_key"], round(r["score"], 9)) for r in many),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == single
+
+
+# ---------------------------------------------------------------- consolidate
+
+
+def test_consolidate_rejects_gapped_run(built):
+    from iresearch_spark.index.consolidate import consolidate
+
+    with pytest.raises(ValueError, match="contiguous"):
+        consolidate(built, [0, 2])
+
+
+def test_longest_contiguous():
+    from iresearch_spark.index.consolidate import _longest_contiguous
+
+    assert _longest_contiguous([0, 2, 3, 4, 7]) == [2, 3, 4]
+    assert _longest_contiguous([5]) == []
+    assert _longest_contiguous([1, 2]) == [1, 2]
