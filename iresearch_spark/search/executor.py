@@ -263,7 +263,7 @@ def compile_plans(
         elif isinstance(node, flt.Terms):
             terms_needed.extend(node.terms)
         elif isinstance(node, flt.Phrase):
-            terms_needed.extend(node.terms)
+            terms_needed.extend(t for t in node.terms if isinstance(t, str))
         elif isinstance(node, (flt.And, flt.Or)):
             for p in node.parts:
                 collect_terms(p)
@@ -1053,36 +1053,43 @@ class Searcher:
 
     # ------------------------------------------------------------- phrase
     def _search_phrase(
-        self, node: flt.Filter, terms: list[str], shifts: list[int], k: int, dtype: str, with_keys: bool
+        self, node: flt.Filter, terms: list, shifts: list[int], k: int, dtype: str, with_keys: bool
     ) -> DataFrame:
-        """Two-pass positional query: (1) distributed positional match →
-        (doc, tf, dl); (2) exact match-df from pass 1, BM25 scored
-        declaratively (phrase_iterator.hpp analogue; scoring divergence
-        documented in filters.Phrase). ``shifts`` = per-term position offsets:
+        """Positional query in ONE distributed pass: the per-segment kernel
+        emits (doc, tf, dl); the exact match-df (scoring stats) is taken with
+        a global window COUNT over the (small) match set — no cache+recount
+        double job (phrase_iterator.hpp analogue; scoring divergence
+        documented in filters.Phrase). ``shifts`` = per-slot position offsets:
         ``0..n-1`` for a phrase, all-zero for SamePosition
-        (same_position_filter.cpp)."""
+        (same_position_filter.cpp). Slots may be multiterm filters
+        (VariadicPhraseQuery, phrase_query.cpp:119-303)."""
+        from pyspark.sql import Window
+
         matches = self.phrase_matches(terms, shifts)
-        matches = matches.cache()
         stats = self.reader.field_stats()
         n, avgdl = stats["docs_with_field"], stats["avgdl"]
-        df_phrase = matches.count()
-        if df_phrase == 0:
-            schema = "doc_key string, segment_id int, doc_id int, score double"
-            return self.reader.spark.createDataFrame([], schema)
-        # declarative per-model score column over (tf, dl)
-        const = self.model.term_const(df_phrase, n, np.float64)
+        # exact phrase df via a global window: ONE job, the match kernel runs
+        # once (a cross-joined count aggregate would recompute it), and the
+        # single-partition shuffle moves only the match set — orders of
+        # magnitude smaller than the corpus (conjunction of all slots), and
+        # the top-k orderBy after it collapses to one partition anyway
+        matches = matches.withColumn(
+            "dfp", F.count("*").over(Window.partitionBy(F.lit(1))).cast("double")
+        )
         boost = node.boost
         from .bm25 import BoostModel, TFIDFModel
 
         if isinstance(self.model, TFIDFModel):
-            score_col = F.lit(boost) * F.sqrt(F.col("tf")) * F.lit(const)
+            idf = F.log((F.lit(float(n)) + 1.0) / (F.col("dfp") + 1.0)) + 1.0
+            score_col = F.lit(boost) * F.sqrt(F.col("tf")) * idf
         elif isinstance(self.model, BoostModel):
             score_col = F.lit(float(boost))
         else:
             k1v, bv = self.k1, self.b
-            c0 = boost * (k1v + 1.0) * const
+            idf = F.log1p((F.lit(float(n)) - F.col("dfp") + 0.5) / (F.col("dfp") + 0.5))
+            c0 = F.lit(boost * (k1v + 1.0)) * idf
             score_col = (
-                F.lit(c0)
+                c0
                 * F.col("tf")
                 / (F.lit(k1v * (1 - bv)) + F.lit(k1v * bv) * F.col("dl") / F.lit(avgdl) + F.col("tf"))
             )
@@ -1092,15 +1099,39 @@ class Searcher:
             return topk.select("segment_id", "doc_id", "score")
         return self._attach_keys(topk.select("segment_id", "doc_id", "score"), k)
 
-    def phrase_matches(self, terms: list[str], shifts: list[int] | None = None) -> DataFrame:
-        """All docs containing the exact phrase, with occurrence counts.
+    def _expand_slots(self, terms: list) -> list[list[str]]:
+        """Variadic slots: a str slot stays fixed; a multiterm filter slot
+        (Prefix/Wildcard/Fuzzy/Range/Terms) expands against the term dict,
+        capped at its ``scored_terms_limit`` (phrase_filter.cpp variadic
+        parts)."""
+        slots: list[list[str]] = []
+        for t in terms:
+            if isinstance(t, str):
+                slots.append([t])
+            elif isinstance(t, flt.Terms):
+                slots.append(sorted(set(t.terms)))
+            else:
+                expanded, _tail = expand_multiterm(t, self.reader)
+                slots.append([w for w, _ in expanded])
+        return slots
 
-        Kernel: conjunction over the phrase terms' postings, then vectorized
-        position-offset intersection (positions of term j shifted by
-        ``-shifts[j]``; default shifts 0..n-1 = fixed phrase)."""
+    def phrase_matches(self, terms: list, shifts: list[int] | None = None) -> DataFrame:
+        """All docs matching the (possibly variadic) phrase, with occurrence
+        counts.
+
+        Kernel — FULLY vectorized, zero per-doc Python: for every slot the
+        candidate docs' positions are gathered into one flat array, packed as
+        ``doc_rank * 2^32 + (pos - shift)`` keys, and the slots' key sets are
+        intersected with ``np.intersect1d`` in one pass (the flattened-stream
+        trick the invert pass uses). tf per doc = bincount of the surviving
+        keys' doc ranks. A slot with several terms (variadic) unions its
+        terms' keys first (disjunction of position iterators,
+        phrase_query.cpp VariadicPhraseQuery)."""
         if shifts is None:
             shifts = list(range(len(terms)))
-        pq = self.reader.postings_for_terms(sorted(set(terms))).select(
+        slots = self._expand_slots(list(terms))
+        flat_terms = sorted({t for slot in slots for t in slot})
+        pq = self.reader.postings_for_terms(flat_terms).select(
             "segment_id",
             "term",
             "doc_ids_enc",
@@ -1114,8 +1145,10 @@ class Searcher:
             "max_freq",
         )
         norms = self.reader.norms()
-        tlist = list(terms)
+        slot_list = [list(s) for s in slots]
         shift_list = list(shifts)
+        PACK = np.int64(1) << np.int64(32)  # doc_rank * 2^32 + shifted pos
+        max_shift = max(shift_list) if shift_list else 0
 
         def kernel(post_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"segment_id": [], "doc_id": [], "tf": [], "dl": []}).astype(
@@ -1126,47 +1159,76 @@ class Searcher:
             sid = int(norm_pdf["segment_id"].iloc[0])
             dl = vbyte_decode(norm_pdf["doc_len_enc"].iloc[0]).astype(np.int64)
             sv = _SegmentViews(post_pdf)
-            if any(sv.view(t) is None for t in tlist):
-                return empty
-            decoded = {t: sv.view(t).decode_all() + (sv.view(t).positions(),) for t in set(tlist)}
-            # conjunction of doc id lists
-            ids = decoded[tlist[0]][0]
-            for t in tlist[1:]:
-                ids = np.intersect1d(ids, decoded[t][0], assume_unique=True)
-            if ids.size == 0:
-                return empty
-            # per-term (doc -> positions) lookup helpers
-            per_term = []
-            for j, t in enumerate(tlist):
-                t_ids, t_tfs, t_pos = decoded[t]
-                starts = np.zeros(t_ids.size + 1, dtype=np.int64)
-                np.cumsum(t_tfs, out=starts[1:])
-                per_term.append((t_ids, starts, t_pos))
-            out_ids, out_tf = [], []
-            for d in ids:
-                # positions of term j in doc d, shifted by -shifts[j]; tf =
-                # size of the running intersection
-                t_ids, starts, t_pos = per_term[0]
-                i0 = int(np.searchsorted(t_ids, d))
-                cur = t_pos[starts[i0] : starts[i0 + 1]] - shift_list[0]
-                for j in range(1, len(tlist)):
-                    t_ids, starts, t_pos = per_term[j]
-                    ij = int(np.searchsorted(t_ids, d))
-                    pj = t_pos[starts[ij] : starts[ij + 1]] - shift_list[j]
-                    cur = np.intersect1d(cur, pj, assume_unique=True)
-                    if cur.size == 0:
-                        break
-                if cur.size:
-                    out_ids.append(int(d))
-                    out_tf.append(int(cur.size))
-            if not out_ids:
-                return empty
-            out_ids = np.asarray(out_ids, dtype=np.int64)
+            slot_views = []
+            for slot in slot_list:
+                views = [sv.view(t) for t in slot]
+                views = [v for v in views if v is not None]
+                if not views:
+                    return empty  # some slot matches nothing in this segment
+                slot_views.append(views)
+            # conjunction of per-slot doc-id unions
+            cand = None
+            for views in slot_views:
+                slot_ids = (
+                    views[0].decode_all()[0]
+                    if len(views) == 1
+                    else np.unique(np.concatenate([v.decode_all()[0] for v in views]))
+                )
+                cand = slot_ids if cand is None else np.intersect1d(cand, slot_ids, assume_unique=True)
+                if cand.size == 0:
+                    return empty
+            # rank of each candidate doc (dense 0..m-1) for key packing
+            n_cand = cand.size
+            cur_keys = None
+            for j, views in enumerate(slot_views):
+                parts = []
+                for v in views:
+                    t_ids, t_tfs = v.decode_all()
+                    t_pos = v.positions()
+                    # rows of this term present among candidates
+                    row = np.searchsorted(t_ids, cand)
+                    row_c = np.minimum(row, t_ids.size - 1)
+                    present = t_ids[row_c] == cand
+                    rows_sel = row_c[present]
+                    ranks_sel = np.flatnonzero(present).astype(np.int64)
+                    if rows_sel.size == 0:
+                        continue
+                    starts = np.zeros(t_ids.size + 1, dtype=np.int64)
+                    np.cumsum(t_tfs, out=starts[1:])
+                    lens = t_tfs[rows_sel]
+                    total = int(lens.sum())
+                    if total == 0:
+                        continue
+                    # flat gather of each selected row's position run
+                    out_off = np.zeros(rows_sel.size, np.int64)
+                    np.cumsum(lens[:-1], out=out_off[1:])
+                    rep = np.repeat(np.arange(rows_sel.size), lens)
+                    flat_idx = np.arange(total, dtype=np.int64) - out_off[rep] + starts[rows_sel][rep]
+                    pos = t_pos[flat_idx]
+                    ranks = ranks_sel[rep]
+                    keys = ranks * PACK + (pos - np.int64(shift_list[j]) + np.int64(max_shift))
+                    parts.append(keys)
+                if not parts:
+                    return empty
+                # single-term keys are already sorted+unique (ranks asc, pos
+                # asc within rank); unions go through np.unique
+                slot_keys = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+                cur_keys = (
+                    slot_keys
+                    if cur_keys is None
+                    else np.intersect1d(cur_keys, slot_keys, assume_unique=True)
+                )
+                if cur_keys.size == 0:
+                    return empty
+            doc_rank = (cur_keys // PACK).astype(np.int64)
+            tf = np.bincount(doc_rank, minlength=n_cand)
+            hit = np.flatnonzero(tf)
+            out_ids = cand[hit]
             return pd.DataFrame(
                 {
-                    "segment_id": np.full(len(out_ids), sid, np.int32),
+                    "segment_id": np.full(hit.size, sid, np.int32),
                     "doc_id": out_ids.astype(np.int32),
-                    "tf": np.asarray(out_tf, dtype=np.int64),
+                    "tf": tf[hit].astype(np.int64),
                     "dl": dl[out_ids - 1],
                 }
             )

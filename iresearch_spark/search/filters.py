@@ -81,11 +81,14 @@ class Fuzzy(Filter):
 
 @dataclass
 class Phrase(Filter):
-    """Fixed positional phrase (phrase_filter.cpp). tf = #occurrences;
-    scored as BM25 over the phrase's own document frequency (documented
-    divergence: the reference folds per-term stats, we use exact phrase df)."""
+    """Positional phrase (phrase_filter.cpp). Slots are fixed terms (str) or
+    multiterm filters (Prefix/Wildcard/Fuzzy/Range/Terms) — the variadic form
+    of phrase_query.cpp:119-303 (each filter slot expands against the term
+    dict, capped at its scored_terms_limit). tf = #occurrences; scored as
+    BM25 over the phrase's own document frequency (documented divergence:
+    the reference folds per-term stats, we use exact phrase df)."""
 
-    terms: tuple[str, ...]
+    terms: tuple  # str | Filter per slot
     boost: float = 1.0
 
 
