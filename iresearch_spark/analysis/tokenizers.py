@@ -100,6 +100,39 @@ def stopword_filter(token_lists: pd.Series, stopwords: Iterable[str]) -> pd.Seri
     return token_lists.map(lambda toks: [t for t in toks if t not in sw])
 
 
+def synonym_tokenizer(
+    synonyms: dict[str, str], base: Tokenizer | None = None
+) -> Tokenizer:
+    """Positional analyzer injecting synonyms at increment 0 — the
+    ``token_stream`` 0-increment semantics (token_attributes.hpp ``increment``;
+    nearest_neighbors_stream.cpp emits synonyms this way). Each base token at
+    position p whose term has a synonym also emits the synonym AT p, so
+    ``by_same_position`` finds (term, synonym) sharing a slot. Returns
+    ``(tokens, positions)`` pairs; ``emits_positions`` marks the contract for
+    the invert kernel."""
+    base = base or simple_tokenize
+
+    def _run(texts: pd.Series) -> pd.Series:
+        tok_lists = base(texts)
+
+        def _one(toks: list[str]):
+            ts: list[str] = []
+            ps: list[int] = []
+            for i, t in enumerate(toks, 1):
+                ts.append(t)
+                ps.append(i)
+                s = synonyms.get(t)
+                if s is not None:
+                    ts.append(s)
+                    ps.append(i)
+            return (ts, ps)
+
+        return tok_lists.map(_one)
+
+    _run.emits_positions = True
+    return _run
+
+
 def pipeline(*stages: Callable[[pd.Series], pd.Series]) -> Tokenizer:
     """pipeline_token_stream.cpp: compose — first stage takes text, later
     stages take token lists (applied token-wise via re-tokenize of joins is NOT
@@ -114,24 +147,74 @@ def pipeline(*stages: Callable[[pd.Series], pd.Series]) -> Tokenizer:
     return _run
 
 
-def text_tokenize(texts: pd.Series, locale: str = "en") -> pd.Series:
-    """Reference ``text`` analyzer (text_token_stream.cpp:373-437): NFC → ICU
-    word break → lower(locale) → accent removal → stopwords → Snowball stem.
+DEFAULT_STOPWORDS = (
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "that", "for",
+    "on", "as", "with", "be", "by", "at", "this", "are", "or", "was",
+)
 
-    PyICU / PyStemmer are not installed in this environment; the byte-identical
-    ICU pipeline cannot be reproduced without them. Callers should use
-    ``simple`` / ``segmentation`` (our recorded-fixture analyzers) instead.
-    """
-    raise ImportError(
-        "text analyzer requires PyICU + PyStemmer (not available); "
-        "use analyzer='simple' or 'segmentation'"
-    )
+
+def accent_fold(texts: pd.Series) -> pd.Series:
+    """NFD → drop combining marks → NFC (the reference's
+    ``"NFD; [:Nonspacing Mark:] Remove; NFC"`` transliterator,
+    text_token_stream.cpp:1098-1135)."""
+
+    def _fold(s: str) -> str:
+        d = unicodedata.normalize("NFD", s)
+        return unicodedata.normalize(
+            "NFC", "".join(c for c in d if not unicodedata.combining(c))
+        )
+
+    return texts.map(_fold)
+
+
+def text_en_tokenize(
+    texts: pd.Series, stopwords: Iterable[str] = DEFAULT_STOPWORDS
+) -> pd.Series:
+    """Reference ``text`` analyzer pipeline, pure Python
+    (text_token_stream.cpp:373-437): normalize → word segmentation → lower →
+    accent removal → stopword filter → Snowball(Porter2) stem.
+
+    Differences vs the reference, documented: segmentation is ``\\w+`` over
+    the casefolded text (an approximation of ICU UBRK_WORD — identical on
+    alphanumeric ASCII corpora), and the stemmer is the published Porter2
+    algorithm re-implemented in :mod:`.stemmer` (the reference links
+    libstemmer's generated code for the same algorithm)."""
+    from .stemmer import stem_english
+
+    sw = frozenset(stopwords)
+    folded = accent_fold(texts.fillna("").str.casefold())
+    tok_lists = folded.str.findall(_WORD_RE)
+    # stem via a per-batch vocab cache: stem once per unique token, not per
+    # occurrence (vocab << corpus)
+    cache: dict[str, str] = {}
+
+    def _one(toks: list[str]) -> list[str]:
+        out = []
+        for t in toks:
+            if t in sw:
+                continue
+            s = cache.get(t)
+            if s is None:
+                s = cache[t] = stem_english(t)
+            out.append(s)
+        return out
+
+    return tok_lists.map(_one)
+
+
+def text_tokenize(texts: pd.Series, locale: str = "en") -> pd.Series:
+    """Reference ``text`` analyzer: only the ``en`` locale pipeline is
+    implemented (see :func:`text_en_tokenize`)."""
+    if not locale.startswith("en"):
+        raise NotImplementedError(f"text analyzer locale {locale!r}: only 'en' is available")
+    return text_en_tokenize(texts)
 
 
 _REGISTRY: dict[str, Tokenizer] = {
     "simple": simple_tokenize,
     "segmentation": segmentation_tokenize,
     "text": text_tokenize,
+    "text_en": text_en_tokenize,
 }
 
 
@@ -195,6 +278,12 @@ def get_tokenizer(name: str) -> Tokenizer:
         if kind == "simple+stop":
             words = tuple(arg.split(","))
             return pipeline(simple_tokenize, lambda t, w=words: stopword_filter(t, w))
+        if kind == "text_en":  # text_en:<stopword,stopword,...> ('' = none)
+            words = tuple(w for w in arg.split(",") if w)
+            return lambda s, w=words: text_en_tokenize(s, w)
+        if kind == "simple+syn":  # simple+syn:word=alias,word2=alias2
+            syn = dict(pair.split("=", 1) for pair in arg.split(",") if pair)
+            return synonym_tokenizer(syn)
     raise KeyError(f"unknown analyzer {name!r}; known: {sorted(_REGISTRY)}")
 
 

@@ -810,6 +810,8 @@ class Searcher:
             return self._search_phrase(nf, list(nf.terms), [0] * len(nf.terms), k, dtype, with_keys)
         if isinstance(nf, flt.ColumnExists):
             return self._search_column_exists(nf, k, with_keys)
+        if isinstance(nf, flt.NumericRange):
+            return self._search_numeric_range(nf, k, with_keys)
         plan, terms, specs = compile_plan(nf, self.reader, self.k1, self.b, dtype, model=self.model)
         stats = self.reader.field_stats()
         avgdl = stats["avgdl"]
@@ -1045,6 +1047,31 @@ class Searcher:
             return self.reader.spark.createDataFrame([], schema if with_keys else schema.split(", ", 1)[1])
         out = (
             docs.where(F.col(node.column).isNotNull())
+            .select("doc_key", "segment_id", "doc_id", F.lit(float(node.boost)).alias("score"))
+            .orderBy("segment_id", "doc_id")
+            .limit(k)
+        )
+        return out if with_keys else out.drop("doc_key")
+
+    def _search_numeric_range(self, node: flt.NumericRange, k: int, with_keys: bool) -> DataFrame:
+        """by_granular_range analogue: a native numeric predicate on a stored
+        column — Catalyst pushes it to the parquet scan (min/max row-group
+        pruning plays the role of the reference's multi-precision trie terms,
+        granular_range_filter.cpp:42-91). Constant score = boost, doc order."""
+        docs = self.reader.docs()
+        if node.column not in docs.columns:
+            schema = "doc_key string, segment_id int, doc_id int, score double"
+            return self.reader.spark.createDataFrame(
+                [], schema if with_keys else schema.split(", ", 1)[1]
+            )
+        c = F.col(node.column)
+        pred = c.isNotNull()
+        if node.low is not None:
+            pred = pred & (c >= node.low if node.include_low else c > node.low)
+        if node.high is not None:
+            pred = pred & (c <= node.high if node.include_high else c < node.high)
+        out = (
+            docs.where(pred)
             .select("doc_key", "segment_id", "doc_id", F.lit(float(node.boost)).alias("score"))
             .orderBy("segment_id", "doc_id")
             .limit(k)

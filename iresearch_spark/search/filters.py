@@ -137,6 +137,22 @@ class ColumnExists(Filter):
 
 
 @dataclass
+class NumericRange(Filter):
+    """Numeric range over a stored column — the engine surface replacing
+    ``by_granular_range`` (granular_range_filter.cpp:42-91): the reference
+    indexes multi-precision trie terms because its terms are opaque bytes;
+    on Spark the same query is a native predicate on a numeric column, pruned
+    by parquet min/max stats. Constant score = boost, doc order."""
+
+    column: str
+    low: float | None = None
+    high: float | None = None
+    include_low: bool = True
+    include_high: bool = True
+    boost: float = 1.0
+
+
+@dataclass
 class Empty(Filter):
     boost: float = 0.0
 

@@ -109,15 +109,26 @@ def lsh_bucket_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """ANN candidate pairs: vectors sharing a sign-LSH bucket (a<b).
 
     Scale path: |docs| rows keyed by bucket → self-join on bucket (uniform by
-    construction when planes are random); rerank with exact cosine."""
+    construction when planes are random); rerank with exact cosine.
+    ``max_bucket`` caps the quadratic fanout per bucket (skew guard): buckets
+    with more members are dropped from the pair join — a degenerate bucket
+    (e.g. near-zero vectors all hashing together) would otherwise dominate
+    the shuffle at scale. Deterministic: the cap is a property of the bucket
+    histogram, not of sampling."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     sig = df.select(F.col(id_col), lsh_signature_col(vec_col, planes).alias("bucket"))
+    if max_bucket is not None:
+        sizes = sig.groupBy("bucket").agg(F.count("*").alias("bsize"))
+        sig = sig.join(
+            F.broadcast(sizes.where(F.col("bsize") <= max_bucket)), "bucket", "inner"
+        ).drop("bsize")
     l = sig.select(F.col(id_col).alias("a"), "bucket")
     r = sig.select(F.col(id_col).alias("b"), "bucket")
     return l.join(r, "bucket").where(F.col("a") < F.col("b")).select("a", "b", "bucket")

@@ -73,9 +73,13 @@ def test_norm_and_stopwords_pipeline():
     assert norm_tokenize(pd.Series(["ABC"]))[0] == ["abc"]
 
 
-def test_text_analyzer_gated():
-    with pytest.raises(ImportError):
-        get_tokenizer("text")(pd.Series(["x"]))
+def test_text_analyzer_english_only():
+    # 'text' now runs the pure-Python en pipeline; other locales are gated
+    assert get_tokenizer("text")(pd.Series(["Running dogs"])).tolist() == [["run", "dog"]]
+    from iresearch_spark.analysis.tokenizers import text_tokenize
+
+    with pytest.raises(NotImplementedError):
+        text_tokenize(pd.Series(["x"]), locale="de")
 
 
 def test_tokens_to_postings():
