@@ -139,6 +139,47 @@ class BM25Model(ScoreModel):
         return ub
 
 
+class BM25LegacyNormModel(BM25Model):
+    """BM25 under the legacy ``Norm`` feature (norm.hpp:46-69; bm25.cpp:292-296,
+    446-457): the stored norm is the float ``1/sqrt(len)`` and the scorer
+    plugs it directly where Norm2 plugs ``len`` — ``tf = sqrt(freq)``,
+    ``c1 = k(1-b) + (k*b/avgdl) * (1/sqrt(len))``. Our index stores exact
+    integer lengths (Norm2), so the norm value is recomputed as f32
+    ``1/sqrt(len)`` — the same value the reference's zvfloat round-trips."""
+
+    def score(self, tf, dl, const, avgdl, boost, dtype):
+        dt = np.dtype(dtype).type
+        tfs = np.sqrt(np.asarray(tf).astype(dtype))
+        nv = dt(1) / np.sqrt(np.asarray(dl).astype(dtype))
+        c0 = dt(boost) * (dt(self.k1) + dt(1)) * dt(const)
+        c1 = dt(self.k1) * (dt(1) - dt(self.b)) + (dt(self.k1) * dt(self.b) / dt(avgdl)) * nv
+        if np.dtype(dtype) == np.float32:
+            return (c0 - c0 * c1 / (c1 + tfs)).astype(dtype)
+        return (c0 * tfs / (c1 + tfs)).astype(dtype)
+
+    def ub(self, max_tf, const, dl_min, avgdl, boost, dtype):
+        # most favorable norm value is 0 (len -> inf): conservative bound
+        # independent of the segment's length range
+        dt = np.dtype(dtype).type
+        c0 = dt(boost) * (dt(self.k1) + dt(1)) * dt(const)
+        c1_min = dt(self.k1) * (dt(1) - dt(self.b))
+        tfs = np.sqrt(dt(max_tf))
+        ub = float(c0 * tfs / (c1_min + tfs))
+        return self._inflate(ub, dtype)
+
+    def ub_batch(self, max_tfs, consts, boosts, dl_min, avgdl, dtype):
+        m = np.sqrt(np.asarray(max_tfs, dtype=np.float64))
+        c0 = np.asarray(boosts, np.float64) * (self.k1 + 1.0) * np.asarray(consts, np.float64)
+        c1_min = self.k1 * (1.0 - self.b)
+        ub = c0 * m / (c1_min + m)
+        if np.dtype(dtype) == np.float32:
+            f = ub.astype(np.float32)
+            for _ in range(4):
+                f = np.nextafter(f, np.float32(np.inf), dtype=np.float32)
+            return f.astype(np.float64)
+        return ub
+
+
 class TFIDFModel(ScoreModel):
     """sqrt(tf) * (ln((N+1)/(df+1)) + 1)  (tfidf.cpp:381, 248-250; norm-free
     variant — the reference's optional 1/sqrt(len) norm is off by default)."""
@@ -183,8 +224,10 @@ class BoostModel(ScoreModel):
 def get_model(name: str, k1: float = K_DEFAULT, b: float = B_DEFAULT) -> ScoreModel:
     if name == "bm25":
         return BM25Model(k1, b)
+    if name == "bm25_norm":
+        return BM25LegacyNormModel(k1, b)
     if name == "tfidf":
         return TFIDFModel()
     if name == "boost":
         return BoostModel()
-    raise KeyError(f"unknown scorer {name!r}; known: bm25, tfidf, boost")
+    raise KeyError(f"unknown scorer {name!r}; known: bm25, bm25_norm, tfidf, boost")

@@ -289,7 +289,8 @@ def compile_plans(
             all_terms.add(node.term)
             return {"op": "term", "term": node.term, "idf": idf_of(node.term), "boost": node.boost}
         if isinstance(node, flt.Terms):
-            members = [(t, idf_of(t)) for t in node.terms]
+            boosts = node.boosts or (1.0,) * len(node.terms)
+            members = [(t, idf_of(t), float(b)) for t, b in zip(node.terms, boosts)]
             all_terms.update(node.terms)
             return {"op": "mterm", "terms": members, "min_match": node.min_match, "boost": node.boost}
         if isinstance(node, (flt.Prefix, flt.Range, flt.Wildcard, flt.Fuzzy)):
@@ -300,7 +301,7 @@ def compile_plans(
             members = []
             for t, df in expanded:
                 all_terms.add(t)
-                members.append((t, model.term_const(df, n_field, dt)))
+                members.append((t, model.term_const(df, n_field, dt), 1.0))
             if tail_spec is not None:
                 tail_specs.append(tail_spec)
             return {
@@ -322,7 +323,7 @@ def compile_plans(
                     incl.append(build(p))
             if not incl:
                 raise ValueError("And with only Not parts is unsupported (needs All base)")
-            return {"op": "and", "parts": incl, "exclude": excl, "boost": node.boost}
+            return {"op": "and", "parts": incl, "exclude": excl, "merge": node.merge, "boost": node.boost}
         if isinstance(node, flt.Or):
             if any(isinstance(p, flt.Not) for p in node.parts):
                 raise ValueError("Not directly under Or is unsupported")
@@ -330,6 +331,7 @@ def compile_plans(
                 "op": "or",
                 "parts": [build(p) for p in node.parts],
                 "min_match": node.min_match,
+                "merge": node.merge,
                 "boost": node.boost,
             }
         if isinstance(node, flt.All):
@@ -434,7 +436,7 @@ def _tail_terms(plan: dict, sv) -> list[str]:
     tails = list(plan.get("unscored", ()))
     spec = plan.get("unscored_spec")
     if spec is not None:
-        scored = {t for t, _ in plan["terms"]}
+        scored = {m[0] for m in plan["terms"]}
         seen = set(tails)
         keys = sv.views.keys() if hasattr(sv, "views") else sv.keys()
         tails.extend(
@@ -609,7 +611,7 @@ def _eval_root(
             return empty
         return _wand_single_term(v, plan["idf"], plan["boost"], k, dl, avgdl, model, dt)
     if op == "mterm" and plan.get("min_match", 1) <= 1:
-        legs = [(sv.view(t), idf, plan["boost"]) for t, idf in plan["terms"]]
+        legs = [(sv.view(m[0]), m[1], plan["boost"] * (m[2] if len(m) > 2 else 1.0)) for m in plan["terms"]]
         legs = [(v, i, bo) for v, i, bo in legs if v is not None]
         unscored = _tail_terms(plan, sv)
         if not legs and not unscored:
@@ -631,6 +633,7 @@ def _eval_root(
     if (
         op == "or"
         and plan.get("min_match", 1) <= 1
+        and plan.get("merge", "sum") == "sum"
         and all(p["op"] == "term" for p in plan["parts"])
     ):
         legs = [(sv.view(p["term"]), p["idf"], p["boost"]) for p in plan["parts"]]
@@ -641,7 +644,11 @@ def _eval_root(
         if plan["boost"] != 1.0:
             sc = sc * dt(plan["boost"])
         return ids, sc
-    if op == "and" and all(p["op"] == "term" for p in plan["parts"]):
+    if (
+        op == "and"
+        and plan.get("merge", "sum") == "sum"
+        and all(p["op"] == "term" for p in plan["parts"])
+    ):
         legs = []
         for p in plan["parts"]:
             v = sv.view(p["term"])
@@ -679,25 +686,29 @@ def _eval_plan(
         return ids, scores
     if op == "mterm":
         legs = []
-        for term, idf in plan["terms"]:
+        for m in plan["terms"]:
+            term, idf = m[0], m[1]
+            tb = plan["boost"] * (m[2] if len(m) > 2 else 1.0)
             hit = decoded.get(term)
             if hit is None:
                 continue
             ids, tfs = hit[0], hit[1]
-            legs.append((ids, model.score(tfs, dl[ids - 1], idf, avgdl, plan["boost"], dt)))
+            legs.append((ids, model.score(tfs, dl[ids - 1], idf, avgdl, tb, dt)))
         for term in _tail_terms(plan, decoded):  # bitset tail: matches, score 0
             hit = decoded.get(term)
             if hit is not None:
                 legs.append((hit[0], np.zeros(hit[0].size, dtype=dt)))
         return _union(legs, plan.get("min_match", 1), dt)
     if op == "and":
+        merge = plan.get("merge", "sum")
         parts = [_eval_plan(p, decoded, dl, avgdl, model, dt) for p in plan["parts"]]
         # cost-ordered: smallest first (conjunction.hpp:112-124)
         parts.sort(key=lambda t: t[0].size)
         ids, scores = parts[0]
+        mop = {"sum": np.add, "max": np.maximum, "min": np.minimum}[merge]
         for oids, oscores in parts[1:]:
             ids, ia, ib = np.intersect1d(ids, oids, assume_unique=True, return_indices=True)
-            scores = scores[ia] + oscores[ib]
+            scores = mop(scores[ia], oscores[ib])
         for ex in plan.get("exclude", []):
             eids, _ = _eval_plan(ex, decoded, dl, avgdl, model, dt)
             keep = ~np.isin(ids, eids, assume_unique=True)
@@ -707,7 +718,7 @@ def _eval_plan(
         return ids, scores
     if op == "or":
         legs = [_eval_plan(p, decoded, dl, avgdl, model, dt) for p in plan["parts"]]
-        ids, scores = _union(legs, plan.get("min_match", 1), dt)
+        ids, scores = _union(legs, plan.get("min_match", 1), dt, plan.get("merge", "sum"))
         if plan["boost"] != 1.0:
             scores = scores * dt(plan["boost"])
         return ids, scores
@@ -719,8 +730,9 @@ def _eval_plan(
     raise ValueError(f"bad plan op {op}")
 
 
-def _union(legs, min_match: int, dt) -> tuple[np.ndarray, np.ndarray]:
-    """k-way disjunction: unique + score sum + match counting ≥ min_match
+def _union(legs, min_match: int, dt, merge: str = "sum") -> tuple[np.ndarray, np.ndarray]:
+    """k-way disjunction: unique + score merge (kSum/kMax/kMin,
+    sort.hpp:464-468) + match counting ≥ min_match
     (disjunction.hpp / min_match_disjunction.hpp analogue)."""
     legs = [(i, s) for i, s in legs if i.size]
     if not legs:
@@ -728,8 +740,17 @@ def _union(legs, min_match: int, dt) -> tuple[np.ndarray, np.ndarray]:
     all_ids = np.concatenate([i for i, _ in legs])
     all_scores = np.concatenate([s for _, s in legs])
     uniq, inv, counts = np.unique(all_ids, return_inverse=True, return_counts=True)
-    sums = np.zeros(uniq.size, dtype=np.float64)
-    np.add.at(sums, inv, all_scores.astype(np.float64))
+    if merge == "sum":
+        sums = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(sums, inv, all_scores.astype(np.float64))
+    elif merge == "max":
+        sums = np.full(uniq.size, -np.inf)
+        np.maximum.at(sums, inv, all_scores.astype(np.float64))
+    elif merge == "min":
+        sums = np.full(uniq.size, np.inf)
+        np.minimum.at(sums, inv, all_scores.astype(np.float64))
+    else:
+        raise ValueError(f"bad merge type {merge!r}")
     sums = sums.astype(dt)
     if min_match > 1:
         keep = counts >= min_match

@@ -30,10 +30,12 @@ class Term(Filter):
 
 @dataclass
 class Terms(Filter):
-    """Set of terms, disjunction with optional min_match (terms_filter.hpp:38-52)."""
+    """Set of terms, disjunction with optional min_match and optional
+    PER-TERM boosts (terms_filter.hpp:38-52 search_terms boost field)."""
 
     terms: tuple[str, ...]
     min_match: int = 1
+    boosts: tuple[float, ...] | None = None  # parallel to terms; None = all 1.0
     boost: float = 1.0
 
 
@@ -104,7 +106,11 @@ class SamePosition(Filter):
 
 @dataclass
 class And(Filter):
+    """Conjunction; ``merge`` picks the score merge type for the parts —
+    kSum/kMax/kMin (sort.hpp:464-468 MergeType)."""
+
     parts: tuple[Filter, ...]
+    merge: str = "sum"  # sum | max | min
     boost: float = 1.0
 
 
@@ -112,6 +118,7 @@ class And(Filter):
 class Or(Filter):
     parts: tuple[Filter, ...]
     min_match: int = 1
+    merge: str = "sum"  # sum | max | min (MergeType, sort.hpp:464-468)
     boost: float = 1.0
 
 
@@ -166,10 +173,16 @@ def normalize(f: Filter) -> Filter:
         return Not(inner, boost=f.boost)
     if isinstance(f, (And, Or)):
         parts = tuple(normalize(p) for p in f.parts)
-        # flatten same-type nesting (when no competing boost/min_match)
+        # flatten same-type nesting (when no competing boost/min_match/merge)
         flat: list[Filter] = []
         for p in parts:
-            if type(p) is type(f) and p.boost == 1.0 and getattr(p, "min_match", 1) == 1:
+            if (
+                type(p) is type(f)
+                and p.boost == 1.0
+                and getattr(p, "min_match", 1) == 1
+                and getattr(p, "merge", "sum") == "sum"
+                and f.merge == "sum"
+            ):
                 flat.extend(p.parts)
             elif isinstance(p, Empty) and isinstance(f, Or):
                 continue
@@ -183,8 +196,8 @@ def normalize(f: Filter) -> Filter:
                 return _with_boost(only, only.boost * f.boost)
             return only
         if isinstance(f, And):
-            return And(tuple(flat), boost=f.boost)
-        return Or(tuple(flat), min_match=f.min_match, boost=f.boost)
+            return And(tuple(flat), merge=f.merge, boost=f.boost)
+        return Or(tuple(flat), min_match=f.min_match, merge=f.merge, boost=f.boost)
     return f
 
 

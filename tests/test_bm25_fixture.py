@@ -58,3 +58,12 @@ def test_range_6_incl_8_incl_norm2(fixture_index, dtype):
     s = Searcher(fixture_index)
     f = flt.Range(low="6", high="8")
     assert ranks(s, f, dtype) == [0, 7, 5, 3, 2, 1]  # bm25_test.cpp:185-186
+
+
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+def test_range_6_incl_8_incl_legacy_norm(fixture_index, dtype):
+    """Legacy Norm variant (norm stored as 1/sqrt(len), tf=sqrt(freq)):
+    rank {7,0,5,3,2,1} (bm25_test.cpp:175-211 non-Norm2 branch)."""
+    s = Searcher(fixture_index, scorer="bm25_norm")
+    f = flt.Range(low="6", high="8")
+    assert ranks(s, f, dtype) == [7, 0, 5, 3, 2, 1]

@@ -224,3 +224,46 @@ def test_variadic_phrase_terms_slot(vbuilt):
     for r in m.join(docs, ["segment_id", "doc_id"]).collect():
         tf[r["doc_key"]] = r["tf"]
     assert tf == {"v0001": 1, "v0005": 2}
+
+
+# ---------------------------------------------------------- boosts & merges
+
+
+def test_terms_per_term_boost(built):
+    s = Searcher(built)
+    plain = {r["doc_key"]: r["score"] for r in s.search(flt.Terms(("spark", "merge")), k=50).collect()}
+    boosted = {
+        r["doc_key"]: r["score"]
+        for r in s.search(flt.Terms(("spark", "merge"), boosts=(2.0, 1.0)), k=50).collect()
+    }
+    assert set(plain) == set(boosted)
+    # docs containing only 'merge' keep their score; spark-only docs double
+    spark_only = [k for k, t in DOCS.items() if "spark" in t.split() and "merge" not in t.split()]
+    merge_only = [k for k, t in DOCS.items() if "merge" in t.split() and "spark" not in t.split()]
+    for k in merge_only:
+        assert abs(boosted[k] - plain[k]) < 1e-12
+    for k in spark_only:
+        assert abs(boosted[k] - 2 * plain[k]) < 1e-12
+
+
+def test_or_merge_max_min(built):
+    s = Searcher(built)
+    a = {r["doc_key"]: r["score"] for r in s.search(flt.Term("spark"), k=50).collect()}
+    b = {r["doc_key"]: r["score"] for r in s.search(flt.Term("merge"), k=50).collect()}
+    mx = {r["doc_key"]: r["score"] for r in s.search(flt.Or((flt.Term("spark"), flt.Term("merge")), merge="max"), k=50).collect()}
+    mn = {r["doc_key"]: r["score"] for r in s.search(flt.Or((flt.Term("spark"), flt.Term("merge")), merge="min"), k=50).collect()}
+    for k in mx:
+        legs = [d[k] for d in (a, b) if k in d]
+        assert abs(mx[k] - max(legs)) < 1e-12
+        assert abs(mn[k] - min(legs)) < 1e-12
+
+
+def test_and_merge_max(built):
+    s = Searcher(built)
+    a = {r["doc_key"]: r["score"] for r in s.search(flt.Term("spark"), k=50).collect()}
+    b = {r["doc_key"]: r["score"] for r in s.search(flt.Term("merge"), k=50).collect()}
+    both = set(a) & set(b)
+    mx = {r["doc_key"]: r["score"] for r in s.search(flt.And((flt.Term("spark"), flt.Term("merge")), merge="max"), k=50).collect()}
+    assert set(mx) == both
+    for k in both:
+        assert abs(mx[k] - max(a[k], b[k])) < 1e-12
