@@ -53,7 +53,7 @@ def _index(spark: SparkSession, sf_dir: str, analyzer: str = "simple", tag: str 
     key = (sf_dir, tag or "base")
     if key in _READERS:
         return _READERS[key]
-    h = hashlib.md5(f"{sf_dir}|{analyzer}".encode()).hexdigest()[:10]
+    h = hashlib.md5(f"{sf_dir}|{analyzer}|{tag}".encode()).hexdigest()[:10]
     path = os.path.join("/tmp", f"iresearch_entry_idx_v2_{h}")
     os.makedirs(path, exist_ok=True)
     builder = IndexBuilder(spark, path, analyzer=analyzer, num_segments=4)
@@ -78,6 +78,27 @@ def _syn_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     emits 'scansyn' at the SAME position (SamePosition gets non-empty
     verified results)."""
     return _index(spark, sf_dir, analyzer="simple+syn:scan=scansyn", tag="syn")
+
+
+def _del_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Index with a document_mask: docs with doc_id % 7 == 3 deleted.
+    Reference delete semantics: masked docs vanish from results immediately,
+    global stats stay stale until consolidation purges them — the oracle
+    therefore computes BM25 stats over ALL docs and filters matches."""
+    from iresearch_spark.index.deletes import delete_docs
+
+    key = (sf_dir, "del")
+    if key in _READERS:
+        return _READERS[key]
+    reader = _index(spark, sf_dir, analyzer="simple", tag="delbase")
+    if "deletes" not in reader.meta["tables"]:
+        keys = reader.docs().where(
+            (F.col("doc_key").cast("bigint") % 7) == 3
+        ).select("doc_key")
+        delete_docs(reader, keys)
+        reader = IndexReader(spark, reader.index_path)
+    _READERS[key] = reader
+    return reader
 
 
 def _run_search(spark: SparkSession, sf_dir: str, f: flt.Filter, k: int = TOPK) -> DataFrame:
@@ -146,6 +167,7 @@ def _bm25_sql(
     exclude_term: str | None = None,
     k: int = TOPK,
     cte: str | None = None,
+    where_extra: str = "",
 ) -> str:
     """BM25 sum-of-legs top-k in pure SQL (k1=1.2 b=0.75, IResearch idf)."""
     excl = (
@@ -153,6 +175,7 @@ def _bm25_sql(
         if exclude_term
         else ""
     )
+    excl += f" {where_extra}" if where_extra else ""
     return f"""{cte if cte is not None else _BM25_CTE},
 q AS (SELECT term FROM dfreq WHERE {term_pred}),
 leg AS (
@@ -451,6 +474,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_numeric_range"] = numeric_range
 
+    def deletes_term(s, d):
+        reader = _del_index(s, d)
+        res = Searcher(reader).search(flt.Term("scan"), k=TOPK)
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.round(F.col("score"), 4).cast("double").alias("score"),
+        )
+
+    q["q_deletes_term"] = deletes_term
+
     def batch_search(s, d):
         reader = _index(s, d)
         res = Searcher(reader).search_many(
@@ -644,6 +677,11 @@ WHERE CAST(round(list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v)) 
     o["q_numeric_range"] = f"""
 SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
 WHERE n_chars >= 200 AND n_chars < 400 ORDER BY doc_id LIMIT {TOPK}"""
+    # deletes: stats over ALL docs (stale until consolidation purge, matching
+    # the reference's document_mask), matches filtered to live docs
+    o["q_deletes_term"] = _bm25_sql(
+        "term = 'scan'", where_extra="AND leg.doc_id % 7 <> 3"
+    )
 
     # ANN: the engine's LSH is deterministic (seeded LCG hyperplanes), so the
     # oracle replays the identical geometry in SQL — a FULL value oracle, not

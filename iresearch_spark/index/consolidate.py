@@ -5,10 +5,14 @@ Reference: ``merge_writer`` k-way segment merge with doc-id remapping
 policies (``consolidate_count`` / ``consolidate_docs_live`` / tiered,
 utils/index_utils.hpp:36-126).
 
-Spark-first re-expression: our corpus is append-only (no deletes), so every
-doc is live and the reference's per-doc ``doc_map_f`` closure degenerates to a
-constant per-segment offset — new_doc_id = old_doc_id + sum(docs_count of
-earlier merged segments). That makes the merge a pure layout job:
+Spark-first re-expression: without deletes every doc is live and the
+reference's per-doc ``doc_map_f`` closure degenerates to a constant
+per-segment offset — new_doc_id = old_doc_id + sum(docs_count of earlier
+merged segments), making the merge a pure layout job. With a document_mask
+present, the full doc_map applies: masked docs are dropped, survivors are
+shifted down by the number of deleted ids below them, positions re-encoded,
+and term_dict/field stats recomputed (the deletes are physically purged,
+exactly merge_writer's contract):
 
 * postings — group the merged segments' rows by term (within a bucket kernel),
   decode, shift by the segment offsets, concatenate in segment order (ids stay
@@ -36,7 +40,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from .builder import POSTINGS_SCHEMA, NORMS_SCHEMA, IndexBuilder
-from .codec import encode_postings_batch, vbyte_decode, vbyte_encode
+from .codec import decode_positions, encode_postings_batch, vbyte_decode, vbyte_encode
 from .reader import IndexReader
 
 
@@ -115,12 +119,27 @@ def consolidate(
         )
     docs_count = dict(seg_rows)
     target = merge_ids[0]
+
+    # document_mask purge (merge_writer.cpp:162-209 doc_map_f): deleted docs
+    # of the merged segments are dropped and survivors renumbered densely —
+    # new_id = old_id - #deleted_below(old_id) + live_offset(segment)
+    dmask: dict[int, np.ndarray] = {}
+    dels_df = reader.deletes()
+    if dels_df is not None:
+        for r in (
+            dels_df.where(F.col("segment_id").isin(merge_ids))
+            .groupBy("segment_id")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .collect()
+        ):
+            dmask[int(r["segment_id"])] = np.asarray(r["ids"], dtype=np.int64)
     offsets = {}
     acc = 0
     for s in merge_ids:
         offsets[s] = acc
-        acc += docs_count[s]
+        acc += docs_count[s] - dmask.get(s, np.empty(0)).size
     b_offsets = spark.sparkContext.broadcast(offsets)
+    b_dmask = spark.sparkContext.broadcast(dmask)
     p_parts = int(meta.get("postings_partitions", 16))
 
     t_all = time.time()
@@ -144,8 +163,9 @@ def consolidate(
             "block_last_doc", "block_doc_off", "block_freq_off", "block_max_freq",
         )
         if len(pdf) == 0:
-            return pd.DataFrame({k: [] for k in cols})
+            return pd.DataFrame({k: pd.Series([], dtype="object") for k in cols})
         offs = b_offsets.value
+        dmask_v = b_dmask.value
         tgt = min(offs)
         pdf = pdf.sort_values(["term", "segment_id"], kind="stable").reset_index(drop=True)
         n_rows = len(pdf)
@@ -159,12 +179,49 @@ def consolidate(
         row_of = np.repeat(np.arange(n_rows), counts)
         csum = np.cumsum(deltas)
         carry = csum[row_starts] - deltas[row_starts]
+        ids_raw = csum - carry[row_of]  # per-segment 1-based ids
+        seg_ids = pdf["segment_id"].to_numpy(np.int64)
         seg_off = pdf["segment_id"].map(offs).to_numpy(np.int64)
-        ids = csum - carry[row_of] + seg_off[row_of]
         freqs = vbyte_decode(b"".join(pdf["freqs_enc"])).astype(np.int64)
-        # term boundaries in element space
         codes, uniq_terms = pd.factorize(pdf["term"])
         first_row = np.flatnonzero(np.diff(codes, prepend=-1))
+
+        if any(ds.size for ds in dmask_v.values()):
+            # purge + renumber: drop masked docs, shift survivors down by the
+            # number of deleted ids below them (doc_map_f), re-encode incl.
+            # positions (per-doc position streams of dropped docs must go)
+            keep = np.ones(n, dtype=bool)
+            shift = np.zeros(n, dtype=np.int64)
+            seg_el = seg_ids[row_of]
+            for s, ds in dmask_v.items():
+                if ds.size == 0:
+                    continue
+                m = seg_el == s
+                idv = ids_raw[m]
+                pos = np.searchsorted(ds, idv)
+                posc = np.minimum(pos, ds.size - 1)
+                keep[m] = ds[posc] != idv
+                shift[m] = np.searchsorted(ds, idv, side="right")
+            new_ids = ids_raw - shift + seg_off[row_of]
+            pos_vals = [v if v is not None else b"" for v in pdf["pos_enc"]]
+            has_pos = any(len(v) for v in pos_vals)
+            positions = None
+            if has_pos:
+                pos_abs = decode_positions(b"".join(pos_vals), freqs)
+                positions = pos_abs[np.repeat(keep, freqs)]
+            t_el = codes[row_of]
+            ids_k, freqs_k, t_k = new_ids[keep], freqs[keep], t_el[keep]
+            if ids_k.size == 0:
+                return pd.DataFrame({k: pd.Series([], dtype="object") for k in cols})
+            firstk = np.flatnonzero(np.diff(t_k, prepend=-1))
+            tb = np.append(firstk, ids_k.size)
+            enc = encode_postings_batch(ids_k, freqs_k, tb, positions)
+            out_terms = [uniq_terms[i] for i in t_k[firstk]]
+            out = {"term": out_terms, "segment_id": np.full(len(out_terms), tgt, np.int32)}
+            out.update(enc)
+            return pd.DataFrame(out)[list(cols)]
+
+        ids = ids_raw + seg_off[row_of]
         tb = np.append(row_starts[first_row], n)
         enc = encode_postings_batch(ids, freqs, tb, positions=None)
         # per-doc position deltas are remap-invariant → byte concat per term
@@ -196,12 +253,25 @@ def consolidate(
 
     # ---- norms ----
     t0 = time.time()
-    norms = reader.norms()
+    # raw norms table (NOT reader.norms(), which joins the delete mask in)
+    norms = reader._table("norms").select(
+        "segment_id", "docs_count", "doc_len_enc", "docs_with_field", "sum_len"
+    )
 
     def merge_norms(pdf: pd.DataFrame) -> pd.DataFrame:
         offs = b_offsets.value
+        dmask_v = b_dmask.value
         pdf = pdf.sort_values("segment_id")
-        dl = np.concatenate([vbyte_decode(e).astype(np.int64) for e in pdf["doc_len_enc"]])
+        parts = []
+        for row in pdf.itertuples(index=False):
+            dl = vbyte_decode(row.doc_len_enc).astype(np.int64)
+            ds = dmask_v.get(int(row.segment_id))
+            if ds is not None and ds.size:
+                live = np.ones(dl.size, dtype=bool)
+                live[ds - 1] = False  # doc ids are 1-based
+                dl = dl[live]
+            parts.append(dl)
+        dl = np.concatenate(parts) if parts else np.empty(0, np.int64)
         return pd.DataFrame(
             [{
                 "segment_id": min(offs),
@@ -230,37 +300,98 @@ def consolidate(
     # ---- docs ----
     t0 = time.time()
     docs = reader.docs()
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(s, offsets[s]) for s in merge_ids], "segment_id int, off int"
-        )
-    )
     docs_path = os.path.join(gen_dir, "docs")
-    (
-        docs.join(off_df, "segment_id", "left")
-        .withColumn(
-            "doc_id",
-            F.when(F.col("off").isNotNull(), F.col("doc_id") + F.col("off")).otherwise(
-                F.col("doc_id")
-            ),
+    if any(ds.size for ds in dmask.values()):
+        doc_schema = docs.schema
+        passthrough_docs = docs.where(~F.col("segment_id").isin(merge_ids))
+
+        def remap_docs(pdf: pd.DataFrame) -> pd.DataFrame:
+            offs = b_offsets.value
+            dmask_v = b_dmask.value
+            if len(pdf) == 0:
+                return pdf
+            sid = int(pdf["segment_id"].iloc[0])
+            ds = dmask_v.get(sid, np.empty(0, np.int64))
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            if ds.size:
+                pos = np.searchsorted(ds, ids)
+                posc = np.minimum(pos, ds.size - 1)
+                keep = ds[posc] != ids
+                pdf = pdf[keep].copy()
+                ids = ids[keep]
+                shift = np.searchsorted(ds, ids, side="right")
+            else:
+                pdf = pdf.copy()
+                shift = np.zeros(ids.size, np.int64)
+            pdf["doc_id"] = (ids - shift + offs[sid]).astype(np.int32)
+            pdf["segment_id"] = np.int32(min(offs))
+            return pdf
+
+        merged_docs = (
+            docs.where(F.col("segment_id").isin(merge_ids))
+            .groupBy("segment_id")
+            .applyInPandas(remap_docs, doc_schema)
         )
-        .withColumn(
-            "segment_id",
-            F.when(F.col("off").isNotNull(), F.lit(target)).otherwise(F.col("segment_id")),
+        passthrough_docs.unionByName(merged_docs).write.mode("overwrite").parquet(docs_path)
+    else:
+        off_df = F.broadcast(
+            spark.createDataFrame(
+                [(s, offsets[s]) for s in merge_ids], "segment_id int, off int"
+            )
         )
-        .drop("off")
-        .write.mode("overwrite")
-        .parquet(docs_path)
-    )
+        (
+            docs.join(off_df, "segment_id", "left")
+            .withColumn(
+                "doc_id",
+                F.when(F.col("off").isNotNull(), F.col("doc_id") + F.col("off")).otherwise(
+                    F.col("doc_id")
+                ),
+            )
+            .withColumn(
+                "segment_id",
+                F.when(F.col("off").isNotNull(), F.lit(target)).otherwise(F.col("segment_id")),
+            )
+            .drop("off")
+            .write.mode("overwrite")
+            .parquet(docs_path)
+        )
     builder._manifest(meta["run_id"], gen, "consolidate_docs", "done", time.time() - t0)
 
-    # ---- commit gen+1 (term_dict / field_stats are merge-invariant) ----
+    # ---- commit gen+1 ----
     meta["generation"] = gen
     meta["num_segments"] = len(all_ids) - len(merge_ids) + 1
     meta["tables"] = dict(meta["tables"])
     meta["tables"]["postings"] = postings_path
     meta["tables"]["norms"] = norms_path
     meta["tables"]["docs"] = docs_path
+    if any(ds.size for ds in dmask.values()):
+        # purged docs change df/ttf: rebuild term_dict from the new postings
+        # (the reference merge recomputes term stats the same way)
+        term_dict_path = os.path.join(gen_dir, "term_dict")
+        (
+            spark.read.parquet(postings_path)
+            .groupBy("term")
+            .agg(
+                F.sum("docs_count").alias("df"),
+                F.sum("total_freq").alias("ttf"),
+                F.max("max_freq").alias("max_freq"),
+            )
+            .repartitionByRange(max(8, p_parts // 4), "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(term_dict_path)
+        )
+        meta["tables"]["term_dict"] = term_dict_path
+    if dels_df is not None:
+        # merged segments' deletes are now physically purged; other segments'
+        # masks carry over into the new generation
+        remaining = dels_df.where(~F.col("segment_id").isin(merge_ids))
+        if remaining.limit(1).count() > 0:
+            deletes_path = os.path.join(gen_dir, "deletes")
+            remaining.write.mode("overwrite").parquet(deletes_path)
+            meta["tables"]["deletes"] = deletes_path
+        else:
+            meta["tables"].pop("deletes", None)
     pending = os.path.join(index_path, "_pending.json")
     with open(pending, "w") as f:
         json.dump(meta, f, indent=1)

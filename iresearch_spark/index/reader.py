@@ -45,10 +45,34 @@ class IndexReader:
     def term_dict(self) -> DataFrame:
         return self._table("term_dict")
 
+    def deletes(self) -> DataFrame | None:
+        """(segment_id, doc_id) delete pairs — the document_mask
+        (segment_reader.hpp:92-93), or None when nothing is deleted."""
+        if "deletes" not in self.meta["tables"]:
+            return None
+        return self._table("deletes")
+
+    def live_docs(self) -> DataFrame:
+        """docs minus deleted (mask applied; stored-column query surface)."""
+        docs = self.docs()
+        dels = self.deletes()
+        if dels is None:
+            return docs
+        return docs.join(dels, ["segment_id", "doc_id"], "left_anti")
+
     def norms(self) -> DataFrame:
         df = self._table("norms")
         keep = [c for c in ("segment_id", "docs_count", "doc_len_enc", "docs_with_field", "sum_len") if c in df.columns]
-        return df.select(*keep)
+        out = df.select(*keep)
+        dels = self.deletes()
+        if dels is not None:
+            # per-segment sorted delete arrays ride the norms side into the
+            # scoring kernels (the in-memory document_mask analogue)
+            agg = dels.groupBy("segment_id").agg(
+                F.sort_array(F.collect_list("doc_id")).alias("del_ids")
+            )
+            out = out.join(F.broadcast(agg), "segment_id", "left")
+        return out
 
     def field_stats(self) -> dict:
         """{docs_with_field, total_term_freq, avgdl} — collected once, tiny.

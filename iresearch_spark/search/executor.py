@@ -758,6 +758,28 @@ def _union(legs, min_match: int, dt, merge: str = "sum") -> tuple[np.ndarray, np
     return uniq, sums
 
 
+def _deleted_of(norm_pdf: pd.DataFrame) -> np.ndarray | None:
+    """Per-segment sorted delete array from the norms row (document_mask)."""
+    if "del_ids" not in norm_pdf.columns:
+        return None
+    v = norm_pdf["del_ids"].iloc[0]
+    if v is None or len(v) == 0:
+        return None
+    return np.asarray(v, dtype=np.int64)
+
+
+def _mask_deleted(
+    ids: np.ndarray, scores: np.ndarray, dels: np.ndarray | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Drop deleted doc ids (sorted searchsorted membership test)."""
+    if dels is None or ids.size == 0:
+        return ids, scores
+    pos = np.searchsorted(dels, ids)
+    pos_c = np.minimum(pos, dels.size - 1)
+    keep = dels[pos_c] != ids
+    return ids[keep], scores[keep]
+
+
 def _plan_has_all(plan: dict) -> bool:
     """True when the plan (or a sub-plan) matches docs without any postings —
     such plans must be evaluated from the norms side in every segment."""
@@ -841,7 +863,7 @@ class Searcher:
         spark = self.reader.spark
 
         if plan["op"] == "all":
-            docs = self.reader.docs()
+            docs = self.reader.live_docs()
             out = docs.select(
                 "doc_key", "segment_id", "doc_id", F.lit(float(plan["boost"])).alias("score")
             ).orderBy("segment_id", "doc_id").limit(k)
@@ -874,8 +896,10 @@ class Searcher:
                 )
             sid = int(norm_pdf["segment_id"].iloc[0])
             dl = vbyte_decode(norm_pdf["doc_len_enc"].iloc[0]).astype(np.int64)
+            dels = _deleted_of(norm_pdf)
             sv = _SegmentViews(post_pdf)
             ids, scores = _eval_root(plan, sv, k, dl, avgdl, model, dt)
+            ids, scores = _mask_deleted(ids, scores, dels)
             ids, scores = _local_topk(ids, scores, k)
             return pd.DataFrame(
                 {
@@ -990,10 +1014,12 @@ class Searcher:
                 return empty  # postings may be empty: All plans use norms only
             sid = int(norm_pdf["segment_id"].iloc[0])
             dl = vbyte_decode(norm_pdf["doc_len_enc"].iloc[0]).astype(np.int64)
+            dels = _deleted_of(norm_pdf)
             sv = _SegmentViews(post_pdf)
             frames = []
             for name, plan in plan_items:
                 ids, scores = _eval_root(plan, sv, k, dl, avgdl, model, dt)
+                ids, scores = _mask_deleted(ids, scores, dels)
                 ids, scores = _local_topk(ids, scores, k)
                 if ids.size:
                     frames.append(
@@ -1062,7 +1088,7 @@ class Searcher:
         """by_column_existence (column_existence_filter.cpp): docs whose stored
         column is non-null, constant score = boost. Catalyst pushes the
         IS NOT NULL to the parquet scan."""
-        docs = self.reader.docs()
+        docs = self.reader.live_docs()
         if node.column not in docs.columns:
             schema = "doc_key string, segment_id int, doc_id int, score double"
             return self.reader.spark.createDataFrame([], schema if with_keys else schema.split(", ", 1)[1])
@@ -1079,7 +1105,7 @@ class Searcher:
         column — Catalyst pushes it to the parquet scan (min/max row-group
         pruning plays the role of the reference's multi-precision trie terms,
         granular_range_filter.cpp:42-91). Constant score = boost, doc order."""
-        docs = self.reader.docs()
+        docs = self.reader.live_docs()
         if node.column not in docs.columns:
             schema = "doc_key string, segment_id int, doc_id int, score double"
             return self.reader.spark.createDataFrame(
@@ -1206,6 +1232,7 @@ class Searcher:
                 return empty
             sid = int(norm_pdf["segment_id"].iloc[0])
             dl = vbyte_decode(norm_pdf["doc_len_enc"].iloc[0]).astype(np.int64)
+            dels = _deleted_of(norm_pdf)
             sv = _SegmentViews(post_pdf)
             slot_views = []
             for slot in slot_list:
@@ -1225,6 +1252,9 @@ class Searcher:
                 cand = slot_ids if cand is None else np.intersect1d(cand, slot_ids, assume_unique=True)
                 if cand.size == 0:
                     return empty
+            cand, _ = _mask_deleted(cand, cand, dels)  # document_mask
+            if cand.size == 0:
+                return empty
             # rank of each candidate doc (dense 0..m-1) for key packing
             n_cand = cand.size
             cur_keys = None
