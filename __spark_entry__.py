@@ -484,6 +484,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_deletes_term"] = deletes_term
 
+    def ngram_sim(s, d):
+        res = Searcher(_index(s, d)).search(
+            flt.NgramSimilarity(("fast", "scan", "merge"), threshold=2 / 3), k=TOPK
+        )
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.round(F.col("score"), 4).cast("double").alias("score"),
+        )
+
+    q["q_ngram_similarity"] = ngram_sim
+
     def batch_search(s, d):
         reader = _index(s, d)
         res = Searcher(reader).search_many(
@@ -682,6 +693,26 @@ WHERE n_chars >= 200 AND n_chars < 400 ORDER BY doc_id LIMIT {TOPK}"""
     o["q_deletes_term"] = _bm25_sql(
         "term = 'scan'", where_extra="AND leg.doc_id % 7 <> 3"
     )
+    # ngram similarity, 3 ngrams at threshold 2/3: L>=2 iff some ordered pair
+    # exists, L=3 iff the ordered triple exists; score = L/3 (the pairwise
+    # EXISTS expansion is exact for N=3)
+    o["q_ngram_similarity"] = f"""{_TOKS_CTE},
+tp AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM t),
+a AS (SELECT doc_id, pos FROM tp WHERE term = 'fast'),
+b AS (SELECT doc_id, pos FROM tp WHERE term = 'scan'),
+c AS (SELECT doc_id, pos FROM tp WHERE term = 'merge'),
+l3 AS (SELECT DISTINCT a.doc_id FROM a
+       JOIN b ON b.doc_id = a.doc_id AND b.pos > a.pos
+       JOIN c ON c.doc_id = b.doc_id AND c.pos > b.pos),
+l2 AS (SELECT DISTINCT doc_id FROM (
+       SELECT a.doc_id FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos > a.pos
+       UNION SELECT a.doc_id FROM a JOIN c ON c.doc_id = a.doc_id AND c.pos > a.pos
+       UNION SELECT b.doc_id FROM b JOIN c ON c.doc_id = b.doc_id AND c.pos > b.pos))
+SELECT doc_id, CAST(round(CASE WHEN doc_id IN (SELECT doc_id FROM l3)
+                               THEN 1.0 ELSE 2.0/3.0 END, 4) AS DOUBLE) AS score
+FROM l2
+ORDER BY score DESC, doc_id
+LIMIT {TOPK}"""
 
     # ANN: the engine's LSH is deterministic (seeded LCG hyperplanes), so the
     # oracle replays the identical geometry in SQL — a FULL value oracle, not

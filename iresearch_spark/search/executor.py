@@ -855,6 +855,8 @@ class Searcher:
             return self._search_column_exists(nf, k, with_keys)
         if isinstance(nf, flt.NumericRange):
             return self._search_numeric_range(nf, k, with_keys)
+        if isinstance(nf, flt.NgramSimilarity):
+            return self._search_ngram_similarity(nf, k, with_keys)
         plan, terms, specs = compile_plan(nf, self.reader, self.k1, self.b, dtype, model=self.model)
         stats = self.reader.field_stats()
         avgdl = stats["avgdl"]
@@ -1172,6 +1174,127 @@ class Searcher:
         if not with_keys:
             return topk.select("segment_id", "doc_id", "score")
         return self._attach_keys(topk.select("segment_id", "doc_id", "score"), k)
+
+    def _search_ngram_similarity(
+        self, node: flt.NgramSimilarity, k: int, with_keys: bool
+    ) -> DataFrame:
+        """by_ngram_similarity (ngram_similarity_query.cpp): per segment,
+        candidate docs (≥ min distinct matched ngrams, a cheap vectorized
+        union-count prefilter ≙ the reference's potential/min_match cut) get
+        the longest in-order increasing-position chain computed by an
+        O(stream × N) DP over the doc's merged occurrence stream. Score =
+        boost * L/N."""
+        import math
+
+        ngrams = list(node.ngrams)
+        n_total = len(ngrams)
+        min_match = max(1, int(math.ceil(node.threshold * n_total)))
+        boost = float(node.boost)
+        uniq = sorted(set(ngrams))
+        pq = self.reader.postings_for_terms(uniq).select(
+            "segment_id", "term", "doc_ids_enc", "freqs_enc", "pos_enc",
+            "block_last_doc", "block_doc_off", "block_freq_off",
+            "block_max_freq", "docs_count", "max_freq",
+        )
+        norms = self.reader.norms()
+
+        def kernel(post_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"segment_id": [], "doc_id": [], "score": []}).astype(
+                {"segment_id": "int32", "doc_id": "int32", "score": "float64"}
+            )
+            if len(post_pdf) == 0 or len(norm_pdf) == 0:
+                return empty
+            sid = int(norm_pdf["segment_id"].iloc[0])
+            dels = _deleted_of(norm_pdf)
+            sv = _SegmentViews(post_pdf)
+            # (doc, pos, query-slot) streams per distinct matched ngram
+            per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+            for t in uniq:
+                v = sv.view(t)
+                if v is None:
+                    continue
+                t_ids, t_tfs = v.decode_all()
+                per_term[t] = (t_ids, t_tfs, v.positions())
+            if not per_term:
+                return empty
+            # candidates = union of docs containing ANY query ngram (a
+            # distinct-count >= min_match prefilter would be unsafe when the
+            # query repeats an ngram; the DP below applies the real cut)
+            leg_ids = [ids for ids, _, _ in per_term.values()]
+            all_ids = np.concatenate(leg_ids)
+            cand = np.unique(all_ids)
+            cand, _ = _mask_deleted(cand, cand, dels)
+            if cand.size == 0:
+                return empty
+            # merged stream per candidate: gather (doc_rank, pos, slot-set id)
+            slots_of = {t: [i for i, g in enumerate(ngrams) if g == t] for t in per_term}
+            streams = []  # (key = rank*2^32 + pos, term_index)
+            PACK = np.int64(1) << np.int64(32)
+            for ti, (t, (t_ids, t_tfs, t_pos)) in enumerate(per_term.items()):
+                row = np.searchsorted(t_ids, cand)
+                row_c = np.minimum(row, t_ids.size - 1)
+                present = t_ids[row_c] == cand
+                rows_sel = row_c[present]
+                ranks_sel = np.flatnonzero(present).astype(np.int64)
+                if rows_sel.size == 0:
+                    continue
+                starts = np.zeros(t_ids.size + 1, dtype=np.int64)
+                np.cumsum(t_tfs, out=starts[1:])
+                lens = t_tfs[rows_sel]
+                total = int(lens.sum())
+                out_off = np.zeros(rows_sel.size, np.int64)
+                np.cumsum(lens[:-1], out=out_off[1:])
+                rep = np.repeat(np.arange(rows_sel.size), lens)
+                flat_idx = np.arange(total, dtype=np.int64) - out_off[rep] + starts[rows_sel][rep]
+                keys = ranks_sel[rep] * PACK + t_pos[flat_idx]
+                streams.append((keys, np.full(total, ti, np.int64)))
+            keys = np.concatenate([s[0] for s in streams])
+            tvals = np.concatenate([s[1] for s in streams])
+            order = np.argsort(keys, kind="stable")
+            keys, tvals = keys[order], tvals[order]
+            doc_rank = (keys // PACK).astype(np.int64)
+            # per-candidate LCS DP (doc count already cut by the prefilter);
+            # stream per doc is short — the O(stream*N) DP runs in Python only
+            # over candidate docs, the gather above is fully vectorized
+            term_list = list(per_term.keys())
+            out_ids, out_scores = [], []
+            bounds = np.flatnonzero(np.diff(doc_rank, prepend=-1))
+            bounds = np.append(bounds, doc_rank.size)
+            for bi in range(bounds.size - 1):
+                lo, hi = int(bounds[bi]), int(bounds[bi + 1])
+                dp = [0] * n_total
+                for e in range(lo, hi):
+                    for qi in sorted(slots_of[term_list[tvals[e]]], reverse=True):
+                        best_prev = max(dp[:qi], default=0)
+                        if best_prev + 1 > dp[qi]:
+                            dp[qi] = best_prev + 1
+                L = max(dp)
+                if L >= min_match:
+                    out_ids.append(int(cand[doc_rank[lo]]))
+                    out_scores.append(boost * L / n_total)
+            if not out_ids:
+                return empty
+            ids = np.asarray(out_ids, dtype=np.int64)
+            scores = np.asarray(out_scores, dtype=np.float64)
+            ids_k, scores_k = _local_topk(ids, scores, k)
+            return pd.DataFrame(
+                {
+                    "segment_id": np.full(ids_k.size, sid, np.int32),
+                    "doc_id": ids_k.astype(np.int32),
+                    "score": scores_k,
+                }
+            )
+
+        local = (
+            self._seg_partitioned(pq)
+            .groupBy("segment_id")
+            .cogroup(self._seg_partitioned(norms).groupBy("segment_id"))
+            .applyInPandas(kernel, KERNEL_OUT_SCHEMA)
+        )
+        topk = local.orderBy(F.desc("score"), F.asc("segment_id"), F.asc("doc_id")).limit(k)
+        if not with_keys:
+            return topk
+        return self._attach_keys(topk, k)
 
     def _expand_slots(self, terms: list) -> list[list[str]]:
         """Variadic slots: a str slot stays fixed; a multiterm filter slot

@@ -105,6 +105,21 @@ class SamePosition(Filter):
 
 
 @dataclass
+class NgramSimilarity(Filter):
+    """by_ngram_similarity (ngram_similarity_filter.hpp:34-50,
+    ngram_similarity_query.cpp): docs where the longest chain of the query
+    ngram sequence appearing IN ORDER at strictly increasing positions has
+    length L with ``L / len(ngrams) >= threshold``. Score = boost * L/N
+    (the reference's filter_boost ratio; its additional per-ngram scorer
+    fold is a documented divergence). ``ngrams`` here are index terms —
+    pair with an ngram analyzer for character-ngram semantics."""
+
+    ngrams: tuple[str, ...]
+    threshold: float = 1.0
+    boost: float = 1.0
+
+
+@dataclass
 class And(Filter):
     """Conjunction; ``merge`` picks the score merge type for the parts —
     kSum/kMax/kMin (sort.hpp:464-468 MergeType)."""

@@ -267,3 +267,61 @@ def test_and_merge_max(built):
     assert set(mx) == both
     for k in both:
         assert abs(mx[k] - max(a[k], b[k])) < 1e-12
+
+
+# ---------------------------------------------------------- ngram similarity
+
+
+NG_DOCS = {
+    "n001": "alpha beta gamma delta",        # full in-order chain
+    "n002": "gamma beta alpha",              # reversed: best chain length 1
+    "n003": "alpha gamma beta gamma",        # alpha..gamma in order (skip beta) L=3? a,b? -> a(1) b(3) g(4): L=3
+    "n004": "beta delta gamma",              # beta, gamma in order: L=2
+    "n005": "zeta eta theta",                # no match
+    "n006": "alpha alpha beta",              # a,b chain L=2
+}
+
+
+def _lcs_oracle(tokens, ngrams):
+    """Scalar LCS between query ngram sequence and doc token stream."""
+    n = len(ngrams)
+    dp = [0] * n
+    for tok in tokens:
+        for qi in reversed([i for i, g in enumerate(ngrams) if g == tok]):
+            prev = max(dp[:qi], default=0)
+            dp[qi] = max(dp[qi], prev + 1)
+    return max(dp, default=0)
+
+
+@pytest.fixture(scope="module")
+def ngbuilt(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ngidx"))
+    df = spark.createDataFrame(list(NG_DOCS.items()), "doc_key string, text string")
+    IndexBuilder(spark, path, num_segments=2).build(df, key_col="doc_key", text_col="text")
+    return IndexReader(spark, path)
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.67, 1.0])
+def test_ngram_similarity_matches_scalar_lcs(ngbuilt, threshold):
+    import math
+
+    ngrams = ("alpha", "beta", "gamma")
+    s = Searcher(ngbuilt)
+    rows = s.search(flt.NgramSimilarity(ngrams, threshold=threshold), k=50).collect()
+    got = {r["doc_key"]: r["score"] for r in rows}
+    m = max(1, int(math.ceil(threshold * len(ngrams))))
+    exp = {}
+    for k_, t in NG_DOCS.items():
+        L = _lcs_oracle(t.split(), list(ngrams))
+        if L >= m:
+            exp[k_] = L / len(ngrams)
+    assert got.keys() == exp.keys()
+    for k_ in exp:
+        assert abs(got[k_] - exp[k_]) < 1e-12
+
+
+def test_ngram_similarity_repeated_query_ngram(ngbuilt):
+    s = Searcher(ngbuilt)
+    rows = s.search(flt.NgramSimilarity(("alpha", "alpha"), threshold=1.0), k=50).collect()
+    # only n006 has two alphas
+    assert {r["doc_key"] for r in rows} == {"n006"}
