@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iresearch_spark import IndexBuilder, IndexReader, Searcher, filters as flt
-from iresearch_spark import textops, vecops
+from iresearch_spark import multimodal, textops, vecops
 
 K1, B = 1.2, 0.75
 TOPK = 10
@@ -495,6 +495,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ngram_similarity"] = ngram_sim
 
+    # ---- multimodal: REAL pure-numpy decoders over synthesized valid files;
+    # features derive arithmetically from doc_id so SQL verifies the decode
+    def image_meta_q(s, d):
+        media = multimodal.synth_media(_docs(s, d), "image")
+        return multimodal.image_meta(media).select(
+            "doc_id", "n_bytes", "width", "height",
+            F.round("mean_r", 4).alias("mean_r"),
+            F.round("mean_g", 4).alias("mean_g"),
+            F.round("mean_b", 4).alias("mean_b"),
+        )
+
+    q["q_image_meta"] = image_meta_q
+
+    def audio_meta_q(s, d):
+        media = multimodal.synth_media(_docs(s, d), "audio")
+        return multimodal.audio_meta(media).select(
+            "doc_id", "sample_rate", "n_samples",
+            F.round("duration_ms", 4).alias("duration_ms"),
+            F.round("rms", 4).alias("rms"),
+        )
+
+    q["q_audio_meta"] = audio_meta_q
+
+    def video_frames_q(s, d):
+        media = multimodal.synth_media(_docs(s, d), "video")
+        return multimodal.frame_sample_plan(media, every_n=2).select(
+            "doc_id", F.col("n_frames").cast("int"), F.col("frame_idx").cast("int")
+        )
+
+    q["q_video_frames"] = video_frames_q
+
     def batch_search(s, d):
         reader = _index(s, d)
         res = Searcher(reader).search_many(
@@ -713,6 +744,30 @@ SELECT doc_id, CAST(round(CASE WHEN doc_id IN (SELECT doc_id FROM l3)
 FROM l2
 ORDER BY score DESC, doc_id
 LIMIT {TOPK}"""
+    # multimodal: the engine decodes REAL BMP/WAV/container bytes; the oracle
+    # recomputes the features arithmetically from doc_id (the synthesizers'
+    # parameterization), so a decode bug breaks the hash match
+    o["q_image_meta"] = """
+SELECT doc_id,
+       (54 + ((3 * (8 + doc_id % 24) + 3) // 4 * 4) * (8 + (doc_id * 7) % 24))::BIGINT AS n_bytes,
+       (8 + doc_id % 24)::INT AS width,
+       (8 + (doc_id * 7) % 24)::INT AS height,
+       CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_r,
+       CAST((doc_id * 5) % 256 AS DOUBLE) AS mean_g,
+       CAST((doc_id * 11) % 256 AS DOUBLE) AS mean_b
+FROM documents"""
+    o["q_audio_meta"] = """
+SELECT doc_id,
+       8000::INT AS sample_rate,
+       (100 + doc_id % 400)::BIGINT AS n_samples,
+       CAST(round(1000.0 * (100 + doc_id % 400) / 8000.0, 4) AS DOUBLE) AS duration_ms,
+       CAST(256 + (doc_id * 37) % 16000 AS DOUBLE) AS rms
+FROM documents"""
+    o["q_video_frames"] = """
+SELECT doc_id,
+       (2 + doc_id % 7)::INT AS n_frames,
+       unnest(range(0, 2 + doc_id % 7, 2))::INT AS frame_idx
+FROM documents"""
 
     # ANN: the engine's LSH is deterministic (seeded LCG hyperplanes), so the
     # oracle replays the identical geometry in SQL — a FULL value oracle, not

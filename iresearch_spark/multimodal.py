@@ -1,17 +1,31 @@
-"""Multimodal column plumbing: binary payloads + typed metadata.
+"""Multimodal columns: binary payloads decoded by REAL pure-numpy codecs.
 
-Images/audio/video are carried as opaque ``binary`` columns with typed
-metadata, processed by Arrow-batched kernels over ``mapInPandas``. The decode
-libraries (PIL/ffmpeg/librosa) are NOT in this container, so the decode step is
-stubbed: ``fake_decode_meta`` derives deterministic pseudo-metadata from the
-byte content, while the Spark-side plumbing — schema, batching, partition
-layout, UDF signatures — is real and tested. Swap ``_decode_image_stub`` for a
-PIL call to productionize.
+Images/audio/video ride as opaque ``binary`` columns with typed metadata,
+processed by Arrow-batched kernels over ``mapInPandas`` (one narrow pass, no
+shuffle; at scale pair with ``spark.sql.files.maxPartitionBytes`` so a batch
+of payloads fits executor memory).
+
+No image/audio libraries exist in this environment, so the decoders are
+implemented here from the public file-format specs — genuinely parsing bytes,
+not faking metadata:
+
+* **BMP** (Windows 24-bit uncompressed, BITMAPINFOHEADER): header parse +
+  bottom-up padded BGR pixel array → dimensions and per-channel means.
+* **WAV** (RIFF PCM mono 16-bit): chunk walk → sample rate, sample count,
+  RMS amplitude.
+* **video**: a minimal deterministic container (``VID0`` magic, frame count +
+  fps + length-prefixed BMP frames) standing in for a real demuxer — the
+  frame-sampling plumbing (header parse → posexplode fan-out) is the shape an
+  ffmpeg-backed deployment keeps.
+
+Matching ``synth_*`` generators produce valid files whose features derive
+arithmetically from ``doc_id`` — so a SQL oracle can verify the decode path
+end-to-end (the driver contract does exactly that).
 """
 
 from __future__ import annotations
 
-import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -19,52 +33,225 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DECODE_META_SCHEMA = (
-    "doc_id long, n_bytes int, sha1 string, width int, height int, mode string"
-)
+# ----------------------------------------------------------------- BMP codec
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int, str]:
-    """Deterministic fake of an image decode (PIL.Image.open analogue).
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit uncompressed BMP."""
+    h, w, _ = pixels.shape
+    row_size = (3 * w + 3) // 4 * 4
+    image_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + image_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    # bottom-up rows, BGR order
+    rows[:, : 3 * w] = pixels[::-1, :, ::-1].reshape(h, 3 * w)
+    return header + info + rows.tobytes()
 
-    Derives (width, height, mode) from the content hash so tests are stable.
-    A real deployment replaces this body with the actual decoder; everything
-    around it (batching, schema, error handling) stays identical."""
-    if not payload:
-        raise NotImplementedError("empty payload: real decoder required")
-    h = hashlib.sha1(payload).digest()
-    return 16 + h[0] % 1024, 16 + h[1] % 1024, ["RGB", "RGBA", "L"][h[2] % 3]
+
+def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float]:
+    """Parse a 24-bit BMP → (width, height, mean_r, mean_g, mean_b)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    row_size = (3 * w + 3) // 4 * 4
+    arr = np.frombuffer(payload, dtype=np.uint8, count=row_size * abs(h), offset=offset)
+    rows = arr.reshape(abs(h), row_size)[:, : 3 * w].reshape(abs(h), w, 3)
+    bgr = rows[::-1] if h > 0 else rows  # bottom-up when height positive
+    means = bgr.reshape(-1, 3).mean(axis=0)
+    return w, abs(h), float(means[2]), float(means[1]), float(means[0])
 
 
-def decode_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
-    """Arrow-batched decode → typed metadata. mapInPandas: one narrow pass,
-    batch-vectorized IO; at scale, pair with ``spark.sql.files.maxPartitionBytes``
-    tuned so one batch of payloads fits executor memory."""
+# ----------------------------------------------------------------- WAV codec
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 mono samples as a PCM WAV file."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, float]:
+    """Walk RIFF chunks of a PCM mono-16 WAV → (sample_rate, n_samples, rms)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sr, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sr = struct.unpack_from("<HHI", body, 0)
+            if audio_fmt != 1 or channels != 1:
+                raise ValueError("only PCM mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)
+    if sr is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if samples.size else 0.0
+    return int(sr), int(samples.size), rms
+
+
+# ------------------------------------------------------------ video container
+
+
+VID_MAGIC = b"VID0"
+
+
+def encode_video(frames: list[bytes], fps: int) -> bytes:
+    """Minimal container: magic + frame count + fps + length-prefixed frames."""
+    out = [VID_MAGIC, struct.pack("<IH", len(frames), fps)]
+    for fr in frames:
+        out.append(struct.pack("<I", len(fr)))
+        out.append(fr)
+    return b"".join(out)
+
+
+def decode_video_header(payload: bytes) -> tuple[int, int, int, int]:
+    """→ (n_frames, fps, first_frame_width, first_frame_height)."""
+    if payload[:4] != VID_MAGIC:
+        raise ValueError("not a VID0 payload")
+    n_frames, fps = struct.unpack_from("<IH", payload, 4)
+    flen = struct.unpack_from("<I", payload, 10)[0]
+    w, h, *_ = decode_bmp(payload[14 : 14 + flen])
+    return int(n_frames), int(fps), w, h
+
+
+# ------------------------------------------------- deterministic synthesizers
+# feature values are pure arithmetic in doc_id so a SQL oracle can verify the
+# real decoders end-to-end
+
+
+def synth_image_params(doc_id: int) -> tuple[int, int, int, int, int]:
+    """(width, height, r, g, b) for the solid-color test image of a doc."""
+    return (
+        8 + doc_id % 24,
+        8 + (doc_id * 7) % 24,
+        (doc_id * 3) % 256,
+        (doc_id * 5) % 256,
+        (doc_id * 11) % 256,
+    )
+
+
+def synth_image(doc_id: int) -> bytes:
+    w, h, r, g, b = synth_image_params(doc_id)
+    return encode_bmp(np.full((h, w, 3), (r, g, b), dtype=np.uint8))
+
+
+def synth_audio_params(doc_id: int) -> tuple[int, int, int]:
+    """(sample_rate, n_samples, amplitude) of the ±A square-wave test clip
+    (RMS of an alternating ±A signal is exactly A)."""
+    return 8000, 100 + doc_id % 400, 256 + (doc_id * 37) % 16000
+
+
+def synth_audio(doc_id: int) -> bytes:
+    sr, n, amp = synth_audio_params(doc_id)
+    samples = np.where(np.arange(n) % 2 == 0, amp, -amp).astype(np.int16)
+    return encode_wav(samples, sr)
+
+
+def synth_video_params(doc_id: int) -> tuple[int, int]:
+    """(n_frames, fps)."""
+    return 2 + doc_id % 7, 10 + doc_id % 20
+
+
+def synth_video(doc_id: int) -> bytes:
+    n_frames, fps = synth_video_params(doc_id)
+    return encode_video([synth_image(doc_id + i) for i in range(n_frames)], fps)
+
+
+def synth_media(df: DataFrame, kind: str, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload binary) table of synthesized media for the ids in df."""
+    gen = {"image": synth_image, "audio": synth_audio, "video": synth_video}[kind]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_decode_image_stub(p) for p in pdf[bin_col]]
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({"doc_id": ids.values, "payload": [gen(int(i)) for i in ids]})
+
+    return df.select(id_col).mapInPandas(run, "doc_id long, payload binary")
+
+
+# ------------------------------------------------------------- Spark surface
+
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def image_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """Arrow-batched REAL BMP decode → typed metadata + channel means."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_bmp(p) for p in pdf[bin_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64").values,
                     "n_bytes": [len(p) for p in pdf[bin_col]],
-                    "sha1": [hashlib.sha1(p).hexdigest() for p in pdf[bin_col]],
                     "width": [m[0] for m in metas],
                     "height": [m[1] for m in metas],
-                    "mode": [m[2] for m in metas],
+                    "mean_r": [m[2] for m in metas],
+                    "mean_g": [m[3] for m in metas],
+                    "mean_b": [m[4] for m in metas],
                 }
             )
 
-    return df.mapInPandas(run, DECODE_META_SCHEMA)
+    return df.mapInPandas(run, IMAGE_META_SCHEMA)
 
 
-def frame_sample_plan(df: DataFrame, every_n: int = 30, id_col: str = "doc_id") -> DataFrame:
-    """Video frame-sampling plumbing: expands each payload row into frame-index
-    rows (the shuffle-free ``posexplode`` pattern); the actual frame grab is the
-    stubbed decode. Demonstrates the fan-out schema used at scale."""
-    n_frames = (F.length("payload") % 271 + 30).alias("n_frames")  # deterministic fake
-    with_n = df.select(F.col(id_col), F.col("payload"), n_frames)
-    return with_n.select(
-        F.col(id_col),
+AUDIO_META_SCHEMA = "doc_id long, sample_rate int, n_samples long, duration_ms double, rms double"
+
+
+def audio_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """Arrow-batched REAL WAV decode → sample rate / length / RMS."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_wav(p) for p in pdf[bin_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").values,
+                    "sample_rate": [m[0] for m in metas],
+                    "n_samples": [m[1] for m in metas],
+                    "duration_ms": [1000.0 * m[1] / m[0] for m in metas],
+                    "rms": [m[2] for m in metas],
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_META_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, every_n: int = 2, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """Video frame sampling: parse the REAL container header per payload, then
+    fan out one row per sampled frame index (shuffle-free posexplode pattern —
+    the shape an ffmpeg-backed frame grab keeps at scale)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hdrs = [decode_video_header(p) for p in pdf[bin_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").values,
+                    "n_frames": [h[0] for h in hdrs],
+                    "fps": [h[1] for h in hdrs],
+                }
+            )
+
+    hdr = df.mapInPandas(run, "doc_id long, n_frames int, fps int")
+    return hdr.select(
+        "doc_id",
+        "n_frames",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))).alias("frame_idx"),
     )
