@@ -80,6 +80,43 @@ def _syn_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     return _index(spark, sf_dir, analyzer="simple+syn:scan=scansyn", tag="syn")
 
 
+def _nested_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Parent/child index for ByNestedFilter: every 5 consecutive documents
+    become children of a synthetic parent doc (doc_key 9xxxxxxx = 90000000 +
+    group id, empty text, parent_key NULL)."""
+    key = (sf_dir, "nested")
+    if key in _READERS:
+        return _READERS[key]
+    h = hashlib.md5(f"{sf_dir}|nested".encode()).hexdigest()[:10]
+    path = os.path.join("/tmp", f"iresearch_entry_idx_v2_{h}")
+    os.makedirs(path, exist_ok=True)
+    builder = IndexBuilder(spark, path, analyzer="simple", num_segments=4)
+    if builder.read_meta() is None:
+        docs = _docs(spark, sf_dir)
+        children = docs.select(
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("doc_key"),
+            "text",
+            (F.col("doc_id") / 5).cast("bigint").alias("gid"),
+        ).withColumn("parent_key", (F.col("gid") + 90000000).cast("string")).drop("gid")
+        parents = (
+            docs.select((F.col("doc_id") / 5).cast("bigint").alias("gid"))
+            .distinct()
+            .select(
+                (F.col("gid") + 90000000).cast("string").alias("doc_key"),
+                F.lit("").alias("text"),
+                F.lit(None).cast("string").alias("parent_key"),
+            )
+        )
+        builder.build(
+            children.unionByName(parents),
+            key_col="doc_key",
+            text_col="text",
+            stored_cols=("parent_key",),
+        )
+    _READERS[key] = IndexReader(spark, path)
+    return _READERS[key]
+
+
 def _del_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     """Index with a document_mask: docs with doc_id % 7 == 3 deleted.
     Reference delete semantics: masked docs vanish from results immediately,
@@ -495,6 +532,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ngram_similarity"] = ngram_sim
 
+    def nested_min(s, d):
+        reader = _nested_index(s, d)
+        res = Searcher(reader).search(
+            flt.Nested(flt.Term("scan"), match="min", min_children=2), k=TOPK
+        )
+        return res.select(
+            (F.col("doc_key").cast("bigint") - 90000000).alias("gid"),
+            F.round(F.col("score"), 4).cast("double").alias("score"),
+        )
+
+    q["q_nested_min"] = nested_min
+
     # ---- multimodal: REAL pure-numpy decoders over synthesized valid files;
     # features derive arithmetically from doc_id so SQL verifies the decode
     def image_meta_q(s, d):
@@ -743,6 +792,29 @@ SELECT doc_id, CAST(round(CASE WHEN doc_id IN (SELECT doc_id FROM l3)
                                THEN 1.0 ELSE 2.0/3.0 END, 4) AS DOUBLE) AS score
 FROM l2
 ORDER BY score DESC, doc_id
+LIMIT {TOPK}"""
+    # nested child->parent join: child BM25 over the plain documents corpus
+    # (synthetic parents have empty text, so they drop out of stats on both
+    # sides), folded per 5-doc parent group with min_children=2
+    o["q_nested_min"] = f"""{_BM25_CTE},
+q AS (SELECT term FROM dfreq WHERE term = 'scan'),
+leg AS (
+  SELECT tf.doc_id,
+         (2.2 * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))) * tf.tf
+           / ((1.2*(1-0.75)) + (1.2*0.75) * dl.dl / st.avgdl + tf.tf) AS s
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN dfreq d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st
+)
+SELECT gid, CAST(round(s_sum, 4) AS DOUBLE) AS score
+FROM (
+  SELECT leg.doc_id // 5 AS gid, sum(leg.s) AS s_sum, count(*) AS c
+  FROM leg GROUP BY 1
+)
+WHERE c >= 2
+ORDER BY s_sum DESC, gid
 LIMIT {TOPK}"""
     # multimodal: the engine decodes REAL BMP/WAV/container bytes; the oracle
     # recomputes the features arithmetically from doc_id (the synthesizers'

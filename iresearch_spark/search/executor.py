@@ -857,6 +857,8 @@ class Searcher:
             return self._search_numeric_range(nf, k, with_keys)
         if isinstance(nf, flt.NgramSimilarity):
             return self._search_ngram_similarity(nf, k, with_keys)
+        if isinstance(nf, flt.Nested):
+            return self._search_nested(nf, k, with_keys)
         plan, terms, specs = compile_plan(nf, self.reader, self.k1, self.b, dtype, model=self.model)
         stats = self.reader.field_stats()
         avgdl = stats["avgdl"]
@@ -1174,6 +1176,50 @@ class Searcher:
         if not with_keys:
             return topk.select("segment_id", "doc_id", "score")
         return self._attach_keys(topk.select("segment_id", "doc_id", "score"), k)
+
+    def _search_nested(self, node: flt.Nested, k: int, with_keys: bool) -> DataFrame:
+        """ChildToParentJoin (nested_filter.cpp:99-305) as a relational plan:
+        ALL child matches (un-truncated kernel pass) → broadcast-light
+        groupBy(parent_key) fold → join onto the parent docs. The aggregate
+        replaces the reference's parent-bitset seek; at scale the fold
+        shuffles only the child MATCH set, not the corpus."""
+        pk = node.parent_key_col
+        docs = self.reader.live_docs()
+        if pk not in docs.columns:
+            schema = "doc_key string, segment_id int, doc_id int, score double"
+            return self.reader.spark.createDataFrame(
+                [], schema if with_keys else schema.split(", ", 1)[1]
+            )
+        parents = docs.where(F.col(pk).isNull()).select(
+            "doc_key", "segment_id", "doc_id"
+        )
+        child_rows = self.search(node.child, k=1 << 30, with_keys=False)
+        keyed = child_rows.join(
+            docs.select("segment_id", "doc_id", pk), ["segment_id", "doc_id"]
+        ).where(F.col(pk).isNotNull())
+        fold = {
+            "sum": F.sum("score"),
+            "max": F.max("score"),
+            "min": F.min("score"),
+            "avg": F.avg("score"),
+        }[node.merge]
+        grouped = keyed.groupBy(F.col(pk).alias("doc_key")).agg(
+            F.count("*").alias("n_children"), fold.alias("child_score")
+        )
+        if node.match == "none":
+            out = parents.join(grouped.select("doc_key"), "doc_key", "left_anti").select(
+                "doc_key", "segment_id", "doc_id", F.lit(float(node.boost)).alias("score")
+            )
+            topk = out.orderBy("segment_id", "doc_id").limit(k)
+        else:
+            min_c = node.min_children if node.match == "min" else 1
+            matched = grouped.where(F.col("n_children") >= min_c)
+            out = parents.join(matched, "doc_key").select(
+                "doc_key", "segment_id", "doc_id",
+                (F.col("child_score") * F.lit(float(node.boost))).alias("score"),
+            )
+            topk = out.orderBy(F.desc("score"), "segment_id", "doc_id").limit(k)
+        return topk if with_keys else topk.drop("doc_key")
 
     def _search_ngram_similarity(
         self, node: flt.NgramSimilarity, k: int, with_keys: bool

@@ -175,6 +175,28 @@ class NumericRange(Filter):
 
 
 @dataclass
+class Nested(Filter):
+    """ByNestedFilter / ChildToParentJoin (nested_filter.cpp:99-305): match
+    parents whose CHILDREN satisfy ``child``. The reference encodes nesting
+    positionally (children precede their parent in the segment, parents found
+    via a bitset seek); the Spark-first equivalent is declarative: child docs
+    carry their parent's key in stored column ``parent_key_col`` (parents
+    have it NULL), and the join is a groupBy(child→parent) aggregate.
+
+    ``match``: 'any' (kMatchAny), 'min' (kMatchMin with ``min_children``),
+    'none' (kMatchNone — parents with NO matching child, constant score).
+    ``merge``: child-score fold into the parent — sum/max/min/avg
+    (kSum/kMax/kMin/kAvg mergers)."""
+
+    child: Filter
+    parent_key_col: str = "parent_key"
+    match: str = "any"  # any | min | none
+    min_children: int = 1
+    merge: str = "sum"  # sum | max | min | avg
+    boost: float = 1.0
+
+
+@dataclass
 class Empty(Filter):
     boost: float = 0.0
 

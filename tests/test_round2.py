@@ -325,3 +325,79 @@ def test_ngram_similarity_repeated_query_ngram(ngbuilt):
     rows = s.search(flt.NgramSimilarity(("alpha", "alpha"), threshold=1.0), k=50).collect()
     # only n006 has two alphas
     assert {r["doc_key"] for r in rows} == {"n006"}
+
+
+# ---------------------------------------------------------------- nested join
+
+
+NEST_CHILDREN = {
+    "c01": ("p1", "spark scan fast"),
+    "c02": ("p1", "scan merge"),
+    "c03": ("p2", "scan scan scan"),
+    "c04": ("p2", "table sort"),
+    "c05": ("p3", "window batch"),
+    "c06": ("p3", "stream merge"),
+}
+
+
+@pytest.fixture(scope="module")
+def nested_idx(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nestidx"))
+    rows = [(k, t, pk) for k, (pk, t) in NEST_CHILDREN.items()]
+    rows += [(p, "", None) for p in ("p1", "p2", "p3")]
+    df = spark.createDataFrame(rows, "doc_key string, text string, parent_key string")
+    IndexBuilder(spark, path, num_segments=2).build(
+        df, key_col="doc_key", text_col="text", stored_cols=("parent_key",)
+    )
+    return IndexReader(spark, path)
+
+
+def test_nested_any_sum(nested_idx):
+    s = Searcher(nested_idx)
+    child_scores = {
+        r["doc_key"]: r["score"] for r in s.search(flt.Term("scan"), k=100).collect()
+    }
+    exp = {}
+    for ck, sc in child_scores.items():
+        pk = NEST_CHILDREN[ck][0]
+        exp[pk] = exp.get(pk, 0.0) + sc
+    got = {
+        r["doc_key"]: r["score"]
+        for r in s.search(flt.Nested(flt.Term("scan")), k=10).collect()
+    }
+    assert got.keys() == exp.keys()
+    for p in exp:
+        assert abs(got[p] - exp[p]) < 1e-9
+
+
+def test_nested_min_and_none(nested_idx):
+    s = Searcher(nested_idx)
+    got_min = {
+        r["doc_key"]
+        for r in s.search(
+            flt.Nested(flt.Term("scan"), match="min", min_children=2), k=10
+        ).collect()
+    }
+    assert got_min == {"p1"}  # p1 has two scan children, p2 one
+    got_none = {
+        r["doc_key"]
+        for r in s.search(flt.Nested(flt.Term("scan"), match="none", boost=5.0), k=10).collect()
+    }
+    assert got_none == {"p3"}
+
+
+def test_nested_merge_max(nested_idx):
+    s = Searcher(nested_idx)
+    child_scores = {
+        r["doc_key"]: r["score"] for r in s.search(flt.Term("scan"), k=100).collect()
+    }
+    exp = {}
+    for ck, sc in child_scores.items():
+        pk = NEST_CHILDREN[ck][0]
+        exp[pk] = max(exp.get(pk, -1e30), sc)
+    got = {
+        r["doc_key"]: r["score"]
+        for r in s.search(flt.Nested(flt.Term("scan"), merge="max"), k=10).collect()
+    }
+    for p in exp:
+        assert abs(got[p] - exp[p]) < 1e-9
