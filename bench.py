@@ -280,21 +280,38 @@ def main() -> None:
         # Same job (same input, same segment count) at two parallelism levels —
         # the sandbox stand-in for N vs 4N executors. Query side measured as
         # BATCHED evaluation (search_many): per-query driver overhead is fixed
-        # cost, the distributed kernel work is what scales.
-        lo_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
-        hi_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "32"))
+        # cost, the distributed kernel work is what scales. MEDIAN of
+        # SPARK_GRAFT_SCALE_REPS full runs per level (no best-of-N picking).
+        import statistics
+
+        lo_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
+        hi_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
         factor = hi_cpus / lo_cpus
-        segs = hi_cpus
-        # below ~40k pages the build is fixed-overhead dominated and the
+        segs = max(hi_cpus, 8)
+        # below ~120k pages the build is fixed-overhead dominated and the
         # efficiency number measures Spark job latency, not the engine
-        n_pages = max(n_pages, 40_000)
+        n_pages = max(n_pages, int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "120000")))
         rep = int(os.environ.get("SPARK_GRAFT_BATCH_REPLICATE", "64"))
-        r_lo = run_once(lo_cpus, n_pages, SF_DIR, with_pipeline=False, n_segments=segs, batch_repeat=2, batch_replicate=rep)
-        r_hi = run_once(hi_cpus, n_pages, SF_DIR, with_pipeline=False, n_segments=segs, batch_repeat=2, batch_replicate=rep)
-        build_eff = (r_hi["build_docs_per_sec"] / r_lo["build_docs_per_sec"]) / factor
-        qps_lo = r_lo["batch_n"] / r_lo["batch_secs"]
-        qps_hi = r_hi["batch_n"] / r_hi["batch_secs"]
-        query_eff = (qps_hi / qps_lo) / factor
+
+        samples: dict[int, dict[str, list]] = {
+            lo_cpus: {"dps": [], "qps": [], "secs": []},
+            hi_cpus: {"dps": [], "qps": [], "secs": []},
+        }
+        batch_n = 0
+        for _ in range(reps):
+            for cpus in (lo_cpus, hi_cpus):  # interleaved: fair thermal/cache state
+                r = run_once(
+                    cpus, n_pages, SF_DIR, with_pipeline=False,
+                    n_segments=segs, batch_repeat=1, batch_replicate=rep,
+                )
+                batch_n = r["batch_n"]
+                samples[cpus]["dps"].append(r["build_docs_per_sec"])
+                samples[cpus]["qps"].append(round(r["batch_n"] / r["batch_secs"], 3))
+                samples[cpus]["secs"].append(r["build_secs"])
+        med = {c: {k: statistics.median(v) for k, v in s.items()} for c, s in samples.items()}
+        build_eff = (med[hi_cpus]["dps"] / med[lo_cpus]["dps"]) / factor
+        query_eff = (med[hi_cpus]["qps"] / med[lo_cpus]["qps"]) / factor
         print(
             json.dumps(
                 {
@@ -304,14 +321,16 @@ def main() -> None:
                     "sf": sf,
                     "n_pages": n_pages,
                     "n_segments": segs,
+                    "reps": reps,
+                    "aggregation": "median",
                     "lo_cpus": lo_cpus,
                     "hi_cpus": hi_cpus,
-                    "build_secs": {str(lo_cpus): r_lo["build_secs"], str(hi_cpus): r_hi["build_secs"]},
-                    "build_docs_per_sec": {str(lo_cpus): r_lo["build_docs_per_sec"], str(hi_cpus): r_hi["build_docs_per_sec"]},
+                    "build_docs_per_sec": {str(c): med[c]["dps"] for c in (lo_cpus, hi_cpus)},
+                    "build_docs_per_sec_samples": {str(c): samples[c]["dps"] for c in (lo_cpus, hi_cpus)},
                     "build_efficiency": round(build_eff, 3),
-                    "batch_secs": {str(lo_cpus): r_lo["batch_secs"], str(hi_cpus): r_hi["batch_secs"]},
-                    "batch_n_plans": r_lo["batch_n"],
-                    "query_qps": {str(lo_cpus): round(qps_lo, 3), str(hi_cpus): round(qps_hi, 3)},
+                    "batch_n_plans": batch_n,
+                    "query_qps": {str(c): med[c]["qps"] for c in (lo_cpus, hi_cpus)},
+                    "query_qps_samples": {str(c): samples[c]["qps"] for c in (lo_cpus, hi_cpus)},
                     "query_efficiency": round(query_eff, 3),
                 }
             )

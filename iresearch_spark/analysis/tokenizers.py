@@ -223,10 +223,13 @@ def register_analyzer(name: str, fn: Tokenizer) -> None:
     _REGISTRY[name] = fn
 
 
-def arrow_tokenize_encode(texts: list, name: str):
+def arrow_tokenize_encode(texts, name: str):
     """Arrow-native tokenize + dictionary-encode for supported analyzers.
 
-    Returns ``(codes int64[n_tokens], uniq_terms list[str], doc_lens int64)``
+    ``texts`` may be a list of str (pandas path) or a ``pyarrow``
+    Array/ChunkedArray (the mapInArrow build path hands its batches straight
+    in — document text never becomes Python objects at all). Returns
+    ``(codes int64[n_tokens], uniq_terms list[str], doc_lens int64)``
     where codes index uniq_terms and tokens are in (doc, position) order — or
     ``None`` when the analyzer has no Arrow fast path (caller falls back to the
     pandas tokenizer).
@@ -247,7 +250,11 @@ def arrow_tokenize_encode(texts: list, name: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    arr = pa.array(["" if t is None else t for t in texts], type=pa.large_string())
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        arr = pc.fill_null(pc.cast(arr, pa.large_string()), "")
+    else:
+        arr = pa.array(["" if t is None else t for t in texts], type=pa.large_string())
     toks = pc.split_pattern_regex(pc.utf8_lower(arr), "[^a-z0-9]+")
     flat = pc.list_flatten(toks)
     raw_lens = pc.list_value_length(toks).to_numpy().astype(np.int64)

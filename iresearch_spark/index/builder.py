@@ -137,7 +137,7 @@ class IndexBuilder:
             "block_last_doc", "block_doc_off", "block_freq_off", "block_max_freq",
         ]
 
-        def invert_partition(batches):
+        def invert_partition(arrow_batches):
             """Tokenize + invert + encode ONE whole segment (= input partition).
 
             The segment_writer flush analogue: everything from raw text to
@@ -145,27 +145,67 @@ class IndexBuilder:
             shuffled. Memory bound = one segment's postings — size segments via
             `num_segments` (cluster: maxPartitionBytes) so a segment fits an
             executor, exactly like sizing the reference's flush threshold.
+
+            mapInArrow: the input batches stay in Arrow buffers end to end —
+            document text and keys never become Python objects on the default
+            analyzer path (the allocator-thrash that capped build scaling).
             """
+            import pyarrow as pa
+            import pyarrow.compute as pc
             from pyspark import TaskContext
 
             sid = TaskContext.get().partitionId()
-            keys: list = []
-            stored_acc: dict[str, list] = {c: [] for c in stored_cols}
-            texts: list = []
-            for pdf in batches:
-                texts.extend(pdf[text_col].tolist())
-                keys.extend(pdf[key_col].astype(str).tolist())
-                for c in stored_cols:
-                    stored_acc[c].extend(pdf[c].tolist())
-
-            n_docs = len(texts)
+            batches = list(arrow_batches)
+            if not batches:
+                return
+            tbl = pa.Table.from_batches(batches)
+            n_docs = tbl.num_rows
             if n_docs == 0:
                 return
+            key_arr = pc.cast(tbl.column(key_col).combine_chunks(), pa.string())
+            stored_arrs = {c: tbl.column(c).combine_chunks() for c in stored_cols}
+            out_schema = pa.schema(
+                [
+                    ("kind", pa.string()),
+                    ("segment_id", pa.int32()),
+                    ("doc_id", pa.int32()),
+                    ("doc_key", pa.string()),
+                    ("doc_len", pa.int32()),
+                    *[(c, stored_arrs[c].type) for c in stored_cols],
+                    ("term", pa.string()),
+                    ("docs_count", pa.int32()),
+                    ("total_freq", pa.int64()),
+                    ("max_freq", pa.int32()),
+                    ("doc_ids_enc", pa.binary()),
+                    ("freqs_enc", pa.binary()),
+                    ("pos_enc", pa.binary()),
+                    ("block_last_doc", pa.list_(pa.int64())),
+                    ("block_doc_off", pa.list_(pa.int64())),
+                    ("block_freq_off", pa.list_(pa.int64())),
+                    ("block_max_freq", pa.list_(pa.int64())),
+                    ("doc_len_enc", pa.binary()),
+                    ("docs_with_field", pa.int32()),
+                    ("sum_len", pa.int64()),
+                ]
+            )
+
+            def out_batch(n: int, **cols) -> pa.RecordBatch:
+                arrays = []
+                for f in out_schema:
+                    a = cols.get(f.name)
+                    if a is None:
+                        arrays.append(pa.nulls(n, f.type))
+                    elif isinstance(a, pa.Array):
+                        arrays.append(a if a.type == f.type else pc.cast(a, f.type))
+                    else:
+                        arrays.append(pa.array(a, f.type))
+                return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
             # tokenize + term-id encode: Arrow fast path (tokens never become
             # Python objects) or pandas fallback for custom analyzers
             explicit_pos = None  # set by positional analyzers (0-increment synonyms)
             res = (
-                arrow_tokenize_encode(texts, tokenizer_spec)
+                arrow_tokenize_encode(tbl.column(text_col), tokenizer_spec)
                 if isinstance(tokenizer_spec, str)
                 else None
             )
@@ -178,7 +218,7 @@ class IndexBuilder:
                     if isinstance(tokenizer_spec, str)
                     else tokenizer_spec
                 )
-                tok_res = tokenizer(pd.Series(texts)).tolist()
+                tok_res = tokenizer(tbl.column(text_col).to_pandas()).tolist()
                 if getattr(tokenizer, "emits_positions", False):
                     # analyzer emits (tokens, positions): positions are 1-based
                     # and may repeat (increment-0 tokens, e.g. synonyms at the
@@ -207,42 +247,29 @@ class IndexBuilder:
                     off += len(t)
                 codes, uniq_arr = pd.factorize(flat)
                 uniq_terms = list(uniq_arr)
+
             # ---- doc rows (doc ids dense 1-based per segment) ----
-            doc_out = pd.DataFrame(
-                {
-                    "kind": "d",
-                    "segment_id": np.full(n_docs, sid, np.int32),
-                    "doc_id": np.arange(1, n_docs + 1, dtype=np.int32),
-                    "doc_key": keys,
-                    "doc_len": lens.astype(np.int32),
-                }
+            yield out_batch(
+                n_docs,
+                kind=["d"] * n_docs,
+                segment_id=pa.array(np.full(n_docs, sid, np.int32), pa.int32()),
+                doc_id=pa.array(np.arange(1, n_docs + 1, dtype=np.int32), pa.int32()),
+                doc_key=key_arr,
+                doc_len=pa.array(lens.astype(np.int32), pa.int32()),
+                **stored_arrs,
             )
-            for c in stored_cols:
-                doc_out[c] = stored_acc[c]
-            for c in [*post_cols, "doc_len_enc", "docs_with_field", "sum_len"]:
-                doc_out[c] = None
-            yield doc_out
 
             # ---- norms row (Norm2 columnstore + field stats, zero extra
             # stages: the kernel already holds the segment's doc lengths) ----
-            norm_out = pd.DataFrame(
-                [{
-                    "kind": "n",
-                    "segment_id": np.int32(sid),
-                    "docs_count": int(n_docs),
-                    "doc_len_enc": vbyte_encode(lens),
-                    "docs_with_field": int((lens > 0).sum()),
-                    "sum_len": int(lens.sum()),
-                }]
+            yield out_batch(
+                1,
+                kind=["n"],
+                segment_id=[sid],
+                docs_count=[int(n_docs)],
+                doc_len_enc=[vbyte_encode(lens)],
+                docs_with_field=[int((lens > 0).sum())],
+                sum_len=[int(lens.sum())],
             )
-            for c in ["doc_id", "doc_key", "doc_len", *stored_cols,
-                      "term", "total_freq", "max_freq", "doc_ids_enc",
-                      "freqs_enc", "pos_enc", "block_last_doc",
-                      "block_doc_off", "block_freq_off", "block_max_freq"]:
-                norm_out[c] = None
-            yield norm_out[["kind", "segment_id", "doc_id", "doc_key", "doc_len",
-                            *stored_cols, *post_cols,
-                            "doc_len_enc", "docs_with_field", "sum_len"]]
 
             # ---- invert across the segment (field_data::invert analogue,
             # fully vectorized: one hash pass + one int sort for the whole
@@ -274,18 +301,23 @@ class IndexBuilder:
             enc_cols = encode_postings_batch(
                 s_doc, s_counts, bounds, pos_sorted if with_positions else None
             )
-            out: dict[str, list] = {"term": list(uniq_terms), **enc_cols}
-            post_out = pd.DataFrame(out)[post_cols]
-            post_out.insert(0, "kind", "p")
-            post_out.insert(1, "segment_id", np.int32(sid))
-            post_out.insert(2, "doc_id", None)
-            post_out.insert(3, "doc_key", None)
-            post_out.insert(4, "doc_len", None)
-            for c in [*stored_cols, "doc_len_enc", "docs_with_field", "sum_len"]:
-                post_out[c] = None
-            yield post_out[["kind", "segment_id", "doc_id", "doc_key", "doc_len",
-                            *stored_cols, *post_cols,
-                            "doc_len_enc", "docs_with_field", "sum_len"]]
+            T = len(uniq_terms)
+            yield out_batch(
+                T,
+                kind=["p"] * T,
+                segment_id=pa.array(np.full(T, sid, np.int32), pa.int32()),
+                term=pa.array(list(uniq_terms), pa.string()),
+                docs_count=enc_cols["docs_count"],
+                total_freq=enc_cols["total_freq"],
+                max_freq=enc_cols["max_freq"],
+                doc_ids_enc=enc_cols["doc_ids_enc"],
+                freqs_enc=enc_cols["freqs_enc"],
+                pos_enc=enc_cols["pos_enc"],
+                block_last_doc=enc_cols["block_last_doc"],
+                block_doc_off=enc_cols["block_doc_off"],
+                block_freq_off=enc_cols["block_freq_off"],
+                block_max_freq=enc_cols["block_max_freq"],
+            )
 
         # prune to the consumed columns BEFORE the range shuffle — the input
         # may carry wide payloads (e.g. raw html binary) that the index never
@@ -302,7 +334,7 @@ class IndexBuilder:
         segments_path = os.path.join(gen_dir, "segments")
         if not self._stage_done(run_id, gen, "segments", segments_path):
             t0 = time.time()
-            partitioned.mapInPandas(invert_partition, schema=seg_schema).write.mode(
+            partitioned.mapInArrow(invert_partition, schema=seg_schema).write.mode(
                 "overwrite"
             ).partitionBy("kind").parquet(segments_path)
             self._manifest(run_id, gen, "segments", "done", time.time() - t0)
