@@ -74,6 +74,113 @@ def pick_small_segments(reader: IndexReader, max_docs: int) -> list[int]:
     return _longest_contiguous(out)
 
 
+def _segment_bytes(reader: IndexReader) -> dict[int, int]:
+    """Approximate per-segment byte size = encoded postings payload bytes
+    (the dominant component; the reference's policies measure file sizes,
+    index_utils.cpp size_bytes)."""
+    rows = (
+        reader.postings()
+        .groupBy("segment_id")
+        .agg(
+            (
+                F.sum(F.octet_length("doc_ids_enc"))
+                + F.sum(F.octet_length("freqs_enc"))
+                + F.sum(F.octet_length("pos_enc"))
+            ).alias("bytes")
+        )
+        .collect()
+    )
+    return {int(r["segment_id"]): int(r["bytes"] or 0) for r in rows}
+
+
+def pick_bytes(reader: IndexReader, threshold: float = 0.3) -> list[int]:
+    """``consolidate_bytes`` analogue (index_utils.hpp:36-50): merge segments
+    whose byte size is below ``threshold`` × average segment size; contiguous
+    run restriction as everywhere."""
+    sizes = _segment_bytes(reader)
+    if len(sizes) < 2:
+        return []
+    avg = sum(sizes.values()) / len(sizes)
+    out = sorted(s for s, b in sizes.items() if b <= threshold * avg or len(sizes) == 2)
+    return _longest_contiguous(out)
+
+
+def pick_bytes_accum(reader: IndexReader, max_bytes: int) -> list[int]:
+    """``consolidate_bytes_accum`` analogue (index_utils.hpp:52-66): take the
+    longest contiguous run of segments whose accumulated byte size stays
+    under ``max_bytes``."""
+    sizes = _segment_bytes(reader)
+    ids = sorted(sizes)
+    best: list[int] = []
+    i = 0
+    acc = 0
+    j = 0
+    while j < len(ids):  # sliding window over contiguous id runs
+        if j > i and ids[j] != ids[j - 1] + 1:
+            i, acc = j, 0
+        acc += sizes[ids[j]]
+        j += 1
+        while acc > max_bytes and i < j:
+            acc -= sizes[ids[i]]
+            i += 1
+        if j - i > len(best):
+            best = ids[i:j]
+    return best if len(best) >= 2 else []
+
+
+def pick_docs_fill(reader: IndexReader, min_fill: float = 0.85) -> list[int]:
+    """``consolidate_docs_fill`` analogue (index_utils.hpp:96-126): merge
+    segments whose live/total doc ratio dropped below ``min_fill`` (deletes
+    make this meaningful — purging reclaims the masked docs)."""
+    totals = {
+        int(r["segment_id"]): int(r["docs_count"])
+        for r in reader._table("norms").select("segment_id", "docs_count").collect()
+    }
+    deleted: dict[int, int] = {}
+    dels = reader.deletes()
+    if dels is not None:
+        for r in dels.groupBy("segment_id").count().collect():
+            deleted[int(r["segment_id"])] = int(r["count"])
+    out = sorted(
+        s for s, n in totals.items() if n and (n - deleted.get(s, 0)) / n < min_fill
+    )
+    return _longest_contiguous(out)
+
+
+def pick_tier(
+    reader: IndexReader,
+    max_merge_segments: int = 10,
+    floor_bytes: int = 1 << 20,
+) -> list[int]:
+    """``consolidate_tier``-style lookahead policy (index_utils.hpp:84-126):
+    score every contiguous candidate run of ≤ ``max_merge_segments`` by size
+    skew (smaller + more uniform merges first, the tiered-merge heuristic)
+    and return the best-scoring run."""
+    sizes = _segment_bytes(reader)
+    ids = sorted(sizes)
+    best: list[int] = []
+    best_score = -1.0
+    for i in range(len(ids)):
+        run: list[int] = []
+        for j in range(i, min(i + max_merge_segments, len(ids))):
+            if run and ids[j] != run[-1] + 1:
+                break
+            run.append(ids[j])
+            if len(run) < 2:
+                continue
+            bs = [max(sizes[s], floor_bytes) for s in run]
+            total = sum(bs)
+            # skew score in (0,1]: 1 = perfectly uniform run; favor longer
+            # uniform runs of small segments (tiered heuristic)
+            score = (total / (len(bs) * max(bs))) * (len(bs) / max_merge_segments) / (
+                1.0 + total / (64 * floor_bytes)
+            )
+            if score > best_score:
+                best_score = score
+                best = list(run)
+    return best if len(best) >= 2 else []
+
+
 def pick_count(reader: IndexReader, target_segments: int) -> list[int]:
     """``consolidate_count``-style policy: merge the first segments until
     ≤ ``target_segments`` remain (index_utils.hpp:84-94 analogue); contiguous

@@ -1093,11 +1093,19 @@ class Searcher:
         column is non-null, constant score = boost. Catalyst pushes the
         IS NOT NULL to the parquet scan."""
         docs = self.reader.live_docs()
-        if node.column not in docs.columns:
+        reserved = {"doc_key", "segment_id", "doc_id", "doc_len"}
+        if node.prefix_match:
+            cols = [c for c in docs.columns if c.startswith(node.column) and c not in reserved]
+        else:
+            cols = [node.column] if node.column in docs.columns else []
+        if not cols:
             schema = "doc_key string, segment_id int, doc_id int, score double"
             return self.reader.spark.createDataFrame([], schema if with_keys else schema.split(", ", 1)[1])
+        pred = F.col(cols[0]).isNotNull()
+        for c in cols[1:]:
+            pred = pred | F.col(c).isNotNull()
         out = (
-            docs.where(F.col(node.column).isNotNull())
+            docs.where(pred)
             .select("doc_key", "segment_id", "doc_id", F.lit(float(node.boost)).alias("score"))
             .orderBy("segment_id", "doc_id")
             .limit(k)

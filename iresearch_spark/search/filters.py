@@ -152,9 +152,13 @@ class All(Filter):
 
 @dataclass
 class ColumnExists(Filter):
-    """Docs where a stored column is non-null (column_existence_filter.cpp)."""
+    """Docs where a stored column is non-null (column_existence_filter.cpp);
+    ``prefix_match`` treats ``column`` as a name prefix and matches docs where
+    ANY stored column whose name starts with it is non-null (the reference's
+    prefix option)."""
 
     column: str
+    prefix_match: bool = False
     boost: float = 1.0
 
 

@@ -115,3 +115,24 @@ def test_delete_then_more_deletes_accumulate(spark, idx):
     s = Searcher(r2)
     got = {r["doc_key"] for r in s.search(flt.All(), k=100).collect()}
     assert got == {k for k in DOCS if k not in (*DELETED, "k000")}
+
+
+def test_policy_suite(spark, idx):
+    """Every consolidation policy returns a contiguous run (or []) and
+    consolidate() accepts it."""
+    from iresearch_spark.index import consolidate as cz
+
+    for picked in (
+        cz.pick_bytes(idx, threshold=2.0),
+        cz.pick_bytes_accum(idx, max_bytes=1 << 30),
+        cz.pick_docs_fill(idx, min_fill=0.99),  # only segments holding deletes
+        cz.pick_tier(idx),
+        cz.pick_count(idx, target_segments=1),
+        cz.pick_small_segments(idx, max_docs=1 << 30),
+    ):
+        if picked:
+            assert picked == list(range(picked[0], picked[-1] + 1))
+    # docs_fill(<1) flags only segments that hold deleted docs
+    flagged = cz.pick_docs_fill(idx, min_fill=0.99)
+    dels = {int(r["segment_id"]) for r in idx.deletes().collect()}
+    assert set(flagged) <= dels

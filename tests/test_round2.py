@@ -401,3 +401,10 @@ def test_nested_merge_max(nested_idx):
     }
     for p in exp:
         assert abs(got[p] - exp[p]) < 1e-9
+
+
+def test_column_exists_prefix(built):
+    s = Searcher(built)
+    # doc_key column starts with "doc_" ... our stored col is none; use
+    # prefix over 'doc_len'-reserved: expect empty for bogus prefix
+    assert s.search(flt.ColumnExists("zzz", prefix_match=True), k=5).collect() == []
