@@ -210,11 +210,20 @@ def text_tokenize(texts: pd.Series, locale: str = "en") -> pd.Series:
     return text_en_tokenize(texts)
 
 
+def stem_tokenize(texts: pd.Series) -> pd.Series:
+    """Standalone Snowball stem stage over simple tokens
+    (text_token_stemming_stream.cpp — no stopwords, no accent fold)."""
+    from .stemmer import stem_english
+
+    return simple_tokenize(texts).map(lambda ts: [stem_english(t) for t in ts])
+
+
 _REGISTRY: dict[str, Tokenizer] = {
     "simple": simple_tokenize,
     "segmentation": segmentation_tokenize,
     "text": text_tokenize,
     "text_en": text_en_tokenize,
+    "stem": stem_tokenize,
 }
 
 
@@ -291,6 +300,12 @@ def get_tokenizer(name: str) -> Tokenizer:
         if kind == "simple+syn":  # simple+syn:word=alias,word2=alias2
             syn = dict(pair.split("=", 1) for pair in arg.split(",") if pair)
             return synonym_tokenizer(syn)
+        if kind == "simple+stem":  # standalone stem stage (no stopwords/accents)
+            from .stemmer import stem_english
+
+            return pipeline(
+                simple_tokenize, lambda tl: tl.map(lambda ts: [stem_english(t) for t in ts])
+            )
     raise KeyError(f"unknown analyzer {name!r}; known: {sorted(_REGISTRY)}")
 
 

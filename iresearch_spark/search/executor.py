@@ -39,9 +39,10 @@ plan is pruned independently in-kernel, and a single window takes the global
 per-query top-k. This amortizes job/scan overhead across queries — the shape
 batched query serving takes on a real cluster.
 
-Scale notes: stats collects are O(#query terms); the postings scan is pruned by
-``tbucket`` partition + term IN pushdown; per-segment kernels are independent
-tasks; the only driver-side data is #segments × #queries × k candidate rows.
+Scale notes: stats collects are O(#query terms); the postings scan is pruned
+by parquet min/max stats over the term-sorted range layout (exact, prefix and
+range predicates all push down); per-segment kernels are independent tasks;
+the only driver-side data is #segments × #queries × k candidate rows.
 """
 
 from __future__ import annotations
