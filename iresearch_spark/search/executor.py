@@ -323,7 +323,9 @@ def compile_plans(
                 else:
                     incl.append(build(p))
             if not incl:
-                raise ValueError("And with only Not parts is unsupported (needs All base)")
+                # only negations: implicit all-docs base, constant score
+                # (boolean_filter.cpp:352-401 MakeAllDocsFilter grouping)
+                incl = [{"op": "all", "boost": 1.0}]
             return {"op": "and", "parts": incl, "exclude": excl, "merge": node.merge, "boost": node.boost}
         if isinstance(node, flt.Or):
             if any(isinstance(p, flt.Not) for p in node.parts):

@@ -231,7 +231,7 @@ def normalize(f: Filter) -> Filter:
                 flat.append(p)
         if isinstance(f, And) and any(isinstance(p, Empty) for p in flat):
             return Empty()
-        if len(flat) == 1 and getattr(f, "min_match", 1) <= 1:
+        if len(flat) == 1 and getattr(f, "min_match", 1) <= 1 and not isinstance(flat[0], Not):
             only = flat[0]
             if f.boost != 1.0:
                 return _with_boost(only, only.boost * f.boost)

@@ -408,3 +408,13 @@ def test_column_exists_prefix(built):
     # doc_key column starts with "doc_" ... our stored col is none; use
     # prefix over 'doc_len'-reserved: expect empty for bogus prefix
     assert s.search(flt.ColumnExists("zzz", prefix_match=True), k=5).collect() == []
+
+
+def test_and_only_not(built):
+    """And with only Not parts gets an implicit all-docs base
+    (boolean_filter.cpp MakeAllDocsFilter)."""
+    s = Searcher(built)
+    rows = s.search(flt.And((flt.Not(flt.Term("spark")),)), k=50).collect()
+    exp = {k for k, t in DOCS.items() if "spark" not in t.split()}
+    assert {r["doc_key"] for r in rows} == exp
+    assert all(r["score"] == 1.0 for r in rows)
