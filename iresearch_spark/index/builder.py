@@ -115,13 +115,37 @@ class IndexBuilder:
         num_segments = self.num_segments or max(
             1, spark.sparkContext.defaultParallelism
         )
+        stored_cols = tuple(stored_cols)
+        doc_cols = ["segment_id", "doc_id", "doc_key", "doc_len", *stored_cols]
+        docs_path, norms_path, postings_path = self._invert_and_layout(
+            df, gen_dir, key_col, text_col, stored_cols, num_segments, 0, run_id, gen
+        )
+        return self._finish_commit(
+            gen, gen_dir, run_id, num_segments, num_segments,
+            [docs_path], [norms_path], [postings_path],
+            doc_cols, key_col, text_col, stored_cols,
+        )
 
+    def _invert_and_layout(
+        self,
+        df: DataFrame,
+        gen_dir: str,
+        key_col: str,
+        text_col: str,
+        stored_cols: tuple[str, ...],
+        num_segments: int,
+        sid_base: int,
+        run_id: str,
+        gen: int,
+    ) -> tuple[str, str, str]:
+        """The segments (tokenize+invert+encode) and postings-layout stages;
+        segment ids are ``sid_base + partition index`` so appended batches get
+        fresh ids. Returns (docs_path, norms_path, postings_path)."""
+        spark = self.spark
         tokenizer_spec = self.analyzer  # registry name/spec, or a callable captured in the closure
         with_positions = self.with_positions
-        stored_cols = tuple(stored_cols)
         in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         stored_schema = ", ".join(f"`{c}` {in_fields[c]}" for c in stored_cols)
-        doc_cols = ["segment_id", "doc_id", "doc_key", "doc_len", *stored_cols]
         seg_schema = (
             "kind string, segment_id int, doc_id int, doc_key string, doc_len int"
             + (", " + stored_schema if stored_cols else "")
@@ -154,7 +178,7 @@ class IndexBuilder:
             import pyarrow.compute as pc
             from pyspark import TaskContext
 
-            sid = TaskContext.get().partitionId()
+            sid = sid_base + TaskContext.get().partitionId()
             batches = list(arrow_batches)
             if not batches:
                 return
@@ -345,17 +369,12 @@ class IndexBuilder:
         docs_path = os.path.join(segments_path, "kind=d")
         norms_path = os.path.join(segments_path, "kind=n")
         postings_path = os.path.join(gen_dir, "postings")
-        term_dict_path = os.path.join(gen_dir, "term_dict")
         p_parts = self.postings_partitions or max(16, num_segments)
 
         if not os.path.isdir(os.path.join(segments_path, "kind=p")):
             # empty input (or no tokens at all): publish empty tables with
             # explicit schemas so readers see a valid (0-doc) generation
-            for path, schema in (
-                (postings_path, POSTINGS_SCHEMA),
-                (term_dict_path, "term string, df long, ttf long, max_freq long"),
-            ):
-                spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+            spark.createDataFrame([], POSTINGS_SCHEMA).write.mode("overwrite").parquet(postings_path)
             if not os.path.isdir(norms_path):
                 spark.createDataFrame([], NORMS_SCHEMA).write.mode("overwrite").parquet(norms_path)
             if not os.path.isdir(docs_path):
@@ -381,11 +400,33 @@ class IndexBuilder:
                 .parquet(postings_path)
             )
             self._manifest(run_id, gen, "postings", "done", time.time() - t0)
+        return docs_path, norms_path, postings_path
 
+    def _finish_commit(
+        self,
+        gen: int,
+        gen_dir: str,
+        run_id: str,
+        num_segments: int,
+        next_segment_id: int,
+        docs_paths: list[str],
+        norms_paths: list[str],
+        postings_paths: list[str],
+        doc_cols: list[str],
+        key_col: str,
+        text_col: str,
+        stored_cols: tuple[str, ...],
+        carry_tables: dict | None = None,
+        last_stream_batch: int | None = None,
+    ) -> dict:
+        """term_dict aggregation over ALL postings paths + two-phase commit."""
+        spark = self.spark
+        p_parts = self.postings_partitions or max(16, num_segments)
+        term_dict_path = os.path.join(gen_dir, "term_dict")
         if not self._stage_done(run_id, gen, "term_dict", term_dict_path):
             t0 = time.time()
             (
-                spark.read.parquet(postings_path)
+                spark.read.parquet(*postings_paths)
                 .groupBy("term")
                 .agg(
                     F.sum("docs_count").alias("df"),
@@ -399,17 +440,27 @@ class IndexBuilder:
             )
             self._manifest(run_id, gen, "term_dict", "done", time.time() - t0)
 
-        # docs_count for the meta from the tiny kind=n slice (one row/segment)
+        # docs_count for the meta from the tiny kind=n slices (one row/segment)
         norm_rows = (
-            spark.read.parquet(norms_path)
+            spark.read.parquet(*norms_paths)
             .select("segment_id", "docs_count")
             .collect()
+        )
+        tables = dict(carry_tables or {})
+        tables.update(
+            {
+                "docs": docs_paths if len(docs_paths) > 1 else docs_paths[0],
+                "postings": postings_paths if len(postings_paths) > 1 else postings_paths[0],
+                "term_dict": term_dict_path,
+                "norms": norms_paths if len(norms_paths) > 1 else norms_paths[0],
+            }
         )
         meta = {
             "generation": gen,
             "analyzer": self.analyzer if isinstance(self.analyzer, str) else repr(self.analyzer),
             "with_positions": self.with_positions,
             "num_segments": num_segments,
+            "next_segment_id": next_segment_id,
             "postings_partitions": p_parts,
             "docs_count": sum(int(r["docs_count"]) for r in norm_rows),
             "doc_cols": doc_cols,
@@ -417,18 +468,70 @@ class IndexBuilder:
             "text_col": text_col,
             "stored_cols": list(stored_cols),
             "run_id": run_id,
-            "tables": {
-                "docs": docs_path,
-                "postings": postings_path,
-                "term_dict": term_dict_path,
-                "norms": norms_path,
-            },
+            "tables": tables,
         }
+        if last_stream_batch is not None:
+            meta["last_stream_batch"] = last_stream_batch
         pending = os.path.join(self.index_path, "_pending.json")
         with open(pending, "w") as f:
             json.dump(meta, f, indent=1)
         os.replace(pending, os.path.join(self.index_path, "meta.json"))  # atomic publish
         return meta
+
+    # ---------------------------------------------------------------- append
+    def append(
+        self,
+        df: DataFrame,
+        key_col: str | None = None,
+        text_col: str | None = None,
+        stored_cols: tuple[str, ...] | None = None,
+        batch_id: int | None = None,
+    ) -> dict:
+        """Append a micro-batch as NEW segments under generation+1.
+
+        The incremental write path (streaming ingestion / re-crawl appends):
+        the batch is inverted into fresh segment ids (``next_segment_id`` +
+        partition index), its postings land in a new range-laid-out table
+        unioned with the existing ones, and ``term_dict`` (global df/ttf) is
+        re-aggregated over all postings paths — global BM25 stats stay exact
+        across appends. ``batch_id`` makes foreachBatch replays idempotent:
+        an already-committed batch id is a no-op (exactly-once on top of the
+        streaming checkpoint)."""
+        meta = self.read_meta()
+        if meta is None:
+            return self.build(
+                df, key_col=key_col, text_col=text_col,
+                stored_cols=tuple(stored_cols or ()), run_id=None,
+            )
+        if batch_id is not None and batch_id <= meta.get("last_stream_batch", -1):
+            return meta  # replayed micro-batch: already committed
+        key_col = key_col or meta["key_col"]
+        text_col = text_col or meta["text_col"]
+        stored_cols = tuple(stored_cols if stored_cols is not None else meta["stored_cols"])
+        run_id = uuid.uuid4().hex[:12]
+        gen = meta["generation"] + 1
+        gen_dir = os.path.join(self.index_path, f"gen={gen}")
+        os.makedirs(gen_dir, exist_ok=True)
+        n_new = self.num_segments or max(1, self.spark.sparkContext.defaultParallelism)
+        sid_base = int(meta.get("next_segment_id", meta["num_segments"]))
+        docs_path, norms_path, postings_path = self._invert_and_layout(
+            df, gen_dir, key_col, text_col, stored_cols, n_new, sid_base, run_id, gen
+        )
+
+        def paths_of(v) -> list[str]:
+            return list(v) if isinstance(v, list) else [v]
+
+        carry = {k: v for k, v in meta["tables"].items() if k == "deletes"}
+        return self._finish_commit(
+            gen, gen_dir, run_id,
+            meta["num_segments"] + n_new, sid_base + n_new,
+            paths_of(meta["tables"]["docs"]) + [docs_path],
+            paths_of(meta["tables"]["norms"]) + [norms_path],
+            paths_of(meta["tables"]["postings"]) + [postings_path],
+            meta["doc_cols"], key_col, text_col, stored_cols,
+            carry_tables=carry,
+            last_stream_batch=batch_id if batch_id is not None else meta.get("last_stream_batch"),
+        )
 
     # ------------------------------------------------------------- plumbing
     def read_meta(self) -> dict | None:

@@ -31,7 +31,9 @@ class IndexReader:
         serial driver cost on big indexes); a pinned reader is also exactly the
         reference's snapshot semantics (segment_reader.hpp:35-110)."""
         if name not in self._tables:
-            self._tables[name] = self.spark.read.parquet(self.meta["tables"][name])
+            v = self.meta["tables"][name]
+            paths = v if isinstance(v, list) else [v]
+            self._tables[name] = self.spark.read.parquet(*paths)
         return self._tables[name]
 
     def docs(self) -> DataFrame:
