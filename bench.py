@@ -249,13 +249,14 @@ def run_once(
     n_segments: int | None = None,
     batch_repeat: int = REPEAT,
     batch_replicate: int = 1,
+    with_singles: bool = True,
 ) -> dict:
     spark = make_spark(cpus)
     try:
         reader, build_s = build_index(spark, n_pages, cpus, tag=f"c{cpus}", n_segments=n_segments)
         terms = pick_terms(reader)
         tasks = reference_tasks(terms)
-        q = run_queries(reader, tasks)
+        q = run_queries(reader, tasks) if with_singles else {}
         batch_s, batch_n = run_batch(reader, tasks, repeat=batch_repeat, replicate=batch_replicate)
         q["Batch16"] = round(batch_s, 4)
         if with_pipeline:
@@ -304,6 +305,7 @@ def main() -> None:
                 r = run_once(
                     cpus, n_pages, SF_DIR, with_pipeline=False,
                     n_segments=segs, batch_repeat=1, batch_replicate=rep,
+                    with_singles=False,
                 )
                 batch_n = r["batch_n"]
                 samples[cpus]["dps"].append(r["build_docs_per_sec"])
