@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 
 from ..analysis.tokenizers import arrow_tokenize_encode, get_tokenizer
 
-from .codec import encode_postings_batch, vbyte_encode
+from .codec import encode_postings_batch_arrow, vbyte_encode
 
 POSTINGS_SCHEMA = (
     "term string, segment_id int, docs_count int, total_freq long, max_freq int, "
@@ -308,8 +308,15 @@ class IndexBuilder:
                 starts = np.zeros(n_docs, dtype=np.int64)
                 np.cumsum(tok_counts[:-1], out=starts[1:])
                 tok_pos = np.arange(1, n_tokens + 1, dtype=np.int64) - np.repeat(starts, tok_counts)
-            # sort tokens by (term, doc, pos): positions land flat in final order
-            order = np.lexsort((tok_pos, tok_doc, codes))
+            # sort tokens by (term, doc, pos): the flat stream is ALREADY in
+            # (doc, pos) order, so a single STABLE (radix) sort on the term
+            # code gives the full 3-key order — ~3× faster than np.lexsort.
+            # Positional analyzers may emit arbitrary position order → full
+            # lexsort on that (rare) path.
+            if explicit_pos is not None:
+                order = np.lexsort((tok_pos, tok_doc, codes))
+            else:
+                order = np.argsort(codes, kind="stable")
             c_s = codes[order]
             d_s = tok_doc[order]
             pos_sorted = tok_pos[order]
@@ -322,7 +329,7 @@ class IndexBuilder:
             s_counts = np.diff(np.append(dt_break, n_tokens))
             bounds = np.flatnonzero(np.diff(s_codes, prepend=-1))
             bounds = np.append(bounds, s_codes.size)
-            enc_cols = encode_postings_batch(
+            enc_cols = encode_postings_batch_arrow(
                 s_doc, s_counts, bounds, pos_sorted if with_positions else None
             )
             T = len(uniq_terms)

@@ -175,24 +175,17 @@ def _vbyte_len(values: np.ndarray) -> np.ndarray:
     return n
 
 
-def encode_postings_batch(
+def _encode_postings_core(
     doc_ids: np.ndarray,
     freqs: np.ndarray,
     term_bounds: np.ndarray,
     positions: np.ndarray | None = None,
-) -> dict[str, list]:
-    """Encode MANY posting lists at once — the whole-segment flush.
+) -> dict:
+    """Shared whole-segment encode math → flat buffers + per-term offsets.
 
-    ``doc_ids``/``freqs`` are the concatenation of every term's postings,
-    sorted by (term, doc); ``term_bounds`` (len T+1) delimits terms;
-    ``positions`` is the matching flattened position stream (token order
-    (term, doc, pos)). Semantically identical to calling
-    :func:`encode_postings` per term (property-tested), but the VByte encode,
-    byte-offset prefix sums and block metadata are single numpy passes over
-    the segment — per-term Python work is reduced to slicing the shared
-    buffers. This is what makes the invert stage CPU-bound on real work
-    instead of on a million tiny Python calls.
-    """
+    All outputs are numpy buffers/offsets; presenters below slice them into
+    Python lists (pandas kernels) or wrap them ZERO-COPY as Arrow offset
+    arrays (the mapInArrow build path)."""
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     freqs = np.asarray(freqs, dtype=np.int64)
     term_bounds = np.asarray(term_bounds, dtype=np.int64)
@@ -227,21 +220,25 @@ def encode_postings_batch(
     j_in_term = np.arange(total_blocks) - first_block[term_of_block]
     bstart = starts[term_of_block] + BLOCK_SIZE * j_in_term
     bend = np.minimum(bstart + BLOCK_SIZE, ends[term_of_block])
-    blk_last = doc_ids[bend - 1]
+    blk_last = doc_ids[bend - 1] if total_blocks else np.empty(0, np.int64)
     blk_maxf = np.maximum.reduceat(freqs, bstart) if total_blocks else np.empty(0, np.int64)
     blk_doff = dpre[bstart] - dpre[starts[term_of_block]]
     blk_foff = fpre[bstart] - fpre[starts[term_of_block]]
 
-    out: dict[str, list] = {
-        "docs_count": counts.tolist(),
-        "total_freq": total_freq.tolist(),
-        "max_freq": max_freq.tolist(),
-        "doc_ids_enc": [doc_buf[dpre[starts[t]] : dpre[ends[t]]] for t in range(T)],
-        "freqs_enc": [freq_buf[fpre[starts[t]] : fpre[ends[t]]] for t in range(T)],
-        "block_last_doc": [blk_last[first_block[t] : first_block[t + 1]].tolist() for t in range(T)],
-        "block_doc_off": [blk_doff[first_block[t] : first_block[t + 1]].tolist() for t in range(T)],
-        "block_freq_off": [blk_foff[first_block[t] : first_block[t + 1]].tolist() for t in range(T)],
-        "block_max_freq": [blk_maxf[first_block[t] : first_block[t + 1]].tolist() for t in range(T)],
+    core = {
+        "T": T,
+        "counts": counts,
+        "total_freq": total_freq,
+        "max_freq": max_freq,
+        "doc_buf": doc_buf,
+        "doc_bounds": dpre[term_bounds],
+        "freq_buf": freq_buf,
+        "freq_bounds": fpre[term_bounds],
+        "first_block": first_block,
+        "blk_last": blk_last,
+        "blk_doff": blk_doff,
+        "blk_foff": blk_foff,
+        "blk_maxf": blk_maxf,
     }
 
     if positions is not None:
@@ -259,12 +256,86 @@ def encode_postings_batch(
         pos_buf = vbyte_encode(pdelta)
         plen_pre = np.zeros(pos.size + 1, dtype=np.int64)
         np.cumsum(_vbyte_len(pdelta), out=plen_pre[1:])
-        t_pos_lo = plen_pre[ppre[starts]]
-        t_pos_hi = plen_pre[ppre[ends]]
-        out["pos_enc"] = [pos_buf[t_pos_lo[t] : t_pos_hi[t]] for t in range(T)]
+        core["pos_buf"] = pos_buf
+        core["pos_bounds"] = plen_pre[ppre[term_bounds]]
     else:
-        out["pos_enc"] = [b""] * T
-    return out
+        core["pos_buf"] = b""
+        core["pos_bounds"] = np.zeros(T + 1, dtype=np.int64)
+    return core
+
+
+def encode_postings_batch(
+    doc_ids: np.ndarray,
+    freqs: np.ndarray,
+    term_bounds: np.ndarray,
+    positions: np.ndarray | None = None,
+) -> dict[str, list]:
+    """Encode MANY posting lists at once — the whole-segment flush.
+
+    ``doc_ids``/``freqs`` are the concatenation of every term's postings,
+    sorted by (term, doc); ``term_bounds`` (len T+1) delimits terms;
+    ``positions`` is the matching flattened position stream (token order
+    (term, doc, pos)). Semantically identical to calling
+    :func:`encode_postings` per term (property-tested). List presenter for
+    pandas kernels; the build path uses :func:`encode_postings_batch_arrow`.
+    """
+    c = _encode_postings_core(doc_ids, freqs, term_bounds, positions)
+    T = c["T"]
+    db, fb, pb = c["doc_bounds"], c["freq_bounds"], c["pos_bounds"]
+    first = c["first_block"]
+    return {
+        "docs_count": c["counts"].tolist(),
+        "total_freq": c["total_freq"].tolist(),
+        "max_freq": c["max_freq"].tolist(),
+        "doc_ids_enc": [c["doc_buf"][db[t] : db[t + 1]] for t in range(T)],
+        "freqs_enc": [c["freq_buf"][fb[t] : fb[t + 1]] for t in range(T)],
+        "pos_enc": [c["pos_buf"][pb[t] : pb[t + 1]] for t in range(T)],
+        "block_last_doc": [c["blk_last"][first[t] : first[t + 1]].tolist() for t in range(T)],
+        "block_doc_off": [c["blk_doff"][first[t] : first[t + 1]].tolist() for t in range(T)],
+        "block_freq_off": [c["blk_foff"][first[t] : first[t + 1]].tolist() for t in range(T)],
+        "block_max_freq": [c["blk_maxf"][first[t] : first[t + 1]].tolist() for t in range(T)],
+    }
+
+
+def encode_postings_batch_arrow(
+    doc_ids: np.ndarray,
+    freqs: np.ndarray,
+    term_bounds: np.ndarray,
+    positions: np.ndarray | None = None,
+) -> dict:
+    """Arrow presenter of the whole-segment encode: binary/list columns are
+    built ZERO-COPY from the shared buffers + per-term offset arrays
+    (``pa.Array.from_buffers`` / ``ListArray.from_arrays``) — no per-term
+    Python slicing at all. This is what the mapInArrow build kernel emits."""
+    import pyarrow as pa
+
+    c = _encode_postings_core(doc_ids, freqs, term_bounds, positions)
+    T = c["T"]
+
+    def bin_arr(buf, bounds: np.ndarray) -> "pa.Array":
+        data = pa.py_buffer(buf if isinstance(buf, bytes) else bytes(buf))
+        offsets = pa.py_buffer(bounds.astype(np.int32))
+        return pa.Array.from_buffers(pa.binary(), T, [None, offsets, data])
+
+    def list_arr(values: np.ndarray, offsets: np.ndarray) -> "pa.Array":
+        return pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), pa.int32()),
+            pa.array(values.astype(np.int64), pa.int64()),
+        )
+
+    first = c["first_block"]
+    return {
+        "docs_count": pa.array(c["counts"].astype(np.int32), pa.int32()),
+        "total_freq": pa.array(c["total_freq"], pa.int64()),
+        "max_freq": pa.array(c["max_freq"].astype(np.int32), pa.int32()),
+        "doc_ids_enc": bin_arr(c["doc_buf"], c["doc_bounds"]),
+        "freqs_enc": bin_arr(c["freq_buf"], c["freq_bounds"]),
+        "pos_enc": bin_arr(c["pos_buf"], c["pos_bounds"]),
+        "block_last_doc": list_arr(c["blk_last"], first),
+        "block_doc_off": list_arr(c["blk_doff"], first),
+        "block_freq_off": list_arr(c["blk_foff"], first),
+        "block_max_freq": list_arr(c["blk_maxf"], first),
+    }
 
 
 def decode_doc_ids(
