@@ -1005,9 +1005,14 @@ class Searcher:
         if pq is None:
             pq = self._batch_postings(all_terms, specs)
         norms = self.reader.norms()
-        plan_items = list(plans.items())
+        # large batches: ship the plan list as a BROADCAST, not a task-closure
+        # capture — a 1000-plan dict pickled into every task binary costs
+        # seconds of serialize/deserialize PER STAGE, which is pure fixed
+        # overhead that caps batch-serving scalability
+        b_plans = spark.sparkContext.broadcast(list(plans.items()))
 
         def kernel(post_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
+            plan_items = b_plans.value
             import os as _os
             import sys as _sys
             import time as _time
