@@ -69,6 +69,65 @@ NORMS_SCHEMA = (
     "docs_with_field int, sum_len long"
 )
 
+TERM_DICT_SCHEMA = "term string, df long, ttf long, max_freq int"
+
+
+def _layout_and_aggregate(postings_dir: str):
+    """Fused postings-layout + term_dict kernel (mapInArrow).
+
+    Input: one term-RANGE partition of encoded posting rows, sorted by
+    (term, segment_id). The task (a) writes its partition DIRECTLY as a
+    parquet part file (atomic tmp+rename — idempotent under retries; parquet
+    min/max column stats give the same file/row-group pruning a Spark-written
+    layout has), and (b) emits the per-term (df, ttf, max_freq) aggregate rows,
+    still term-sorted. Because the range partitioning is on ``term`` alone, a
+    term's rows NEVER span partitions, so the per-partition aggregate is the
+    exact global term_dict — the separate groupBy job of the unfused path
+    (one full re-read + shuffle of the postings table) disappears.
+    """
+
+    def fn(arrow_batches):
+        import os as _os
+
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        batches = [b for b in arrow_batches if b.num_rows]
+        if not batches:
+            return
+        tbl = _pa.Table.from_batches(batches)
+        pid = tc.partitionId()
+        final = _os.path.join(postings_dir, f"part-{pid:05d}.parquet")
+        tmp = _os.path.join(
+            postings_dir, f".part-{pid:05d}-{tc.taskAttemptId()}.parquet.tmp"
+        )
+        _pq.write_table(tbl, tmp, compression="snappy")
+        _os.replace(tmp, final)  # atomic publish, idempotent across retries
+
+        terms = tbl.column("term").combine_chunks().to_numpy(zero_copy_only=False)
+        starts = _np.flatnonzero(
+            _np.concatenate(([True], terms[1:] != terms[:-1]))
+        )
+        dc = tbl.column("docs_count").to_numpy().astype(_np.int64)
+        tf = tbl.column("total_freq").to_numpy().astype(_np.int64)
+        mf = tbl.column("max_freq").to_numpy().astype(_np.int64)
+        yield _pa.RecordBatch.from_arrays(
+            [
+                _pa.array(terms[starts], _pa.string()),
+                _pa.array(_np.add.reduceat(dc, starts), _pa.int64()),
+                _pa.array(_np.add.reduceat(tf, starts), _pa.int64()),
+                _pa.array(
+                    _np.maximum.reduceat(mf, starts).astype(_np.int32), _pa.int32()
+                ),
+            ],
+            names=["term", "df", "ttf", "max_freq"],
+        )
+
+    return fn
+
 
 class IndexBuilder:
     def __init__(
@@ -117,8 +176,9 @@ class IndexBuilder:
         )
         stored_cols = tuple(stored_cols)
         doc_cols = ["segment_id", "doc_id", "doc_key", "doc_len", *stored_cols]
-        docs_path, norms_path, postings_path = self._invert_and_layout(
-            df, gen_dir, key_col, text_col, stored_cols, num_segments, 0, run_id, gen
+        docs_path, norms_path, postings_path, _ = self._invert_and_layout(
+            df, gen_dir, key_col, text_col, stored_cols, num_segments, 0, run_id, gen,
+            fuse_term_dict=True,
         )
         return self._finish_commit(
             gen, gen_dir, run_id, num_segments, num_segments,
@@ -137,10 +197,17 @@ class IndexBuilder:
         sid_base: int,
         run_id: str,
         gen: int,
-    ) -> tuple[str, str, str]:
+        fuse_term_dict: bool = False,
+    ) -> tuple[str, str, str, str | None]:
         """The segments (tokenize+invert+encode) and postings-layout stages;
         segment ids are ``sid_base + partition index`` so appended batches get
-        fresh ids. Returns (docs_path, norms_path, postings_path)."""
+        fresh ids. The layout stage is FUSED with term aggregation (one job:
+        tasks direct-write their term-range postings part file and emit exact
+        per-term stats). With ``fuse_term_dict`` the aggregate IS the final
+        term_dict (fresh build — single postings table); otherwise it lands in
+        a partial table that :meth:`_finish_commit` merges with the previous
+        generation's term_dict. Returns (docs_path, norms_path, postings_path,
+        term_partial_path | None)."""
         spark = self.spark
         tokenizer_spec = self.analyzer  # registry name/spec, or a callable captured in the closure
         with_positions = self.with_positions
@@ -394,20 +461,49 @@ class IndexBuilder:
         # term-RANGE partitions sorted by (term, segment_id) — every parquet
         # file/row-group covers a contiguous term range, so Catalyst min/max
         # stats prune exact, prefix and range term predicates (the FST role).
-        # Range-partitioning on (term, segment_id) also splits head terms'
-        # per-segment rows across adjacent partitions (skew split).
-        elif not self._stage_done(run_id, gen, "postings", postings_path):
+        # Skew: a head term is already split across all segments by
+        # construction, so its rows in one range partition are bounded by the
+        # segment count; partitioning on term ALONE keeps every term whole
+        # within one partition, which is what makes the fused per-partition
+        # term aggregation exact (no groupBy job). The tasks write their
+        # postings part files directly (atomic rename) and the job's OUTPUT is
+        # the term_dict — layout + global term stats in a single pass.
+        term_partial: str | None = None
+        if os.path.isdir(os.path.join(segments_path, "kind=p")) and not self._stage_done(
+            run_id, gen, "postings", postings_path
+        ):
             t0 = time.time()
+            import shutil
+
+            if os.path.isdir(postings_path):
+                shutil.rmtree(postings_path)  # stale partial attempt
+            os.makedirs(postings_path, exist_ok=True)
+            agg_path = (
+                os.path.join(gen_dir, "term_dict")
+                if fuse_term_dict
+                else os.path.join(gen_dir, "term_partial")
+            )
             (
                 spark.read.parquet(os.path.join(segments_path, "kind=p"))
                 .select("segment_id", *post_cols)
-                .repartitionByRange(p_parts, "term", "segment_id")
+                .repartitionByRange(p_parts, "term")
                 .sortWithinPartitions("term", "segment_id")
+                .mapInArrow(_layout_and_aggregate(postings_path), TERM_DICT_SCHEMA)
                 .write.mode("overwrite")
-                .parquet(postings_path)
+                .parquet(agg_path)
             )
+            with open(os.path.join(postings_path, "_SUCCESS"), "w"):
+                pass
             self._manifest(run_id, gen, "postings", "done", time.time() - t0)
-        return docs_path, norms_path, postings_path
+            if fuse_term_dict:
+                self._manifest(run_id, gen, "term_dict", "done", 0.0)
+            else:
+                term_partial = agg_path
+        elif not fuse_term_dict and os.path.exists(
+            os.path.join(gen_dir, "term_partial", "_SUCCESS")
+        ):
+            term_partial = os.path.join(gen_dir, "term_partial")
+        return docs_path, norms_path, postings_path, term_partial
 
     def _finish_commit(
         self,
@@ -425,22 +521,42 @@ class IndexBuilder:
         stored_cols: tuple[str, ...],
         carry_tables: dict | None = None,
         last_stream_batch: int | None = None,
+        term_sources: list[str] | None = None,
     ) -> dict:
-        """term_dict aggregation over ALL postings paths + two-phase commit."""
+        """term_dict aggregation + two-phase commit.
+
+        A fresh fused build already wrote term_dict (manifest row skips the
+        stage). Appends pass ``term_sources`` = [previous term_dict, new
+        partial] — merging two term_dict-shaped tables is far cheaper than
+        re-scanning every generation's postings; the fallback (no sources)
+        aggregates over all postings paths."""
         spark = self.spark
         p_parts = self.postings_partitions or max(16, num_segments)
         term_dict_path = os.path.join(gen_dir, "term_dict")
         if not self._stage_done(run_id, gen, "term_dict", term_dict_path):
             t0 = time.time()
-            (
-                spark.read.parquet(*postings_paths)
-                .groupBy("term")
-                .agg(
-                    F.sum("docs_count").alias("df"),
-                    F.sum("total_freq").alias("ttf"),
-                    F.max("max_freq").alias("max_freq"),
+            if term_sources:
+                agg = (
+                    spark.read.parquet(*term_sources)
+                    .groupBy("term")
+                    .agg(
+                        F.sum("df").alias("df"),
+                        F.sum("ttf").alias("ttf"),
+                        F.max("max_freq").alias("max_freq"),
+                    )
                 )
-                .repartitionByRange(max(8, p_parts // 4), "term")
+            else:
+                agg = (
+                    spark.read.parquet(*postings_paths)
+                    .groupBy("term")
+                    .agg(
+                        F.sum("docs_count").alias("df"),
+                        F.sum("total_freq").alias("ttf"),
+                        F.max("max_freq").alias("max_freq"),
+                    )
+                )
+            (
+                agg.repartitionByRange(max(8, p_parts // 4), "term")
                 .sortWithinPartitions("term")
                 .write.mode("overwrite")
                 .parquet(term_dict_path)
@@ -521,7 +637,7 @@ class IndexBuilder:
         os.makedirs(gen_dir, exist_ok=True)
         n_new = self.num_segments or max(1, self.spark.sparkContext.defaultParallelism)
         sid_base = int(meta.get("next_segment_id", meta["num_segments"]))
-        docs_path, norms_path, postings_path = self._invert_and_layout(
+        docs_path, norms_path, postings_path, term_partial = self._invert_and_layout(
             df, gen_dir, key_col, text_col, stored_cols, n_new, sid_base, run_id, gen
         )
 
@@ -529,6 +645,9 @@ class IndexBuilder:
             return list(v) if isinstance(v, list) else [v]
 
         carry = {k: v for k, v in meta["tables"].items() if k == "deletes"}
+        term_sources = (
+            [meta["tables"]["term_dict"], term_partial] if term_partial else None
+        )
         return self._finish_commit(
             gen, gen_dir, run_id,
             meta["num_segments"] + n_new, sid_base + n_new,
@@ -538,6 +657,7 @@ class IndexBuilder:
             meta["doc_cols"], key_col, text_col, stored_cols,
             carry_tables=carry,
             last_stream_batch=batch_id if batch_id is not None else meta.get("last_stream_batch"),
+            term_sources=term_sources,
         )
 
     # ------------------------------------------------------------- plumbing

@@ -313,6 +313,16 @@ def encode_postings_batch_arrow(
     T = c["T"]
 
     def bin_arr(buf, bounds: np.ndarray) -> "pa.Array":
+        if bounds.size and int(bounds[-1]) >= 2**31:
+            # pa.binary() carries int32 offsets; silently wrapped offsets would
+            # write a corrupt index. Fail loud — the fix is more/smaller
+            # segments (num_segments / maxPartitionBytes), same as sizing the
+            # reference's segment-flush threshold.
+            raise ValueError(
+                f"segment postings column exceeds 2 GiB ({int(bounds[-1])} bytes): "
+                "increase num_segments so each segment's encoded postings stay "
+                "under the Arrow binary 2 GiB offset limit"
+            )
         data = pa.py_buffer(buf if isinstance(buf, bytes) else bytes(buf))
         offsets = pa.py_buffer(bounds.astype(np.int32))
         return pa.Array.from_buffers(pa.binary(), T, [None, offsets, data])

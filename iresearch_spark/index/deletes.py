@@ -37,7 +37,13 @@ def delete_docs(reader: IndexReader, doc_keys) -> dict:
     (snapshot semantics) — open a new IndexReader to see the deletes.
     """
     spark = reader.spark
-    meta = dict(reader.meta)
+    # commit against the CURRENT meta, not the pinned reader's snapshot: an
+    # append/streaming-ingest commit between reader open and this rename would
+    # otherwise be silently dropped (lost update). The delete pairs themselves
+    # are still resolved against the reader's snapshot (point-in-time delete).
+    meta_path = os.path.join(reader.index_path, "meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
     gen = meta["generation"] + 1
     gen_dir = os.path.join(reader.index_path, f"gen={gen}")
     os.makedirs(gen_dir, exist_ok=True)
@@ -53,9 +59,9 @@ def delete_docs(reader: IndexReader, doc_keys) -> dict:
         )
 
     parts = [new_pairs]
-    old = reader.deletes()
-    if old is not None:
-        parts.append(old.select("segment_id", "doc_id"))
+    old_path = meta["tables"].get("deletes")  # current-meta deletes, not the snapshot's
+    if old_path is not None:
+        parts.append(spark.read.parquet(old_path).select("segment_id", "doc_id"))
     union = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
 
     deletes_path = os.path.join(gen_dir, "deletes")

@@ -47,6 +47,7 @@ the only driver-side data is #segments × #queries × k candidate rows.
 
 from __future__ import annotations
 
+import functools as _functools
 from typing import Any
 
 import numpy as np
@@ -154,6 +155,7 @@ def specs_pred(specs) -> "F.Column | None":
     return pred
 
 
+@_functools.lru_cache(maxsize=256)
 def _like_regex(pattern: str):
     import re as _re
 
@@ -477,14 +479,32 @@ def _kth_threshold(scores: np.ndarray, k: int) -> float:
     return float(np.partition(scores, scores.size - k)[scores.size - k])
 
 
+def _mask_del_pair(
+    ids: np.ndarray, vals: np.ndarray, dels: np.ndarray | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Drop deleted ids from a decoded (ids, companion) pair BEFORE any top-k
+    threshold is computed — the docs_mask must be applied inside every doc
+    iterator (segment_reader.hpp:92-93), not after pruning: a deleted doc that
+    ranks in the provisional top-k would otherwise inflate theta and cause
+    live-doc blocks to be skipped."""
+    if dels is None or ids.size == 0:
+        return ids, vals
+    pos = np.searchsorted(dels, ids)
+    pos_c = np.minimum(pos, dels.size - 1)
+    keep = dels[pos_c] != ids
+    return ids[keep], vals[keep]
+
+
 def _wand_single_term(
-    view: PostingsView, idf: float, boost: float, k: int, dl, avgdl, model: ScoreModel, dt
+    view: PostingsView, idf: float, boost: float, k: int, dl, avgdl, model: ScoreModel, dt,
+    dels: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND for one term: descending-bound block order, early stop."""
     dl_min = float(dl.min()) if dl.size else 1.0
     n_blocks = view.block_last.size
     if view._full is not None or n_blocks <= 2:
         ids, tfs = view.decode_all()
+        ids, tfs = _mask_del_pair(ids, tfs, dels)
         return ids, model.score(tfs, dl[ids - 1], idf, avgdl, boost, dt)
     block_ub = np.array(
         [model.ub(int(m), idf, dl_min, avgdl, boost, dt) for m in view.block_maxf]
@@ -501,6 +521,7 @@ def _wand_single_term(
             break  # no later block (all ≤ this bound) can reach the k-th score
         sel = np.sort(order[i : i + chunk])
         ids, tfs = view.decode_blocks(sel)
+        ids, tfs = _mask_del_pair(ids, tfs, dels)
         sc = model.score(tfs, dl[ids - 1], idf, avgdl, boost, dt)
         out_ids.append(ids)
         out_sc.append(sc)
@@ -521,6 +542,7 @@ def _maxscore_union(
     avgdl,
     model: ScoreModel,
     dt,
+    dels: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """MaxScore over term legs [(view, idf, boost)] — rank-identical union.
 
@@ -554,6 +576,7 @@ def _maxscore_union(
             ids, tfs = view.decode_blocks(blocks)
         else:
             ids, tfs = view.decode_all()
+        ids, tfs = _mask_del_pair(ids, tfs, dels)
         sc = model.score(tfs, dl[ids - 1], idf, avgdl, boost, dt)
         if candidates_only:
             _add_to_candidates(cand_ids, cand_scores, ids, sc)
@@ -572,6 +595,7 @@ def _conjunction_selective(
     avgdl,
     model: ScoreModel,
     dt,
+    dels: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Cost-ordered conjunction (conjunction.hpp:112-124): rarest list decoded
     fully, every other list decoded only at blocks covering the running
@@ -579,6 +603,9 @@ def _conjunction_selective(
     term_legs = sorted(term_legs, key=lambda t: t[0].docs_count)
     view0, idf0, boost0 = term_legs[0]
     ids, tfs = view0.decode_all()
+    # mask the driving leg (docs_mask inside the iterator): intersections
+    # with later legs can only shrink the set, never reintroduce deleted docs
+    ids, tfs = _mask_del_pair(ids, tfs, dels)
     scores = model.score(tfs, dl[ids - 1], idf0, avgdl, boost0, dt)
     for view, idf, boost in term_legs[1:]:
         if ids.size == 0:
@@ -602,17 +629,20 @@ def _eval_root(
     avgdl: float,
     model: ScoreModel,
     dt,
+    dels: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k-aware root dispatch: pruned kernels where rank-identity allows,
     full evaluation otherwise (ExecutionMode::kTop selection,
-    formats_10.cpp:3257-3282 analogue)."""
+    formats_10.cpp:3257-3282 analogue). ``dels`` is the segment's sorted
+    document_mask — applied INSIDE the pruned iterators (before any theta
+    update), matching the reference's per-iterator docs_mask."""
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dt))
     op = plan["op"]
     if op == "term":
         v = sv.view(plan["term"])
         if v is None:
             return empty
-        return _wand_single_term(v, plan["idf"], plan["boost"], k, dl, avgdl, model, dt)
+        return _wand_single_term(v, plan["idf"], plan["boost"], k, dl, avgdl, model, dt, dels)
     if op == "mterm" and plan.get("min_match", 1) <= 1:
         legs = [(sv.view(m[0]), m[1], plan["boost"] * (m[2] if len(m) > 2 else 1.0)) for m in plan["terms"]]
         legs = [(v, i, bo) for v, i, bo in legs if v is not None]
@@ -620,7 +650,7 @@ def _eval_root(
         if not legs and not unscored:
             return empty
         ids, sc = (
-            _maxscore_union(legs, k, dl, avgdl, model, dt)
+            _maxscore_union(legs, k, dl, avgdl, model, dt, dels)
             if legs
             else (np.empty(0, np.int64), np.empty(0, dtype=dt))
         )
@@ -629,7 +659,9 @@ def _eval_root(
             # win ties, same as the reference's doc-order heap insertion)
             tails = [sv.view(t).decode_all()[0] for t in unscored if sv.view(t) is not None]
             if tails:
-                extra = np.setdiff1d(np.unique(np.concatenate(tails)), ids)[: k - ids.size]
+                live = np.unique(np.concatenate(tails))
+                live, _ = _mask_del_pair(live, live, dels)
+                extra = np.setdiff1d(live, ids)[: k - ids.size]
                 ids = np.concatenate([ids, extra])
                 sc = np.concatenate([sc, np.zeros(extra.size, dtype=dt)])
         return ids, sc
@@ -643,7 +675,7 @@ def _eval_root(
         legs = [(v, i, bo) for v, i, bo in legs if v is not None]
         if not legs:
             return empty
-        ids, sc = _maxscore_union(legs, k, dl, avgdl, model, dt)
+        ids, sc = _maxscore_union(legs, k, dl, avgdl, model, dt, dels)
         if plan["boost"] != 1.0:
             sc = sc * dt(plan["boost"])
         return ids, sc
@@ -658,7 +690,7 @@ def _eval_root(
             if v is None:
                 return empty
             legs.append((v, p["idf"], p["boost"]))
-        ids, sc = _conjunction_selective(legs, dl, avgdl, model, dt)
+        ids, sc = _conjunction_selective(legs, dl, avgdl, model, dt, dels)
         for ex in plan.get("exclude", []):
             eids, _ = _eval_plan(ex, sv, dl, avgdl, model, dt)
             keep = ~np.isin(ids, eids, assume_unique=True)
@@ -905,7 +937,7 @@ class Searcher:
             dl = vbyte_decode(norm_pdf["doc_len_enc"].iloc[0]).astype(np.int64)
             dels = _deleted_of(norm_pdf)
             sv = _SegmentViews(post_pdf)
-            ids, scores = _eval_root(plan, sv, k, dl, avgdl, model, dt)
+            ids, scores = _eval_root(plan, sv, k, dl, avgdl, model, dt, dels)
             ids, scores = _mask_deleted(ids, scores, dels)
             ids, scores = _local_topk(ids, scores, k)
             return pd.DataFrame(
@@ -926,6 +958,62 @@ class Searcher:
         if not with_keys:
             return topk
         return self._attach_keys(topk, k)
+
+    def matches(self, f: flt.Filter, dtype: str = "float64") -> DataFrame:
+        """ALL matching (segment_id, doc_id, score) rows — no top-k, no global
+        sort, output stays partitioned by segment. This is the composition
+        path (nested child legs, pre-materialization): a downstream fold
+        shuffles only the match set, never sorts the corpus. Positional /
+        stored-column filters fall back to the search() path."""
+        nf = flt.normalize(f)
+        if isinstance(
+            nf,
+            (flt.Phrase, flt.SamePosition, flt.ColumnExists,
+             flt.NumericRange, flt.NgramSimilarity, flt.Nested),
+        ):
+            return self.search(nf, k=1 << 30, with_keys=False).select(
+                "segment_id", "doc_id", "score"
+            )
+        plan, terms, specs = compile_plan(nf, self.reader, self.k1, self.b, dtype, model=self.model)
+        spark = self.reader.spark
+        if plan["op"] == "all":
+            docs = self.reader.live_docs()
+            return docs.select(
+                "segment_id", "doc_id", F.lit(float(plan["boost"])).alias("score")
+            )
+        if plan["op"] == "empty" or (not terms and not specs and not _plan_has_all(plan)):
+            return spark.createDataFrame([], KERNEL_OUT_SCHEMA)
+        avgdl = self.reader.field_stats()["avgdl"]
+        model = self.model
+        dt = np.float32 if dtype == "float32" else np.float64
+        pq = self._batch_postings(terms, specs)
+        norms = self.reader.norms()
+
+        def kernel(post_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(norm_pdf) == 0:
+                return pd.DataFrame({"segment_id": [], "doc_id": [], "score": []}).astype(
+                    {"segment_id": "int32", "doc_id": "int32", "score": "float64"}
+                )
+            sid = int(norm_pdf["segment_id"].iloc[0])
+            dl = vbyte_decode(norm_pdf["doc_len_enc"].iloc[0]).astype(np.int64)
+            dels = _deleted_of(norm_pdf)
+            sv = _SegmentViews(post_pdf)
+            ids, scores = _eval_plan(plan, sv, dl, avgdl, model, dt)
+            ids, scores = _mask_deleted(ids, scores, dels)
+            return pd.DataFrame(
+                {
+                    "segment_id": np.full(ids.size, sid, np.int32),
+                    "doc_id": ids.astype(np.int32),
+                    "score": scores.astype(np.float64),
+                }
+            )
+
+        return (
+            self._seg_partitioned(pq)
+            .groupBy("segment_id")
+            .cogroup(self._seg_partitioned(norms).groupBy("segment_id"))
+            .applyInPandas(kernel, KERNEL_OUT_SCHEMA)
+        )
 
     # ------------------------------------------------------------- batched
     def prepare(
@@ -1030,7 +1118,7 @@ class Searcher:
             sv = _SegmentViews(post_pdf)
             frames = []
             for name, plan in plan_items:
-                ids, scores = _eval_root(plan, sv, k, dl, avgdl, model, dt)
+                ids, scores = _eval_root(plan, sv, k, dl, avgdl, model, dt, dels)
                 ids, scores = _mask_deleted(ids, scores, dels)
                 ids, scores = _local_topk(ids, scores, k)
                 if ids.size:
@@ -1149,45 +1237,69 @@ class Searcher:
     def _search_phrase(
         self, node: flt.Filter, terms: list, shifts: list[int], k: int, dtype: str, with_keys: bool
     ) -> DataFrame:
-        """Positional query in ONE distributed pass: the per-segment kernel
-        emits (doc, tf, dl); the exact match-df (scoring stats) is taken with
-        a global window COUNT over the (small) match set — no cache+recount
-        double job (phrase_iterator.hpp analogue; scoring divergence
-        documented in filters.Phrase). ``shifts`` = per-slot position offsets:
-        ``0..n-1`` for a phrase, all-zero for SamePosition
-        (same_position_filter.cpp). Slots may be multiterm filters
-        (VariadicPhraseQuery, phrase_query.cpp:119-303)."""
-        from pyspark.sql import Window
+        """Positional query in ONE distributed kernel pass, scale-safe.
 
-        matches = self.phrase_matches(terms, shifts)
-        stats = self.reader.field_stats()
-        n, avgdl = stats["docs_with_field"], stats["avgdl"]
-        # exact phrase df via a global window: ONE job, the match kernel runs
-        # once (a cross-joined count aggregate would recompute it), and the
-        # single-partition shuffle moves only the match set — orders of
-        # magnitude smaller than the corpus (conjunction of all slots), and
-        # the top-k orderBy after it collapses to one partition anyway
-        matches = matches.withColumn(
-            "dfp", F.count("*").over(Window.partitionBy(F.lit(1))).cast("double")
-        )
-        boost = node.boost
+        The final score is ``boost * idf(dfp) * rank(tf, dl)`` where the
+        global phrase-df ``dfp`` only scales every doc's score by the SAME
+        positive constant — so the top-k SET and its order are decided by the
+        dfp-independent rank key alone. The kernel therefore emits, per
+        segment, (a) its top-(k + slack) matches by rank and (b) its exact
+        match count; the driver sums the #segments counts into the exact dfp
+        (the phrase_query.cpp one-pass stats collection) and scores the
+        ≤ (k+slack)·S surviving rows with the full expression. No global
+        shuffle of the match set, no single-partition Window — the old
+        ``Window.partitionBy(lit(1))`` count moved every match row to one
+        task, a driver-killer for a high-df phrase at 100× data.
+        ``shifts`` = per-slot position offsets: ``0..n-1`` for a phrase,
+        all-zero for SamePosition (same_position_filter.cpp). Slots may be
+        multiterm filters (VariadicPhraseQuery, phrase_query.cpp:119-303)."""
         from .bm25 import BoostModel, TFIDFModel
 
+        stats = self.reader.field_stats()
+        n, avgdl = stats["docs_with_field"], stats["avgdl"]
         if isinstance(self.model, TFIDFModel):
-            idf = F.log((F.lit(float(n)) + 1.0) / (F.col("dfp") + 1.0)) + 1.0
-            score_col = F.lit(boost) * F.sqrt(F.col("tf")) * idf
+            mode = "tfidf"
         elif isinstance(self.model, BoostModel):
+            mode = "boost"
+        else:
+            mode = "bm25"
+        rank_params = (
+            mode,
+            self.k1 * (1 - self.b),
+            (self.k1 * self.b / avgdl) if avgdl else 0.0,
+        )
+        # slack absorbs rank-vs-score FP boundary noise: the exact expression
+        # re-ranks the survivors below, so only >16 docs inside one ULP of the
+        # k-th rank could ever flip the set
+        local = self.phrase_matches(terms, shifts, local_k=k + 16, rank_params=rank_params)
+        pdf = local.toPandas()
+        spark = self.reader.spark
+        if len(pdf) == 0:
+            schema = "doc_key string, segment_id int, doc_id int, score double"
+            return spark.createDataFrame(
+                [], schema if with_keys else schema.split(", ", 1)[1]
+            )
+        dfp = float(pdf.drop_duplicates("segment_id")["seg_matches"].sum())
+        cand = spark.createDataFrame(
+            pdf[["segment_id", "doc_id", "tf", "dl"]],
+            "segment_id int, doc_id int, tf long, dl long",
+        )
+        boost = node.boost
+        if mode == "tfidf":
+            idf = F.log((F.lit(float(n)) + 1.0) / (F.lit(dfp) + 1.0)) + 1.0
+            score_col = F.lit(boost) * F.sqrt(F.col("tf")) * idf
+        elif mode == "boost":
             score_col = F.lit(float(boost))
         else:
             k1v, bv = self.k1, self.b
-            idf = F.log1p((F.lit(float(n)) - F.col("dfp") + 0.5) / (F.col("dfp") + 0.5))
+            idf = F.log1p((F.lit(float(n)) - F.lit(dfp) + 0.5) / (F.lit(dfp) + 0.5))
             c0 = F.lit(boost * (k1v + 1.0)) * idf
             score_col = (
                 c0
                 * F.col("tf")
                 / (F.lit(k1v * (1 - bv)) + F.lit(k1v * bv) * F.col("dl") / F.lit(avgdl) + F.col("tf"))
             )
-        scored = matches.withColumn("score", score_col)
+        scored = cand.withColumn("score", score_col)
         topk = scored.orderBy(F.desc("score"), F.asc("segment_id"), F.asc("doc_id")).limit(k)
         if not with_keys:
             return topk.select("segment_id", "doc_id", "score")
@@ -1209,7 +1321,10 @@ class Searcher:
         parents = docs.where(F.col(pk).isNull()).select(
             "doc_key", "segment_id", "doc_id"
         )
-        child_rows = self.search(node.child, k=1 << 30, with_keys=False)
+        # matches-only child pass: no global orderBy/limit over the child
+        # match set (the old search(k=2^30) leg globally sorted every child
+        # match — pure waste, the fold below is order-free)
+        child_rows = self.matches(node.child)
         keyed = child_rows.join(
             docs.select("segment_id", "doc_id", pk), ["segment_id", "doc_id"]
         ).where(F.col(pk).isNotNull())
@@ -1325,11 +1440,23 @@ class Searcher:
             for bi in range(bounds.size - 1):
                 lo, hi = int(bounds[bi]), int(bounds[bi + 1])
                 dp = [0] * n_total
-                for e in range(lo, hi):
-                    for qi in sorted(slots_of[term_list[tvals[e]]], reverse=True):
-                        best_prev = max(dp[:qi], default=0)
-                        if best_prev + 1 > dp[qi]:
-                            dp[qi] = best_prev + 1
+                e = lo
+                while e < hi:
+                    # one (doc, pos) group at a time: chain extensions must use
+                    # STRICTLY smaller positions, so every event in the group
+                    # reads a snapshot taken before the group — 0-increment
+                    # same-position tokens (synonym streams) can't extend each
+                    # other and inflate L
+                    g = e
+                    while g < hi and keys[g] == keys[e]:
+                        g += 1
+                    snap = dp[:]
+                    for ev in range(e, g):
+                        for qi in slots_of[term_list[tvals[ev]]]:
+                            best_prev = max(snap[:qi], default=0)
+                            if best_prev + 1 > dp[qi]:
+                                dp[qi] = best_prev + 1
+                    e = g
                 L = max(dp)
                 if L >= min_match:
                     out_ids.append(int(cand[doc_rank[lo]]))
@@ -1374,7 +1501,13 @@ class Searcher:
                 slots.append([w for w, _ in expanded])
         return slots
 
-    def phrase_matches(self, terms: list, shifts: list[int] | None = None) -> DataFrame:
+    def phrase_matches(
+        self,
+        terms: list,
+        shifts: list[int] | None = None,
+        local_k: int | None = None,
+        rank_params: tuple[str, float, float] | None = None,
+    ) -> DataFrame:
         """All docs matching the (possibly variadic) phrase, with occurrence
         counts.
 
@@ -1385,7 +1518,14 @@ class Searcher:
         trick the invert pass uses). tf per doc = bincount of the surviving
         keys' doc ranks. A slot with several terms (variadic) unions its
         terms' keys first (disjunction of position iterators,
-        phrase_query.cpp VariadicPhraseQuery)."""
+        phrase_query.cpp VariadicPhraseQuery).
+
+        With ``local_k`` set, each segment emits only its top-``local_k``
+        matches under the dfp-independent rank key given by ``rank_params``
+        (mode, A=k1(1-b), B=k1·b/avgdl; rank = tf/(A+B·dl+tf) for bm25, tf
+        for tfidf, doc order for boost) plus a ``seg_matches`` column carrying
+        the segment's exact total match count — the inputs the scale-safe
+        phrase scorer needs without ever shuffling the full match set."""
         if shifts is None:
             shifts = list(range(len(terms)))
         slots = self._expand_slots(list(terms))
@@ -1408,11 +1548,15 @@ class Searcher:
         shift_list = list(shifts)
         PACK = np.int64(1) << np.int64(32)  # doc_rank * 2^32 + shifted pos
         max_shift = max(shift_list) if shift_list else 0
+        out_schema = MATCH_OUT_SCHEMA + (", seg_matches long" if local_k is not None else "")
 
         def kernel(post_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({"segment_id": [], "doc_id": [], "tf": [], "dl": []}).astype(
-                {"segment_id": "int32", "doc_id": "int32", "tf": "int64", "dl": "int64"}
-            )
+            cols = {"segment_id": [], "doc_id": [], "tf": [], "dl": []}
+            types = {"segment_id": "int32", "doc_id": "int32", "tf": "int64", "dl": "int64"}
+            if local_k is not None:
+                cols["seg_matches"] = []
+                types["seg_matches"] = "int64"
+            empty = pd.DataFrame(cols).astype(types)
             if len(post_pdf) == 0 or len(norm_pdf) == 0:
                 return empty
             sid = int(norm_pdf["segment_id"].iloc[0])
@@ -1487,20 +1631,36 @@ class Searcher:
             tf = np.bincount(doc_rank, minlength=n_cand)
             hit = np.flatnonzero(tf)
             out_ids = cand[hit]
-            return pd.DataFrame(
-                {
-                    "segment_id": np.full(hit.size, sid, np.int32),
-                    "doc_id": out_ids.astype(np.int32),
-                    "tf": tf[hit].astype(np.int64),
-                    "dl": dl[out_ids - 1],
-                }
-            )
+            tf_v = tf[hit].astype(np.int64)
+            dl_v = dl[out_ids - 1]
+            seg_n = int(hit.size)
+            if local_k is not None and out_ids.size > local_k:
+                mode, A, Bc = rank_params
+                if mode == "bm25":
+                    tfd = tf_v.astype(np.float64)
+                    rank = tfd / (A + Bc * dl_v.astype(np.float64) + tfd)
+                elif mode == "tfidf":
+                    rank = tf_v.astype(np.float64)
+                else:  # boost: constant score → doc order
+                    rank = np.zeros(out_ids.size)
+                sel = np.lexsort((out_ids, -rank))[:local_k]
+                sel.sort()
+                out_ids, tf_v, dl_v = out_ids[sel], tf_v[sel], dl_v[sel]
+            data = {
+                "segment_id": np.full(out_ids.size, sid, np.int32),
+                "doc_id": out_ids.astype(np.int32),
+                "tf": tf_v,
+                "dl": dl_v,
+            }
+            if local_k is not None:
+                data["seg_matches"] = np.full(out_ids.size, seg_n, np.int64)
+            return pd.DataFrame(data)
 
         return (
             self._seg_partitioned(pq)
             .groupBy("segment_id")
             .cogroup(self._seg_partitioned(norms).groupBy("segment_id"))
-            .applyInPandas(kernel, MATCH_OUT_SCHEMA)
+            .applyInPandas(kernel, out_schema)
         )
 
 

@@ -1,0 +1,258 @@
+"""Round-3 regressions: docs_mask inside pruned iterators (WAND/MaxScore/
+conjunction with multi-block segments), delete-commit lost updates, the fused
+postings+term_dict build stage, the scale-safe phrase scorer (per-segment
+local top-k + exact seg counts, no single-partition Window), the matches-only
+nested child pass, and same-position ngram chain semantics."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from iresearch_spark import IndexBuilder, IndexReader, Searcher, filters as flt
+from iresearch_spark.index.deletes import delete_docs
+from tests.oracle import ScalarIndex
+
+# --------------------------------------------------------------------------
+# deletes must be masked BEFORE top-k pruning (ADVICE r2 high): a big single
+# segment (>2 blocks so WAND actually skips) whose top-ranking docs are all
+# deleted — theta computed over deleted docs would skip live-doc blocks
+# --------------------------------------------------------------------------
+
+N_BIG = 700  # ~6 blocks of 128
+
+
+def _big_docs() -> dict[str, str]:
+    docs = {}
+    for i in range(N_BIG):
+        # tf of 'scan' rises with i, so the best docs are at the end;
+        # 'sort' appears on even docs with its own gradient
+        tf_scan = 1 + (i * 7) % 13
+        tf_sort = 1 + (i * 5) % 11 if i % 2 == 0 else 0
+        filler = ["pad"] * (3 + i % 5)
+        docs[f"d{i:05d}"] = " ".join(["scan"] * tf_scan + ["sort"] * tf_sort + filler)
+    return docs
+
+
+@pytest.fixture(scope="module")
+def big_del_idx(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bigdel"))
+    docs = _big_docs()
+    df = spark.createDataFrame(list(docs.items()), "doc_key string, text string")
+    IndexBuilder(spark, path, num_segments=1).build(df, key_col="doc_key", text_col="text")
+    reader = IndexReader(spark, path)
+    oracle = ScalarIndex(docs)
+    # delete the CURRENT top-30 'scan' docs and the top-30 'sort' docs: the
+    # pre-fix kernels would compute theta over exactly these and skip blocks
+    top_scan = [k for k, _ in oracle.term_query("scan", k=30)]
+    top_sort = [k for k, _ in oracle.term_query("sort", k=30)]
+    deleted = sorted(set(top_scan) | set(top_sort))
+    delete_docs(reader, deleted)
+    return IndexReader(spark, path), docs, set(deleted), oracle
+
+
+def _live(oracle_hits, deleted, k):
+    return [(key, s) for key, s in oracle_hits if key not in deleted][:k]
+
+
+def test_wand_single_term_masks_before_theta(spark, big_del_idx):
+    reader, docs, deleted, oracle = big_del_idx
+    got = [
+        (r["doc_key"], r["score"])
+        for r in Searcher(reader).search(flt.Term("scan"), k=10).collect()
+    ]
+    exp = _live(oracle.term_query("scan", k=N_BIG), deleted, 10)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert abs(gs - es) < 1e-9
+
+
+def test_maxscore_union_masks_before_theta(spark, big_del_idx):
+    reader, docs, deleted, oracle = big_del_idx
+    got = [
+        (r["doc_key"], r["score"])
+        for r in Searcher(reader)
+        .search(flt.Or((flt.Term("scan"), flt.Term("sort"))), k=10)
+        .collect()
+    ]
+    exp = _live(oracle.or_query(["scan", "sort"], k=N_BIG), deleted, 10)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert abs(gs - es) < 1e-9
+
+
+def test_conjunction_masks_driving_leg(spark, big_del_idx):
+    reader, docs, deleted, oracle = big_del_idx
+    got = [
+        (r["doc_key"], r["score"])
+        for r in Searcher(reader)
+        .search(flt.And((flt.Term("scan"), flt.Term("sort"))), k=10)
+        .collect()
+    ]
+    exp = _live(oracle.and_query(["scan", "sort"], k=N_BIG), deleted, 10)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+
+
+def test_batch_path_masks_before_theta(spark, big_del_idx):
+    reader, docs, deleted, oracle = big_del_idx
+    res = Searcher(reader).search_many({"q": flt.Term("scan")}, k=10)
+    keys = reader.docs().select("segment_id", "doc_id", "doc_key")
+    got = [
+        (r["doc_key"], r["score"])
+        for r in res.join(keys, ["segment_id", "doc_id"])
+        .orderBy(F.desc("score"), "doc_key")
+        .collect()
+    ]
+    exp = _live(oracle.term_query("scan", k=N_BIG), deleted, 10)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+
+
+# --------------------------------------------------------------------------
+# delete commit must not drop a concurrent append (ADVICE r2 medium)
+# --------------------------------------------------------------------------
+
+
+def test_delete_commit_keeps_concurrent_append(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("lostupd"))
+    df1 = spark.createDataFrame(
+        [("a1", "scan merge"), ("a2", "sort scan")], "doc_key string, text string"
+    )
+    b = IndexBuilder(spark, path, num_segments=1)
+    b.build(df1, key_col="doc_key", text_col="text")
+    pinned = IndexReader(spark, path)  # snapshot BEFORE the append
+    df2 = spark.createDataFrame([("b1", "scan fast")], "doc_key string, text string")
+    b.append(df2)
+    delete_docs(pinned, ["a1"])  # commits against CURRENT meta, not the snapshot
+    latest = IndexReader(spark, path)
+    keys = {r["doc_key"] for r in latest.live_docs().select("doc_key").collect()}
+    assert keys == {"a2", "b1"}  # b1 survived the delete commit
+
+
+# --------------------------------------------------------------------------
+# fused build: term_dict written by the layout pass equals a global groupBy
+# --------------------------------------------------------------------------
+
+
+def test_fused_term_dict_exact(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("fused"))
+    docs = _big_docs()
+    df = spark.createDataFrame(list(docs.items()), "doc_key string, text string")
+    IndexBuilder(spark, path, num_segments=4).build(df, key_col="doc_key", text_col="text")
+    reader = IndexReader(spark, path)
+    td = {r["term"]: (r["df"], r["ttf"]) for r in reader.term_dict().collect()}
+    ref = (
+        reader.postings()
+        .groupBy("term")
+        .agg(F.sum("docs_count").alias("df"), F.sum("total_freq").alias("ttf"))
+        .collect()
+    )
+    assert len(ref) == len(td)  # one row per term — no boundary duplicates
+    for r in ref:
+        assert td[r["term"]] == (r["df"], r["ttf"])
+
+
+def test_append_merges_term_dict(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("fusedapp"))
+    b = IndexBuilder(spark, path, num_segments=2)
+    df1 = spark.createDataFrame(
+        [("a1", "scan scan merge"), ("a2", "sort scan")], "doc_key string, text string"
+    )
+    b.build(df1, key_col="doc_key", text_col="text")
+    df2 = spark.createDataFrame([("b1", "scan fast")], "doc_key string, text string")
+    b.append(df2)
+    reader = IndexReader(spark, path)
+    td = {r["term"]: (r["df"], r["ttf"]) for r in reader.term_dict().collect()}
+    assert td["scan"] == (3, 4)
+    assert td["fast"] == (1, 1)
+    assert td["merge"] == (1, 1)
+
+
+# --------------------------------------------------------------------------
+# phrase: per-segment local top-k + exact seg counts == brute-force scoring
+# (exercises the truncation path: many matches per segment, small k)
+# --------------------------------------------------------------------------
+
+
+def test_phrase_local_topk_truncation(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("phrk"))
+    docs = {}
+    for i in range(120):
+        reps = 1 + i % 6
+        docs[f"p{i:04d}"] = " ".join(["fast scan"] * reps + ["pad"] * (i % 9))
+    df = spark.createDataFrame(list(docs.items()), "doc_key string, text string")
+    IndexBuilder(spark, path, num_segments=3).build(df, key_col="doc_key", text_col="text")
+    reader = IndexReader(spark, path)
+    oracle = ScalarIndex(docs)
+    exp = oracle.phrase_query(["fast", "scan"], k=7)
+    got = [
+        (r["doc_key"], r["score"])
+        for r in Searcher(reader).search(flt.Phrase(("fast", "scan")), k=7).collect()
+    ]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert abs(gs - es) < 1e-9
+
+
+def test_phrase_plan_has_no_single_partition_window(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("phwin"))
+    docs = {f"w{i:03d}": "fast scan pad" for i in range(20)}
+    df = spark.createDataFrame(list(docs.items()), "doc_key string, text string")
+    IndexBuilder(spark, path, num_segments=2).build(df, key_col="doc_key", text_col="text")
+    reader = IndexReader(spark, path)
+    res = Searcher(reader).search(flt.Phrase(("fast", "scan")), k=5, with_keys=False)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+# --------------------------------------------------------------------------
+# nested: matches-only child pass (no global sort) — results unchanged
+# --------------------------------------------------------------------------
+
+
+def test_nested_child_no_global_sort(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nest3"))
+    rows = []
+    for g in range(6):
+        for c in range(4):
+            rows.append((f"c{g}{c}", "scan merge" if c % 2 == 0 else "sort pad", f"P{g}"))
+        rows.append((f"P{g}", "", None))
+    df = spark.createDataFrame(rows, "doc_key string, text string, parent_key string")
+    IndexBuilder(spark, path, num_segments=2).build(
+        df, key_col="doc_key", text_col="text", stored_cols=("parent_key",)
+    )
+    reader = IndexReader(spark, path)
+    s = Searcher(reader)
+    res = s.search(flt.Nested(flt.Term("scan"), match="min", min_children=2), k=10)
+    got = {r["doc_key"] for r in res.collect()}
+    assert got == {f"P{g}" for g in range(6)}
+    # the child leg itself: all matches — no GLOBAL sort / top-k in its plan
+    # (cogroup's per-partition `Sort [...], false` locals are expected)
+    child = s.matches(flt.Term("scan"))
+    plan = child._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" not in plan and "], true," not in plan
+    assert child.count() == 12
+
+
+# --------------------------------------------------------------------------
+# ngram similarity: same-position (0-increment) tokens must not chain
+# --------------------------------------------------------------------------
+
+
+def test_ngram_same_position_does_not_chain(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ngsyn"))
+    docs = {"one": "scan pad", "two": "scan scan"}
+    df = spark.createDataFrame(list(docs.items()), "doc_key string, text string")
+    IndexBuilder(
+        spark, path, analyzer="simple+syn:scan=scansyn", num_segments=1
+    ).build(df, key_col="doc_key", text_col="text")
+    reader = IndexReader(spark, path)
+    s = Searcher(reader)
+    # both ngrams sit at the SAME position in doc 'one' → longest strictly
+    # increasing chain is 1, below threshold 1.0; doc 'two' has scan@1 →
+    # scansyn@2, a real chain of 2
+    got = {
+        r["doc_key"]
+        for r in s.search(
+            flt.NgramSimilarity(("scan", "scansyn"), threshold=1.0), k=10
+        ).collect()
+    }
+    assert got == {"two"}
