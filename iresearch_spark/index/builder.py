@@ -2,20 +2,26 @@
 
 Spark-first re-expression of the reference write path (SURVEY.md §3.1):
 
-* stage ``segments``  — ``repartitionByRange(key)`` fixes deterministic segments
-  (segment_id = partition index, doc ids dense 1-based per segment, mirroring
-  segment_writer.cpp:93-112); ONE ``mapInPandas`` pass per partition tokenizes
-  (vectorized, C-backed regex — no per-row Python), inverts
-  (field_data.cpp:1008-1099 analogue) and VByte-encodes every term's posting
-  list for that segment in-kernel (segment_writer flush analogue,
-  formats_10.cpp:803-953). Because a segment IS an input partition, posting
-  construction involves **no shuffle of raw token data at all** — the widest
-  data in the job never leaves the task that produced it. The pass emits a
-  union of doc rows (kind='d') and encoded posting rows (kind='p').
-* stage ``docs``      — the kind='d' slice: per-doc stored columns + ``doc_len``
+* stage ``segments``  — deterministic key-range segments: boundaries come from
+  a fixed-seed hash sample of the key column, persisted to
+  ``gen=<g>/boundaries.json`` BEFORE the job (restart-stable, unlike
+  ``repartitionByRange``'s RDD-id-seeded sampling); segment_id = bucket index,
+  doc ids dense 1-based per segment, mirroring segment_writer.cpp:93-112. ONE
+  ``mapInArrow`` pass per partition tokenizes (vectorized, C-backed — no
+  per-row Python), inverts (field_data.cpp:1008-1099 analogue) and
+  VByte-encodes every term's posting list for that segment in-kernel
+  (segment_writer flush analogue, formats_10.cpp:803-953). Because a segment
+  IS an input partition, posting construction involves **no shuffle of raw
+  token data at all** — the widest data in the job never leaves the task that
+  produced it. Tasks direct-write their docs/norms/raw-postings parquet parts
+  (atomic rename, idempotent) and the job's Spark output is the per-segment
+  LINEAGE manifest (rows/terms/tokens/seconds/skipped); a re-run task whose
+  parts already exist and match this segment's keys SKIPS the heavy work —
+  segment-granular resume.
+* stage ``docs``      — per-doc stored columns + ``doc_len``
   (Norm2, norm.hpp:77-124); Parquet is the columnstore analogue.
-* stage ``postings``  — the kind='p' slice (already compact: ~1 row per
-  (term, segment), binary-encoded) is re-laid-out **range-partitioned and
+* stage ``postings``  — the encoded posting rows (already compact: ~1 row per
+  (term, segment), binary-encoded) are re-laid-out **range-partitioned and
   sorted by (term, segment_id)**: every parquet file covers a contiguous term
   range, so Catalyst's parquet row-group/file stats prune exact lookups
   (``term IN ...``), prefixes (``term LIKE 'p%'`` → StartsWith pushdown) AND
@@ -70,6 +76,25 @@ NORMS_SCHEMA = (
 )
 
 TERM_DICT_SCHEMA = "term string, df long, ttf long, max_freq int"
+
+LINEAGE_SCHEMA = (
+    "segment_id int, n_docs long, n_terms long, n_tokens long, "
+    "seconds double, skipped boolean"
+)
+
+
+def _atomic_write_parquet(tbl, final_path: str, task_attempt: int) -> None:
+    """Write an Arrow table as a parquet part file, atomic-rename publish —
+    idempotent under task retries and job re-runs (FileOutputCommitter v2
+    semantics done by hand, because these files are written from inside the
+    python kernel, not by Spark's writer)."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    tmp = f"{final_path}.{task_attempt}.tmp"
+    _pq.write_table(tbl, tmp, compression="snappy")
+    _os.replace(tmp, final_path)
 
 
 def _layout_and_aggregate(postings_dir: str):
@@ -211,22 +236,13 @@ class IndexBuilder:
         spark = self.spark
         tokenizer_spec = self.analyzer  # registry name/spec, or a callable captured in the closure
         with_positions = self.with_positions
-        in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-        stored_schema = ", ".join(f"`{c}` {in_fields[c]}" for c in stored_cols)
-        seg_schema = (
-            "kind string, segment_id int, doc_id int, doc_key string, doc_len int"
-            + (", " + stored_schema if stored_cols else "")
-            + ", term string, docs_count int, total_freq long, max_freq int"
-            + ", doc_ids_enc binary, freqs_enc binary, pos_enc binary"
-            + ", block_last_doc array<long>, block_doc_off array<long>"
-            + ", block_freq_off array<long>, block_max_freq array<long>"
-            + ", doc_len_enc binary, docs_with_field int, sum_len long"
-        )
-        post_cols = [
-            "term", "docs_count", "total_freq", "max_freq",
-            "doc_ids_enc", "freqs_enc", "pos_enc",
-            "block_last_doc", "block_doc_off", "block_freq_off", "block_max_freq",
-        ]
+
+        docs_path = os.path.join(gen_dir, "docs")
+        norms_path = os.path.join(gen_dir, "norms")
+        raw_path = os.path.join(gen_dir, "postings_raw")
+        for p in (docs_path, norms_path, raw_path):
+            os.makedirs(p, exist_ok=True)
+        boundaries = self._segment_boundaries(df, key_col, num_segments, gen_dir)
 
         def invert_partition(arrow_batches):
             """Tokenize + invert + encode ONE whole segment (= input partition).
@@ -237,60 +253,102 @@ class IndexBuilder:
             `num_segments` (cluster: maxPartitionBytes) so a segment fits an
             executor, exactly like sizing the reference's flush threshold.
 
+            The task publishes its docs / norms / raw-postings parquet part
+            files DIRECTLY (atomic rename, idempotent) and returns only tiny
+            lineage rows — the segment's bulk never crosses the python↔JVM
+            boundary at all, which removes the union-schema row conversion +
+            dynamic-partition write that used to dominate the stage. It also
+            makes resume SEGMENT-granular: segment membership is fixed by the
+            persisted deterministic key boundaries (NOT by Spark's sampled
+            range partitioner), so a re-run task whose three part files
+            already exist skips the tokenize/invert/encode/write work (the
+            dominant cost). The skip still validates that the existing docs
+            part holds EXACTLY this segment's doc keys — a blind file-exists
+            skip could publish a stale segment if the input itself changed;
+            a key mismatch recomputes (os.replace overwrites), so resume is
+            always correct.
+
+            A task may receive more than one bucket (Spark's secondary range
+            shuffle on ``_b`` only guarantees co-location of equal buckets);
+            the kernel splits its input on ``_b`` runs and emits one segment
+            per bucket — segment identity follows the DATA, not the partition
+            index.
+
             mapInArrow: the input batches stay in Arrow buffers end to end —
             document text and keys never become Python objects on the default
             analyzer path (the allocator-thrash that capped build scaling).
             """
+            import os as _os
+            import time as _time
+
             import pyarrow as pa
             import pyarrow.compute as pc
             from pyspark import TaskContext
 
-            sid = sid_base + TaskContext.get().partitionId()
-            batches = list(arrow_batches)
-            if not batches:
-                return
-            tbl = pa.Table.from_batches(batches)
-            n_docs = tbl.num_rows
-            if n_docs == 0:
-                return
-            key_arr = pc.cast(tbl.column(key_col).combine_chunks(), pa.string())
-            stored_arrs = {c: tbl.column(c).combine_chunks() for c in stored_cols}
-            out_schema = pa.schema(
-                [
-                    ("kind", pa.string()),
-                    ("segment_id", pa.int32()),
-                    ("doc_id", pa.int32()),
-                    ("doc_key", pa.string()),
-                    ("doc_len", pa.int32()),
-                    *[(c, stored_arrs[c].type) for c in stored_cols],
-                    ("term", pa.string()),
-                    ("docs_count", pa.int32()),
-                    ("total_freq", pa.int64()),
-                    ("max_freq", pa.int32()),
-                    ("doc_ids_enc", pa.binary()),
-                    ("freqs_enc", pa.binary()),
-                    ("pos_enc", pa.binary()),
-                    ("block_last_doc", pa.list_(pa.int64())),
-                    ("block_doc_off", pa.list_(pa.int64())),
-                    ("block_freq_off", pa.list_(pa.int64())),
-                    ("block_max_freq", pa.list_(pa.int64())),
-                    ("doc_len_enc", pa.binary()),
-                    ("docs_with_field", pa.int32()),
-                    ("sum_len", pa.int64()),
-                ]
-            )
+            attempt = TaskContext.get().taskAttemptId()
 
-            def out_batch(n: int, **cols) -> pa.RecordBatch:
-                arrays = []
-                for f in out_schema:
-                    a = cols.get(f.name)
-                    if a is None:
-                        arrays.append(pa.nulls(n, f.type))
-                    elif isinstance(a, pa.Array):
-                        arrays.append(a if a.type == f.type else pc.cast(a, f.type))
-                    else:
-                        arrays.append(pa.array(a, f.type))
-                return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+            batches = list(arrow_batches)
+            tbl = pa.Table.from_batches(batches) if batches else None
+            if tbl is None or tbl.num_rows == 0:
+                return
+            bvals = tbl.column("_b").combine_chunks().to_numpy(zero_copy_only=False)
+            run_starts = np.flatnonzero(np.diff(bvals, prepend=bvals[0] - 1))
+            run_ends = np.append(run_starts[1:], bvals.size)
+            for rs, re_ in zip(run_starts, run_ends):
+                yield from process_segment(
+                    tbl.slice(rs, re_ - rs), sid_base + int(bvals[rs]), attempt
+                )
+
+        def process_segment(tbl, sid: int, attempt: int):
+            import os as _os
+            import time as _time
+
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            t_start = _time.time()
+            n_docs = tbl.num_rows
+            docs_file = _os.path.join(docs_path, f"part-{sid:05d}.parquet")
+            norms_file = _os.path.join(norms_path, f"part-{sid:05d}.parquet")
+            raw_file = _os.path.join(raw_path, f"part-{sid:05d}.parquet")
+
+            def lineage(n_docs, n_terms, n_tokens, skipped):
+                return pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([sid], pa.int32()),
+                        pa.array([n_docs], pa.int64()),
+                        pa.array([n_terms], pa.int64()),
+                        pa.array([n_tokens], pa.int64()),
+                        pa.array([_time.time() - t_start], pa.float64()),
+                        pa.array([skipped], pa.bool_()),
+                    ],
+                    names=[
+                        "segment_id", "n_docs", "n_terms", "n_tokens",
+                        "seconds", "skipped",
+                    ],
+                )
+
+            key_arr = pc.cast(tbl.column(key_col).combine_chunks(), pa.string())
+
+            if all(_os.path.exists(p) for p in (docs_file, norms_file, raw_file)):
+                # segment-granular resume: validate the published docs part
+                # covers exactly this segment's keys, then skip the heavy
+                # tokenize/invert/encode/write path entirely
+                import pyarrow.parquet as _pq
+
+                try:
+                    prev_keys = _pq.read_table(docs_file, columns=["doc_key"]).column(
+                        "doc_key"
+                    ).combine_chunks()
+                    if len(prev_keys) == n_docs and bool(
+                        pc.all(pc.equal(prev_keys, key_arr)).as_py()
+                    ):
+                        yield lineage(n_docs, 0, 0, True)
+                        return
+                except Exception:
+                    pass  # unreadable/corrupt prior part → recompute
+
+            stored_arrs = {c: tbl.column(c).combine_chunks() for c in stored_cols}
 
             # tokenize + term-id encode: Arrow fast path (tokens never become
             # Python objects) or pandas fallback for custom analyzers
@@ -339,34 +397,60 @@ class IndexBuilder:
                 codes, uniq_arr = pd.factorize(flat)
                 uniq_terms = list(uniq_arr)
 
-            # ---- doc rows (doc ids dense 1-based per segment) ----
-            yield out_batch(
-                n_docs,
-                kind=["d"] * n_docs,
-                segment_id=pa.array(np.full(n_docs, sid, np.int32), pa.int32()),
-                doc_id=pa.array(np.arange(1, n_docs + 1, dtype=np.int32), pa.int32()),
-                doc_key=key_arr,
-                doc_len=pa.array(lens.astype(np.int32), pa.int32()),
-                **stored_arrs,
+            # ---- docs part (doc ids dense 1-based per segment) ----
+            _atomic_write_parquet(
+                pa.table(
+                    {
+                        "segment_id": pa.array(np.full(n_docs, sid, np.int32), pa.int32()),
+                        "doc_id": pa.array(np.arange(1, n_docs + 1, dtype=np.int32), pa.int32()),
+                        "doc_key": key_arr,
+                        "doc_len": pa.array(lens.astype(np.int32), pa.int32()),
+                        **stored_arrs,
+                    }
+                ),
+                docs_file,
+                attempt,
             )
 
-            # ---- norms row (Norm2 columnstore + field stats, zero extra
+            # ---- norms part (Norm2 columnstore + field stats, zero extra
             # stages: the kernel already holds the segment's doc lengths) ----
-            yield out_batch(
-                1,
-                kind=["n"],
-                segment_id=[sid],
-                docs_count=[int(n_docs)],
-                doc_len_enc=[vbyte_encode(lens)],
-                docs_with_field=[int((lens > 0).sum())],
-                sum_len=[int(lens.sum())],
+            _atomic_write_parquet(
+                pa.table(
+                    {
+                        "segment_id": pa.array([sid], pa.int32()),
+                        "docs_count": pa.array([int(n_docs)], pa.int32()),
+                        "doc_len_enc": pa.array([vbyte_encode(lens)], pa.binary()),
+                        "docs_with_field": pa.array([int((lens > 0).sum())], pa.int32()),
+                        "sum_len": pa.array([int(lens.sum())], pa.int64()),
+                    }
+                ),
+                norms_file,
+                attempt,
             )
 
             # ---- invert across the segment (field_data::invert analogue,
             # fully vectorized: one hash pass + one int sort for the whole
             # segment, no per-doc Python) ----
+            raw_schema = pa.schema(
+                [
+                    ("term", pa.string()),
+                    ("segment_id", pa.int32()),
+                    ("docs_count", pa.int32()),
+                    ("total_freq", pa.int64()),
+                    ("max_freq", pa.int32()),
+                    ("doc_ids_enc", pa.binary()),
+                    ("freqs_enc", pa.binary()),
+                    ("pos_enc", pa.binary()),
+                    ("block_last_doc", pa.list_(pa.int64())),
+                    ("block_doc_off", pa.list_(pa.int64())),
+                    ("block_freq_off", pa.list_(pa.int64())),
+                    ("block_max_freq", pa.list_(pa.int64())),
+                ]
+            )
             n_tokens = int(tok_counts.sum())
             if n_tokens == 0:
+                _atomic_write_parquet(raw_schema.empty_table(), raw_file, attempt)
+                yield lineage(n_docs, 0, 0, False)
                 return
             tok_doc = np.repeat(np.arange(1, n_docs + 1, dtype=np.int64), tok_counts)
             if explicit_pos is not None:
@@ -400,62 +484,108 @@ class IndexBuilder:
                 s_doc, s_counts, bounds, pos_sorted if with_positions else None
             )
             T = len(uniq_terms)
-            yield out_batch(
-                T,
-                kind=["p"] * T,
-                segment_id=pa.array(np.full(T, sid, np.int32), pa.int32()),
-                term=pa.array(list(uniq_terms), pa.string()),
-                docs_count=enc_cols["docs_count"],
-                total_freq=enc_cols["total_freq"],
-                max_freq=enc_cols["max_freq"],
-                doc_ids_enc=enc_cols["doc_ids_enc"],
-                freqs_enc=enc_cols["freqs_enc"],
-                pos_enc=enc_cols["pos_enc"],
-                block_last_doc=enc_cols["block_last_doc"],
-                block_doc_off=enc_cols["block_doc_off"],
-                block_freq_off=enc_cols["block_freq_off"],
-                block_max_freq=enc_cols["block_max_freq"],
+            _atomic_write_parquet(
+                pa.table(
+                    {
+                        "term": pa.array(list(uniq_terms), pa.string()),
+                        "segment_id": pa.array(np.full(T, sid, np.int32), pa.int32()),
+                        "docs_count": enc_cols["docs_count"],
+                        "total_freq": enc_cols["total_freq"],
+                        "max_freq": enc_cols["max_freq"],
+                        "doc_ids_enc": enc_cols["doc_ids_enc"],
+                        "freqs_enc": enc_cols["freqs_enc"],
+                        "pos_enc": enc_cols["pos_enc"],
+                        "block_last_doc": enc_cols["block_last_doc"],
+                        "block_doc_off": enc_cols["block_doc_off"],
+                        "block_freq_off": enc_cols["block_freq_off"],
+                        "block_max_freq": enc_cols["block_max_freq"],
+                    }
+                ),
+                raw_file,
+                attempt,
             )
+            yield lineage(n_docs, T, n_tokens, False)
 
         # prune to the consumed columns BEFORE the range shuffle — the input
         # may carry wide payloads (e.g. raw html binary) that the index never
-        # touches; without this they ride the whole shuffle. Range (not hash)
-        # partitioning is load-bearing: segment order follows key order, so the
-        # engine's (segment_id, doc_id) tie-break equals the oracle's doc_key
-        # tie-break — rank identity on equal scores (SURVEY §7.3 risk 3). The
-        # price is the range-boundary sampling pass over the input.
+        # touches; without this they ride the whole shuffle. Key-RANGE (not
+        # hash) segments are load-bearing: segment order follows key order, so
+        # the engine's (segment_id, doc_id) tie-break equals the oracle's
+        # doc_key tie-break — rank identity on equal scores (SURVEY §7.3 risk
+        # 3). The bucket is computed from the PERSISTED deterministic
+        # boundaries (searchsorted in an Arrow-batched UDF), so membership is
+        # restart-stable; the range shuffle on `_b` merely places buckets.
+        barr = np.array(boundaries, dtype=object)
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def _bucket(keys: pd.Series) -> pd.Series:
+            if barr.size == 0:
+                return pd.Series(np.zeros(len(keys), np.int32), index=keys.index)
+            b = np.searchsorted(barr, keys.astype(str).to_numpy(), side="right")
+            return pd.Series(b.astype(np.int32), index=keys.index)
+
         partitioned = (
             df.select(key_col, text_col, *stored_cols)
-            .repartitionByRange(num_segments, key_col)
-            .sortWithinPartitions(key_col)
+            .withColumn("_b", _bucket(F.col(key_col).cast("string")))
+            .repartitionByRange(num_segments, "_b")
+            .sortWithinPartitions("_b", key_col)
         )
-        segments_path = os.path.join(gen_dir, "segments")
-        if not self._stage_done(run_id, gen, "segments", segments_path):
+        # segments stage: one job; tasks direct-write docs/norms/raw part
+        # files and the job's Spark OUTPUT is the per-partition lineage table
+        # (north-star manifest: segment_id, rows, tokens, seconds, skipped) —
+        # writing it IS the job's action, no extra pass.
+        lineage_path = os.path.join(gen_dir, "lineage")
+        if not self._stage_done(run_id, gen, "segments", docs_path):
             t0 = time.time()
-            partitioned.mapInArrow(invert_partition, schema=seg_schema).write.mode(
-                "overwrite"
-            ).partitionBy("kind").parquet(segments_path)
+            (
+                partitioned.mapInArrow(invert_partition, LINEAGE_SCHEMA)
+                .write.mode("overwrite")
+                .parquet(lineage_path)
+            )
+            # prune part files left by an interrupted run whose range
+            # boundaries shifted (sids absent from this run's lineage)
+            live = {
+                int(r["segment_id"])
+                for r in spark.read.parquet(lineage_path).collect()
+                if r["skipped"] or r["n_docs"] > 0
+            }
+            for d in (docs_path, norms_path, raw_path):
+                for fn in os.listdir(d):
+                    if fn.startswith("part-") and fn.endswith(".parquet"):
+                        if int(fn[5:10]) not in live:
+                            os.remove(os.path.join(d, fn))
+                with open(os.path.join(d, "_SUCCESS"), "w"):
+                    pass
             self._manifest(run_id, gen, "segments", "done", time.time() - t0)
 
-        # docs and norms tables are column-pruned VIEWS of the segments
-        # output (kind=d / kind=n) — no rewrite stages; Parquet column pruning
-        # makes the unused null columns free.
-        docs_path = os.path.join(segments_path, "kind=d")
-        norms_path = os.path.join(segments_path, "kind=n")
         postings_path = os.path.join(gen_dir, "postings")
         p_parts = self.postings_partitions or max(16, num_segments)
+        has_raw = any(f.endswith(".parquet") for f in os.listdir(raw_path))
+        term_partial: str | None = None
 
-        if not os.path.isdir(os.path.join(segments_path, "kind=p")):
-            # empty input (or no tokens at all): publish empty tables with
-            # explicit schemas so readers see a valid (0-doc) generation
+        if not has_raw:
+            # empty input: publish empty tables with explicit schemas so
+            # readers see a valid (0-doc) generation
+            in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            doc_schema = "segment_id int, doc_id int, doc_key string, doc_len int" + (
+                (", " + ", ".join(f"`{c}` {in_fields[c]}" for c in stored_cols))
+                if stored_cols
+                else ""
+            )
+            spark.createDataFrame([], doc_schema).write.mode("overwrite").parquet(docs_path)
+            spark.createDataFrame([], NORMS_SCHEMA).write.mode("overwrite").parquet(norms_path)
             spark.createDataFrame([], POSTINGS_SCHEMA).write.mode("overwrite").parquet(postings_path)
-            if not os.path.isdir(norms_path):
-                spark.createDataFrame([], NORMS_SCHEMA).write.mode("overwrite").parquet(norms_path)
-            if not os.path.isdir(docs_path):
-                doc_schema = "segment_id int, doc_id int, doc_key string, doc_len int" + (
-                    ", " + stored_schema if stored_cols else ""
-                )
-                spark.createDataFrame([], doc_schema).write.mode("overwrite").parquet(docs_path)
+            agg_path = os.path.join(
+                gen_dir, "term_dict" if fuse_term_dict else "term_partial"
+            )
+            spark.createDataFrame([], TERM_DICT_SCHEMA).write.mode("overwrite").parquet(agg_path)
+            if fuse_term_dict:
+                self._manifest(run_id, gen, "term_dict", "done", 0.0)
+            else:
+                term_partial = agg_path
+            return docs_path, norms_path, postings_path, term_partial
 
         # postings layout pass: shuffle the already-encoded rows (compact) into
         # term-RANGE partitions sorted by (term, segment_id) — every parquet
@@ -468,10 +598,7 @@ class IndexBuilder:
         # term aggregation exact (no groupBy job). The tasks write their
         # postings part files directly (atomic rename) and the job's OUTPUT is
         # the term_dict — layout + global term stats in a single pass.
-        term_partial: str | None = None
-        if os.path.isdir(os.path.join(segments_path, "kind=p")) and not self._stage_done(
-            run_id, gen, "postings", postings_path
-        ):
+        if not self._stage_done(run_id, gen, "postings", postings_path):
             t0 = time.time()
             import shutil
 
@@ -484,8 +611,7 @@ class IndexBuilder:
                 else os.path.join(gen_dir, "term_partial")
             )
             (
-                spark.read.parquet(os.path.join(segments_path, "kind=p"))
-                .select("segment_id", *post_cols)
+                spark.read.parquet(raw_path)
                 .repartitionByRange(p_parts, "term")
                 .sortWithinPartitions("term", "segment_id")
                 .mapInArrow(_layout_and_aggregate(postings_path), TERM_DICT_SCHEMA)
@@ -671,6 +797,44 @@ class IndexBuilder:
     def _next_generation(self) -> int:
         meta = self.read_meta()
         return (meta["generation"] + 1) if meta else 1
+
+    def _segment_boundaries(self, df: DataFrame, key_col: str, n: int, gen_dir: str) -> list[str]:
+        """Deterministic segment key boundaries (≤ n-1 cut points), persisted.
+
+        ``repartitionByRange`` samples with an RDD-id-derived seed, so its
+        boundaries SHIFT across driver restarts — that would defeat
+        segment-granular resume (every re-run segment would fail the key
+        check and recompute). Instead: a deterministic hash sample of the key
+        column (xxhash64 is fixed-seed) → driver-side quantiles → persisted
+        to ``gen_dir/boundaries.json`` before the segments job starts. A
+        resumed build reloads the persisted file, so every segment's key
+        range — and therefore its part files — is restart-stable. The sample
+        is ~64 keys per segment (bounded driver collect regardless of input
+        size); the scan is a single column-pruned pass over the key column.
+        """
+        path = os.path.join(gen_dir, "boundaries.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        bounds: list[str] = []
+        if n > 1:
+            total = df.count()
+            mod = max(1, total // (n * 64))
+            keys = sorted(
+                r["k"]
+                for r in df.select(F.col(key_col).cast("string").alias("k"))
+                .where(F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(mod)) == 0)
+                .collect()
+            )
+            if keys:
+                bounds = sorted(
+                    {keys[min(len(keys) - 1, (i * len(keys)) // n)] for i in range(1, n)}
+                )
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(bounds, f)
+        os.replace(tmp, path)
+        return bounds
 
     def _manifest_path(self) -> str:
         return os.path.join(self.index_path, "manifest.jsonl")

@@ -256,3 +256,59 @@ def test_ngram_same_position_does_not_chain(spark, tmp_path_factory):
         ).collect()
     }
     assert got == {"two"}
+
+
+# --------------------------------------------------------------------------
+# segment-granular resume across a driver restart: segment membership comes
+# from persisted deterministic boundaries (boundaries.json), so a re-run of
+# an interrupted segments stage SKIPS every already-published segment
+# (lineage.skipped=true) instead of recomputing — the north-rule resume
+# criterion (index_writer.cpp:2606-2718 two-phase commit analogue, plus
+# per-partition lineage manifest)
+# --------------------------------------------------------------------------
+
+
+def test_segment_resume_across_restart(spark, tmp_path_factory):
+    import os
+    import shutil
+
+    path = str(tmp_path_factory.mktemp("resume"))
+    docs = {f"k{i:04d}": f"scan sort merge pad{i % 7}" for i in range(400)}
+    df = spark.createDataFrame(list(docs.items()), "doc_key string, text string")
+    IndexBuilder(spark, path, num_segments=4).build(df, key_col="doc_key", text_col="text")
+    gen = os.path.join(path, "gen=1")
+    assert os.path.exists(os.path.join(gen, "boundaries.json"))
+    before = Searcher(IndexReader(spark, path)).search(flt.Term("scan"), k=10).collect()
+
+    # simulate a crash mid-segments-stage of a NEW driver: commit + stage
+    # markers gone, per-segment part files still on disk
+    os.remove(os.path.join(path, "meta.json"))
+    os.remove(os.path.join(gen, "docs", "_SUCCESS"))
+    shutil.rmtree(os.path.join(gen, "lineage"))
+    shutil.rmtree(os.path.join(gen, "postings"))
+    shutil.rmtree(os.path.join(gen, "term_dict"))
+    open(os.path.join(path, "manifest.jsonl"), "w").close()
+
+    IndexBuilder(spark, path, num_segments=4).build(df, key_col="doc_key", text_col="text")
+    lineage = spark.read.parquet(os.path.join(gen, "lineage")).collect()
+    assert len(lineage) == 4
+    assert all(r["skipped"] for r in lineage), lineage
+    after = Searcher(IndexReader(spark, path)).search(flt.Term("scan"), k=10).collect()
+    assert [(r["doc_key"], r["score"]) for r in before] == [
+        (r["doc_key"], r["score"]) for r in after
+    ]
+
+
+def test_lineage_manifest_metrics(spark, tmp_path_factory):
+    """The lineage table carries per-partition throughput metrics (north
+    star: 'checkpoints per-partition lineage and throughput metrics')."""
+    import os
+
+    path = str(tmp_path_factory.mktemp("lin"))
+    docs = {f"k{i:03d}": "scan sort" for i in range(100)}
+    df = spark.createDataFrame(list(docs.items()), "doc_key string, text string")
+    IndexBuilder(spark, path, num_segments=2).build(df, key_col="doc_key", text_col="text")
+    rows = spark.read.parquet(os.path.join(path, "gen=1", "lineage")).collect()
+    assert sorted(r["segment_id"] for r in rows) == [0, 1]
+    assert sum(r["n_docs"] for r in rows) == 100
+    assert all(r["n_terms"] >= 2 and r["n_tokens"] > 0 and r["seconds"] > 0 for r in rows)
