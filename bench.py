@@ -43,7 +43,7 @@ REPEAT = 2
 
 
 def make_spark(cpus: int) -> SparkSession:
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"iresearch-bench-{cpus}")
         .config("spark.sql.shuffle.partitions", str(cpus))
@@ -53,36 +53,31 @@ def make_spark(cpus: int) -> SparkSession:
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # python workers KEEP freed memory (no trim/munmap): this sandbox's
-        # hypervisor lazily re-faults returned pages at wildly varying speed,
-        # which made identical consecutive builds degrade 16s -> 145s; with
-        # the allocator holding its arena, repeated runs are stable (the
-        # long-lived-executor state a real cluster is in anyway)
-        # fork workers from a daemon that has numpy/pandas/pyarrow preloaded:
-        # the scientific stack's pages are shared copy-on-write across all
-        # workers instead of imported (and page-faulted) 32 times over
-        .config("spark.python.daemon.module", "iresearch_spark.worker_daemon")
         .config(
             "spark.executorEnv.PYTHONPATH",
             os.path.dirname(os.path.abspath(__file__)),
         )
-        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
-        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1099511627776")
-        .config("spark.executorEnv.MALLOC_ARENA_MAX", "1")
-        # Fix the heap size (Xms=Xmx) and pre-fault it in full at JVM startup
-        # (standard production settings for latency-sensitive services).
-        # Measured on this hypervisor: first-touch page faults run at
-        # 23 MB/s serial / ~190 MB/s parallel, and with a large lazy heap G1
-        # expands to 7+ GB during the build instead of collecting — faulting
-        # fresh pages inside the timed window (the entire round-2 build
-        # "regression"). A fixed pre-touched heap is faulted once, untimed,
-        # and GC of warm pages replaces faulting of cold ones.
-        .config(
-            "spark.driver.extraJavaOptions",
-            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '4g')} -XX:+AlwaysPreTouch",
-        )
-        .getOrCreate()
+        # NOTE (history): round 2 pinned worker allocator memory
+        # (MALLOC_ARENA_MAX=1, 1 TiB MMAP threshold, no trim) and pre-touched
+        # a fixed JVM heap to work around this sandbox's lazily-faulted guest
+        # memory, because the old build path pushed every segment's bulk
+        # through the JVM writer (G1 ballooned to 7+ GB and identical
+        # consecutive builds degraded 16s -> 145s). The round-3 build path
+        # direct-writes parquet from the python kernels — the JVM never holds
+        # bulk data, repeated builds are stable WITHOUT the pinning, and the
+        # single-arena pinning itself became a 40x per-task slowdown
+        # (measured: task avg 0.29s plain vs 11.6s pinned). Defaults win now.
     )
+    # SPARK_GRAFT_MALLOC A/B knob: "pin" = round-2 full pinning, "trim" =
+    # keep-freed-memory only (no arena/mmap pinning), unset = glibc defaults
+    malloc_mode = os.environ.get("SPARK_GRAFT_MALLOC", "")
+    if malloc_mode in ("pin", "trim"):
+        builder = builder.config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+    if malloc_mode == "pin":
+        builder = builder.config(
+            "spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1099511627776"
+        ).config("spark.executorEnv.MALLOC_ARENA_MAX", "1")
+    return builder.getOrCreate()
 
 
 def provision_worker_pool(spark: SparkSession, cpus: int) -> None:

@@ -1,4 +1,7 @@
-"""PySpark worker daemon with preloaded scientific stack.
+"""PySpark worker daemon with preloaded scientific stack (OPT-IN, not used by
+default: with the round-3 direct-write build path the fork+import cost is no
+longer on the critical path, and on this sandbox's lazily-faulted memory the
+copy-on-write faults the fork inherits measured slower than plain imports).
 
 Set ``spark.python.daemon.module=iresearch_spark.worker_daemon`` and every
 forked python worker inherits numpy / pandas / pyarrow already imported from
