@@ -413,6 +413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_term_low"] = lambda s, d: _run_search(s, d, flt.Term("dup"))
     q["q_and_high_low"] = lambda s, d: _run_search(s, d, flt.And((flt.Term("scan"), flt.Term("dup"))))
     q["q_and_not"] = lambda s, d: _run_search(s, d, flt.And((flt.Term("scan"), flt.Not(flt.Term("dup")))))
+    # Not under Or: (scan OR all@0) \ dup — every doc without 'dup' matches,
+    # scored by the scan leg (boolean_filter.cpp:366-411 group_filters)
+    q["q_or_not"] = lambda s, d: _run_search(s, d, flt.Or((flt.Term("scan"), flt.Not(flt.Term("dup")))))
     q["q_or_high_high"] = lambda s, d: _run_search(s, d, flt.Or((flt.Term("scan"), flt.Term("sort"))))
     q["q_or_minmatch"] = lambda s, d: _run_search(
         s, d, flt.Or(tuple(flt.Term(t) for t in ("scan", "sort", "merge", "dup")), min_match=2)
@@ -680,6 +683,23 @@ def oracle_sql() -> dict[str, str]:
     o["q_term_low"] = _bm25_sql("term = 'dup'")
     o["q_and_high_low"] = _bm25_sql("term IN ('scan','dup')", min_match=2)
     o["q_and_not"] = _bm25_sql("term = 'scan'", exclude_term="dup")
+    o["q_or_not"] = f"""{_BM25_CTE},
+q AS (SELECT term FROM dfreq WHERE term = 'scan'),
+leg AS (
+  SELECT tf.doc_id,
+         (2.2 * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))) * tf.tf
+           / ((1.2*(1-0.75)) + (1.2*0.75) * dl.dl / st.avgdl + tf.tf) AS s
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN dfreq d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st
+)
+SELECT base.doc_id, CAST(round(coalesce(leg.s, 0), 4) AS DOUBLE) AS score
+FROM dl base LEFT JOIN leg ON leg.doc_id = base.doc_id
+WHERE base.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
+ORDER BY 2 DESC, base.doc_id
+LIMIT {TOPK}"""
     o["q_or_high_high"] = _bm25_sql("term IN ('scan','sort')")
     o["q_or_minmatch"] = _bm25_sql("term IN ('scan','sort','merge','dup')", min_match=2)
     o["q_terms_set"] = _bm25_sql("term IN ('batch','merge')")

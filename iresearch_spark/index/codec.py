@@ -348,6 +348,27 @@ def encode_postings_batch_arrow(
     }
 
 
+def _gather_block_ranges(
+    buf: np.ndarray, offs: np.ndarray, blocks: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(selected bytes, per-block byte lengths) for a sorted block subset —
+    ONE fancy-index gather instead of a per-block Python loop, so a
+    candidate-driven decode touching thousands of blocks stays vectorized."""
+    offs = np.asarray(offs, dtype=np.int64)
+    ends = np.empty(offs.size, dtype=np.int64)
+    ends[:-1] = offs[1:]
+    ends[-1] = buf.size
+    los = offs[blocks]
+    lens = ends[blocks] - los
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint8), lens
+    out_starts = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=out_starts[1:])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(out_starts, lens) + np.repeat(los, lens)
+    return buf[pos], lens
+
+
 def decode_doc_ids(
     doc_ids_enc: bytes,
     block_doc_off: np.ndarray,
@@ -356,19 +377,26 @@ def decode_doc_ids(
 ) -> np.ndarray:
     """Decode doc ids; ``blocks`` selects a subset of block indices (WAND skip)."""
     buf = np.frombuffer(doc_ids_enc, dtype=np.uint8)
-    nblocks = len(block_doc_off)
     if blocks is None:
         deltas = vbyte_decode(buf).astype(np.int64)
         return np.cumsum(deltas)
-    out: list[np.ndarray] = []
-    for i in blocks:
-        i = int(i)
-        lo = int(block_doc_off[i])
-        hi = int(block_doc_off[i + 1]) if i + 1 < nblocks else buf.size
-        d = vbyte_decode(buf[lo:hi]).astype(np.int64)
-        base = int(block_last_doc[i - 1]) if i > 0 else 0
-        out.append(np.cumsum(d) + base)
-    return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    blocks = np.asarray(blocks, dtype=np.int64)
+    if blocks.size == 0:
+        return np.empty(0, dtype=np.int64)
+    sel, lens = _gather_block_ranges(buf, block_doc_off, blocks)
+    deltas = vbyte_decode(sel).astype(np.int64)
+    # per-block value counts = varint terminators (high bit clear) per slice;
+    # every block is non-empty so the reduceat boundaries are strictly valid
+    bnd = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=bnd[1:])
+    counts = np.add.reduceat(((sel & 0x80) == 0).astype(np.int64), bnd)
+    v_starts = np.zeros(counts.size, dtype=np.int64)
+    np.cumsum(counts[:-1], out=v_starts[1:])
+    csum = np.cumsum(deltas)
+    last = np.asarray(block_last_doc, dtype=np.int64)
+    base = np.where(blocks > 0, last[blocks - 1], 0)
+    carry = csum[v_starts] - deltas[v_starts]  # stream cumsum entering each block
+    return csum + np.repeat(base - carry, counts)
 
 
 def decode_freqs(
@@ -377,16 +405,13 @@ def decode_freqs(
     blocks: np.ndarray | None = None,
 ) -> np.ndarray:
     buf = np.frombuffer(freqs_enc, dtype=np.uint8)
-    nblocks = len(block_freq_off)
     if blocks is None:
         return vbyte_decode(buf).astype(np.int64)
-    out = []
-    for i in blocks:
-        i = int(i)
-        lo = int(block_freq_off[i])
-        hi = int(block_freq_off[i + 1]) if i + 1 < nblocks else buf.size
-        out.append(vbyte_decode(buf[lo:hi]).astype(np.int64))
-    return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    blocks = np.asarray(blocks, dtype=np.int64)
+    if blocks.size == 0:
+        return np.empty(0, dtype=np.int64)
+    sel, _ = _gather_block_ranges(buf, block_freq_off, blocks)
+    return vbyte_decode(sel).astype(np.int64)
 
 
 def decode_positions(pos_enc: bytes, freqs: np.ndarray) -> np.ndarray:

@@ -74,6 +74,49 @@ MATCH_OUT_SCHEMA = "segment_id int, doc_id int, tf long, dl long"
 # --------------------------------------------------------------------------
 
 
+def _fuzzy_distances(
+    cands: list[str], query: str, maxd: int, transpose: bool = False
+) -> np.ndarray:
+    """Edit distance per candidate, with a vectorized character-count
+    prefilter before the DP (the parametric-automaton role of
+    levenshtein_utils.cpp done with set arithmetic instead of FST states):
+
+    * every occurrence in the candidate of a character outside the query's
+      alphabet costs ≥1 edit (insert or substitute) — occurrence count ≤ d;
+    * every query character entirely absent from the candidate costs ≥1 edit
+      (delete or substitute) — absent-char count ≤ d.
+
+    Both tests are O(batch × len) numpy ops; the O(batch × len × |q|) DP runs
+    only on survivors. Transpositions keep the character multiset, so the
+    bounds hold for the Damerau/OSA variant too. Returns ``maxd + 1`` for
+    candidates ruled out by either test or the DP."""
+    n = len(cands)
+    out = np.full(n, maxd + 1, dtype=np.int64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(c) for c in cands), count=n, dtype=np.int64)
+    lmax = int(lens.max())
+    q_cp = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32)
+    if lmax == 0:
+        out[lens == 0] = len(q_cp)
+        return np.minimum(out, maxd + 1)
+    chars = np.zeros((n, lmax), dtype=np.uint32)
+    for i, c in enumerate(cands):
+        chars[i, : len(c)] = np.frombuffer(c.encode("utf-32-le"), dtype=np.uint32)
+    pad = chars == 0
+    outside = (~np.isin(chars, q_cp)) & ~pad
+    keep = outside.sum(axis=1) <= maxd
+    missing = np.zeros(n, dtype=np.int64)
+    for c in np.unique(q_cp):
+        missing += ~(chars == c).any(axis=1)
+    keep &= missing <= maxd
+    idx = np.flatnonzero(keep)
+    if idx.size:
+        d = _levenshtein_leq([cands[i] for i in idx], query, maxd, transpose=transpose)
+        out[idx] = np.minimum(d, maxd + 1)
+    return out
+
+
 def _levenshtein_leq(
     cands: list[str], query: str, maxd: int, transpose: bool = False
 ) -> np.ndarray:
@@ -205,16 +248,30 @@ def expand_multiterm(
             (F.length("term") >= len(q) - maxd) & (F.length("term") <= len(q) + maxd)
         )
 
-        def within(batch: pd.Series) -> pd.Series:
-            d = _levenshtein_leq(batch.tolist(), q, maxd, transpose=transpose)
-            return pd.Series(d <= maxd, index=batch.index)
+        def dists(batch: pd.Series) -> pd.Series:
+            d = _fuzzy_distances(batch.tolist(), q, maxd, transpose=transpose)
+            return pd.Series(d, index=batch.index)
 
         from pyspark.sql.functions import pandas_udf
 
-        within_udf = pandas_udf(within, "boolean")
-        matched = cand.where(within_udf(F.col("term"))).orderBy("term").limit(max_terms)
+        dist_udf = pandas_udf(dists, "long")
+        # reference candidate selection: keep the top max_terms by boost
+        # = 1 - distance / min(|term|, |query|) (levenshtein_filter.cpp:48-55,
+        # 158-165), ties broken towards the LARGER term
+        # (top_terms_collector.hpp:64-69); NOT first-max_terms in term order
+        matched = (
+            cand.withColumn("dist", dist_udf(F.col("term")))
+            .where(F.col("dist") <= maxd)
+            .withColumn(
+                "fboost",
+                F.lit(1.0)
+                - F.col("dist") / F.least(F.length("term"), F.lit(len(q))).cast("double"),
+            )
+            .orderBy(F.desc("fboost"), F.desc("term"))
+            .limit(max_terms)
+        )
         rows = matched.collect()
-        return [(r["term"], int(r["df"])) for r in rows], None
+        return sorted((r["term"], int(r["df"])) for r in rows), None
     spec = _spec_of(node)
     if spec is None:
         raise TypeError(f"not a multiterm filter: {node}")
@@ -330,11 +387,21 @@ def compile_plans(
                 incl = [{"op": "all", "boost": 1.0}]
             return {"op": "and", "parts": incl, "exclude": excl, "merge": node.merge, "boost": node.boost}
         if isinstance(node, flt.Or):
-            if any(isinstance(p, flt.Not) for p in node.parts):
-                raise ValueError("Not directly under Or is unsupported")
+            # Not under Or: each Not(B) contributes an all-docs leg at boost 0
+            # to the disjunction and B to the exclusion set — group_filters
+            # semantics (boolean_filter.cpp:366-411: `excl.push_back` +
+            # `incl.push_back(all_docs_zero_boost)` when is_or)
+            incl, excl = [], []
+            for p in node.parts:
+                if isinstance(p, flt.Not):
+                    excl.append(build(p.part))
+                    incl.append({"op": "all", "boost": 0.0})
+                else:
+                    incl.append(build(p))
             return {
                 "op": "or",
-                "parts": [build(p) for p in node.parts],
+                "parts": incl,
+                "exclude": excl,
                 "min_match": node.min_match,
                 "merge": node.merge,
                 "boost": node.boost,
@@ -669,6 +736,7 @@ def _eval_root(
         op == "or"
         and plan.get("min_match", 1) <= 1
         and plan.get("merge", "sum") == "sum"
+        and not plan.get("exclude")
         and all(p["op"] == "term" for p in plan["parts"])
     ):
         legs = [(sv.view(p["term"]), p["idf"], p["boost"]) for p in plan["parts"]]
@@ -754,6 +822,10 @@ def _eval_plan(
     if op == "or":
         legs = [_eval_plan(p, decoded, dl, avgdl, model, dt) for p in plan["parts"]]
         ids, scores = _union(legs, plan.get("min_match", 1), dt, plan.get("merge", "sum"))
+        for ex in plan.get("exclude", []):
+            eids, _ = _eval_plan(ex, decoded, dl, avgdl, model, dt)
+            keep = ~np.isin(ids, eids, assume_unique=True)
+            ids, scores = ids[keep], scores[keep]
         if plan["boost"] != 1.0:
             scores = scores * dt(plan["boost"])
         return ids, scores

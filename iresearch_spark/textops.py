@@ -115,21 +115,42 @@ def ngram_jaccard_pairs(
     text_col="text",
     k: int = 3,
     threshold: float = 0.0,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs by k-token-shingle Jaccard.
 
     Shuffle pattern: self-join on ``shingle`` (a < b to halve), then
     group-count intersections; |A∪B| from per-doc set sizes. Head shingles
-    (boilerplate) are the skew risk at scale — cap or MinHash-LSH them
-    (see :func:`minhash_lsh_pairs`); AQE skew-join is the backstop here."""
+    (boilerplate) are the skew risk at scale: ``max_shingle_freq`` drops any
+    shingle appearing in more than that many docs BEFORE the self-join — a
+    shingle of df f fans out f²/2 pair rows, so one boilerplate header line
+    shared by 1M pages would otherwise emit 5·10¹¹ rows from a single key.
+    Capped shingles still count toward |A∪B| (set sizes are computed
+    pre-cap), so reported jaccard is a LOWER bound for pairs that shared a
+    capped shingle — the standard candidate-generation trade; exact scores
+    need the MinHash-LSH path (:func:`minhash_lsh_pairs`). Default None
+    keeps the exact quadratic semantics (verification-scale only)."""
     sh = shingles(df, id_col, text_col, k).alias("l")
     sizes = (
         shingles(df, id_col, text_col, k)
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("set_size"))
     )
+    rh = shingles(df, id_col, text_col, k)
+    if max_shingle_freq is not None:
+        # anti-join against the FREQUENT set (small by construction — every
+        # member costs > max_shingle_freq docs), broadcastable at any corpus
+        # size; the rare set would be corpus-sized
+        frequent = (
+            rh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .where(F.col("sdf") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(frequent), "shingle", "left_anti").alias("l")
+        rh = rh.join(F.broadcast(frequent), "shingle", "left_anti")
     pairs = (
-        sh.join(shingles(df, id_col, text_col, k).alias("r"), "shingle")
+        sh.join(rh.alias("r"), "shingle")
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -117,3 +117,40 @@ def test_encode_postings_batch_matches_per_term():
             assert batch["block_doc_off"][t] == single.block_doc_off.tolist()
             assert batch["block_freq_off"][t] == single.block_freq_off.tolist()
             assert batch["block_max_freq"][t] == single.block_max_freq.tolist()
+
+
+def test_multiblock_decode_vectorized_matches_full():
+    """Selective multi-block decode (one gather, no per-block loop) must equal
+    slicing the full decode at the same blocks, including non-adjacent and
+    first/last block subsets."""
+    import numpy as np
+
+    from iresearch_spark.index.codec import (
+        decode_doc_ids,
+        decode_freqs,
+        encode_postings_batch_arrow,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 1000  # ~8 blocks of 128
+    doc_ids = np.unique(rng.integers(1, 50_000, size=n)).astype(np.int64)
+    freqs = rng.integers(1, 2000, size=doc_ids.size).astype(np.int64)
+    enc = encode_postings_batch_arrow(
+        doc_ids, freqs, np.array([0, doc_ids.size]), None
+    )
+    doc_enc = enc["doc_ids_enc"][0].as_py()
+    freq_enc = enc["freqs_enc"][0].as_py()
+    doff = np.array(enc["block_doc_off"][0].as_py())
+    foff = np.array(enc["block_freq_off"][0].as_py())
+    blast = np.array(enc["block_last_doc"][0].as_py())
+    full_ids = decode_doc_ids(doc_enc, doff, blast)
+    full_fr = decode_freqs(freq_enc, foff)
+    assert np.array_equal(full_ids, doc_ids)
+    nblocks = len(doff)
+    for blocks in ([0], [nblocks - 1], [0, nblocks - 1], [1, 3, 4], list(range(nblocks))):
+        b = np.array(blocks, dtype=np.int64)
+        sel = np.concatenate(
+            [np.arange(i * 128, min((i + 1) * 128, doc_ids.size)) for i in blocks]
+        )
+        assert np.array_equal(decode_doc_ids(doc_enc, doff, blast, b), full_ids[sel])
+        assert np.array_equal(decode_freqs(freq_enc, foff, b), full_fr[sel])

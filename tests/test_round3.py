@@ -312,3 +312,89 @@ def test_lineage_manifest_metrics(spark, tmp_path_factory):
     assert sorted(r["segment_id"] for r in rows) == [0, 1]
     assert sum(r["n_docs"] for r in rows) == 100
     assert all(r["n_terms"] >= 2 and r["n_tokens"] > 0 and r["seconds"] > 0 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# Or with Not children (boolean_filter.cpp:366-411): each Not(B) adds an
+# all-docs leg at boost 0 and B to the disjunction's exclusion set
+# --------------------------------------------------------------------------
+
+
+def test_or_not(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ornot"))
+    docs = {
+        "a": "scan scan fast",
+        "b": "dup only here",
+        "c": "scan dup mixed",
+        "d": "nothing relevant",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_key string, text string")
+    IndexBuilder(spark, path, num_segments=1).build(df, key_col="doc_key", text_col="text")
+    s = Searcher(IndexReader(spark, path))
+    rows = s.search(flt.Or((flt.Term("scan"), flt.Not(flt.Term("dup")))), k=10).collect()
+    got = {r["doc_key"]: r["score"] for r in rows}
+    # exclusion applies to the WHOLE disjunction: docs with 'dup' are out even
+    # when they also match 'scan'
+    assert set(got) == {"a", "d"}
+    assert got["a"] > 0.0 and got["d"] == 0.0
+    # only-Not Or: everything except B, constant zero score
+    rows2 = s.search(flt.Or((flt.Not(flt.Term("dup")),)), k=10).collect()
+    assert {r["doc_key"] for r in rows2} == {"a", "d"}
+
+
+def test_jaccard_head_shingle_cap(spark):
+    from iresearch_spark import textops
+
+    rows = [("d%d" % i, "common header line unique%d token%d end" % (i, i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    uncapped = textops.ngram_jaccard_pairs(df, k=3).collect()
+    # every pair shares the boilerplate 'common header line' shingle
+    assert len(uncapped) == 15
+    capped = textops.ngram_jaccard_pairs(df, k=3, max_shingle_freq=3).collect()
+    # the head shingle (df=6 > 3) no longer generates candidates
+    assert len(capped) == 0
+
+
+# --------------------------------------------------------------------------
+# fuzzy candidate parity: top-max_terms by reference boost
+# (levenshtein_filter.cpp:48-55 similarity; top_terms_collector.hpp:64-69
+# tie-break towards the larger term) + charset prefilter soundness
+# --------------------------------------------------------------------------
+
+
+def test_fuzzy_prefilter_matches_bruteforce():
+    import itertools
+    import random
+
+    from iresearch_spark.search.executor import _fuzzy_distances, _levenshtein_leq
+
+    rng = random.Random(11)
+    alpha = "abcd"
+    vocab = sorted({"".join(rng.choice(alpha) for _ in range(rng.randint(1, 7))) for _ in range(400)})
+    for q in ["abca", "dcba", "aa", "abcdabc"]:
+        for maxd in (1, 2):
+            for tr in (False, True):
+                brute = _levenshtein_leq(vocab, q, maxd, transpose=tr)
+                fast = _fuzzy_distances(vocab, q, maxd, transpose=tr)
+                within_b = np.asarray(brute) <= maxd
+                within_f = fast <= maxd
+                assert np.array_equal(within_b, within_f), (q, maxd, tr)
+                assert np.array_equal(np.asarray(brute)[within_b], fast[within_f])
+
+
+def test_fuzzy_candidate_selection_reference_order(spark, tmp_path_factory):
+    from iresearch_spark.search.executor import expand_multiterm
+
+    path = str(tmp_path_factory.mktemp("fuzzysel"))
+    # vocabulary: > max_terms terms within distance 1 of 'scan'
+    vocab = ["scan", "scanx", "scax", "sca", "zcan", "scann", "scaz", "sxan"]
+    docs = {f"d{i}": w for i, w in enumerate(vocab)}
+    df = spark.createDataFrame(list(docs.items()), "doc_key string, text string")
+    IndexBuilder(spark, path, num_segments=1).build(df, key_col="doc_key", text_col="text")
+    reader = IndexReader(spark, path)
+    node = flt.Fuzzy("scan", max_distance=1, max_terms=3)
+    got, tail = expand_multiterm(node, reader)
+    assert tail is None
+    # boosts: scan=1.0; len>=4 d=1 -> 0.75 (zcan scann scanx scax scaz sxan);
+    # sca (len 3, d=1) -> 2/3. top-3 = scan, then the two LARGEST 0.75 terms
+    assert [t for t, _ in got] == sorted(["scan", "zcan", "sxan"])
