@@ -71,9 +71,15 @@ POSTINGS_SCHEMA = (
 )
 
 NORMS_SCHEMA = (
-    "segment_id int, docs_count int, doc_len_enc binary, "
-    "docs_with_field int, sum_len long"
+    "segment_id int, chunk_id int, docs_count int, doc_len_enc binary, "
+    "docs_with_field int, sum_len long, min_len int"
 )
+
+# Norm2 columnstore chunking: doc_len is stored in fixed 2^16-doc VByte rows
+# (sparse_bitmap.hpp:62 block analogue) so query kernels decode only the
+# chunks their candidate doc ids touch — a 100M-doc segment is 1526 ~64KB
+# cells, not one multi-hundred-MB cell every kernel must decode in full.
+NORMS_CHUNK_DOCS = 1 << 16
 
 TERM_DICT_SCHEMA = "term string, df long, ttf long, max_freq int"
 
@@ -413,15 +419,23 @@ class IndexBuilder:
             )
 
             # ---- norms part (Norm2 columnstore + field stats, zero extra
-            # stages: the kernel already holds the segment's doc lengths) ----
+            # stages: the kernel already holds the segment's doc lengths);
+            # chunked into NORMS_CHUNK_DOCS rows so kernels decode only the
+            # chunks covering their candidates ----
+            chunk_bounds = list(range(0, int(n_docs), NORMS_CHUNK_DOCS)) + [int(n_docs)]
+            chunks = [
+                lens[lo:hi] for lo, hi in zip(chunk_bounds[:-1], chunk_bounds[1:])
+            ]
             _atomic_write_parquet(
                 pa.table(
                     {
-                        "segment_id": pa.array([sid], pa.int32()),
-                        "docs_count": pa.array([int(n_docs)], pa.int32()),
-                        "doc_len_enc": pa.array([vbyte_encode(lens)], pa.binary()),
-                        "docs_with_field": pa.array([int((lens > 0).sum())], pa.int32()),
-                        "sum_len": pa.array([int(lens.sum())], pa.int64()),
+                        "segment_id": pa.array([sid] * len(chunks), pa.int32()),
+                        "chunk_id": pa.array(range(len(chunks)), pa.int32()),
+                        "docs_count": pa.array([len(c) for c in chunks], pa.int32()),
+                        "doc_len_enc": pa.array([vbyte_encode(c) for c in chunks], pa.binary()),
+                        "docs_with_field": pa.array([int((c > 0).sum()) for c in chunks], pa.int32()),
+                        "sum_len": pa.array([int(c.sum()) for c in chunks], pa.int64()),
+                        "min_len": pa.array([int(c.min()) if len(c) else 0 for c in chunks], pa.int32()),
                     }
                 ),
                 norms_file,

@@ -69,8 +69,8 @@ def pick_small_segments(reader: IndexReader, max_docs: int) -> list[int]:
     """``consolidate_docs_live``-style policy: merge segments whose live doc
     count is below ``max_docs`` (index_utils.hpp:96-111 analogue); restricted
     to the longest contiguous id run (tie-break identity, see above)."""
-    rows = reader.norms().select("segment_id", "docs_count").collect()
-    out = sorted(int(r["segment_id"]) for r in rows if int(r["docs_count"]) < max_docs)
+    counts = reader.segment_docs_counts()
+    out = sorted(s for s, n in counts.items() if n < max_docs)
     return _longest_contiguous(out)
 
 
@@ -132,10 +132,7 @@ def pick_docs_fill(reader: IndexReader, min_fill: float = 0.85) -> list[int]:
     """``consolidate_docs_fill`` analogue (index_utils.hpp:96-126): merge
     segments whose live/total doc ratio dropped below ``min_fill`` (deletes
     make this meaningful — purging reclaims the masked docs)."""
-    totals = {
-        int(r["segment_id"]): int(r["docs_count"])
-        for r in reader._table("norms").select("segment_id", "docs_count").collect()
-    }
+    totals = reader.segment_docs_counts()
     deleted: dict[int, int] = {}
     dels = reader.deletes()
     if dels is not None:
@@ -185,10 +182,7 @@ def pick_count(reader: IndexReader, target_segments: int) -> list[int]:
     """``consolidate_count``-style policy: merge the first segments until
     ≤ ``target_segments`` remain (index_utils.hpp:84-94 analogue); contiguous
     prefix run so the doc-id remap preserves global tie order."""
-    ids = sorted(
-        int(r["segment_id"])
-        for r in reader.norms().select("segment_id", "docs_count").collect()
-    )
+    ids = sorted(reader.segment_docs_counts())
     n_merge = len(ids) - target_segments + 1
     if n_merge < 2:
         return []
@@ -210,10 +204,7 @@ def consolidate(
     gen_dir = os.path.join(index_path, f"gen={gen}")
     os.makedirs(gen_dir, exist_ok=True)
 
-    seg_rows = sorted(
-        (int(r["segment_id"]), int(r["docs_count"]))
-        for r in reader.norms().select("segment_id", "docs_count").collect()
-    )
+    seg_rows = sorted(reader.segment_docs_counts().items())
     all_ids = [s for s, _ in seg_rows]
     merge_ids = sorted(segment_ids) if segment_ids is not None else all_ids
     if len(merge_ids) < 2:
@@ -361,32 +352,50 @@ def consolidate(
     # ---- norms ----
     t0 = time.time()
     # raw norms table (NOT reader.norms(), which joins the delete mask in)
-    norms = reader._table("norms").select(
-        "segment_id", "docs_count", "doc_len_enc", "docs_with_field", "sum_len"
-    )
+    norm_cols = [
+        c
+        for c in (
+            "segment_id", "chunk_id", "docs_count", "doc_len_enc",
+            "docs_with_field", "sum_len", "min_len",
+        )
+        if c in reader._table("norms").columns
+    ]
+    norms = reader._table("norms").select(*norm_cols)
 
     def merge_norms(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .builder import NORMS_CHUNK_DOCS
+
         offs = b_offsets.value
         dmask_v = b_dmask.value
-        pdf = pdf.sort_values("segment_id")
+        sort_cols = ["segment_id"] + (["chunk_id"] if "chunk_id" in pdf.columns else [])
+        pdf = pdf.sort_values(sort_cols)
         parts = []
-        for row in pdf.itertuples(index=False):
-            dl = vbyte_decode(row.doc_len_enc).astype(np.int64)
-            ds = dmask_v.get(int(row.segment_id))
+        for sid_in, grp in pdf.groupby("segment_id", sort=True):
+            dl = np.concatenate(
+                [vbyte_decode(e).astype(np.int64) for e in grp["doc_len_enc"]]
+            )
+            ds = dmask_v.get(int(sid_in))
             if ds is not None and ds.size:
                 live = np.ones(dl.size, dtype=bool)
                 live[ds - 1] = False  # doc ids are 1-based
                 dl = dl[live]
             parts.append(dl)
         dl = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        bounds = list(range(0, len(dl), NORMS_CHUNK_DOCS)) + [len(dl)]
+        chunks = [dl[lo:hi] for lo, hi in zip(bounds[:-1], bounds[1:])]
         return pd.DataFrame(
-            [{
-                "segment_id": min(offs),
-                "docs_count": len(dl),
-                "doc_len_enc": vbyte_encode(dl),
-                "docs_with_field": int((dl > 0).sum()),
-                "sum_len": int(dl.sum()),
-            }]
+            [
+                {
+                    "segment_id": min(offs),
+                    "chunk_id": ci,
+                    "docs_count": len(c),
+                    "doc_len_enc": vbyte_encode(c),
+                    "docs_with_field": int((c > 0).sum()),
+                    "sum_len": int(c.sum()),
+                    "min_len": int(c.min()) if len(c) else 0,
+                }
+                for ci, c in enumerate(chunks)
+            ]
         )
 
     norms_path = os.path.join(gen_dir, "norms")

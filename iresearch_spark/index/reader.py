@@ -64,7 +64,14 @@ class IndexReader:
 
     def norms(self) -> DataFrame:
         df = self._table("norms")
-        keep = [c for c in ("segment_id", "docs_count", "doc_len_enc", "docs_with_field", "sum_len") if c in df.columns]
+        keep = [
+            c
+            for c in (
+                "segment_id", "chunk_id", "docs_count", "doc_len_enc",
+                "docs_with_field", "sum_len", "min_len",
+            )
+            if c in df.columns
+        ]
         out = df.select(*keep)
         dels = self.deletes()
         if dels is not None:
@@ -138,6 +145,20 @@ class IndexReader:
         return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
 
     def doc_lens(self, segment_id: int) -> np.ndarray:
-        """Dense doc_len array for one segment (Norm2 reader analogue)."""
-        row = self.norms().where(F.col("segment_id") == segment_id).collect()[0]
-        return vbyte_decode(row["doc_len_enc"]).astype(np.int64)
+        """Dense doc_len array for one segment (Norm2 reader analogue);
+        chunked rows are concatenated in chunk order."""
+        rows = self.norms().where(F.col("segment_id") == segment_id).collect()
+        rows.sort(key=lambda r: r["chunk_id"] if "chunk_id" in r.__fields__ else 0)
+        return np.concatenate(
+            [vbyte_decode(r["doc_len_enc"]).astype(np.int64) for r in rows]
+        ) if rows else np.empty(0, np.int64)
+
+    def segment_docs_counts(self) -> dict[int, int]:
+        """segment_id → live+masked doc count (sums norm chunk rows)."""
+        rows = (
+            self._table("norms")
+            .groupBy("segment_id")
+            .agg(F.sum("docs_count").alias("n"))
+            .collect()
+        )
+        return {int(r["segment_id"]): int(r["n"]) for r in rows}

@@ -865,6 +865,56 @@ def _union(legs, min_match: int, dt, merge: str = "sum") -> tuple[np.ndarray, np
     return uniq, sums
 
 
+class _SegmentNorms:
+    """Lazy chunked Norm2 reader for one segment's norms rows.
+
+    The builder stores doc_len in fixed-size VByte chunks (one row per
+    NORMS_CHUNK_DOCS docs — sparse_bitmap.hpp:62 block analogue); kernels
+    index it like an ndarray (``dl[ids - 1]``) and only the chunks those ids
+    touch are decoded. Exposes the minimal ndarray surface the scoring
+    kernels use: fancy ``__getitem__`` (0-based int array), ``.size``,
+    ``.min()``. ``.min()`` comes from the per-chunk ``min_len`` column (no
+    decode); legacy single-cell rows (no chunk_id) degrade gracefully to one
+    chunk."""
+
+    __slots__ = ("_enc", "_starts", "size", "_min", "_chunks")
+
+    def __init__(self, norm_pdf: pd.DataFrame):
+        if "chunk_id" in norm_pdf.columns:
+            norm_pdf = norm_pdf.sort_values("chunk_id")
+        self._enc = list(norm_pdf["doc_len_enc"])
+        counts = norm_pdf["docs_count"].to_numpy(np.int64)
+        self._starts = np.zeros(counts.size + 1, dtype=np.int64)
+        np.cumsum(counts, out=self._starts[1:])
+        self.size = int(self._starts[-1])
+        mv = norm_pdf["min_len"].min() if "min_len" in norm_pdf.columns else None
+        self._min = int(mv) if mv is not None and not pd.isna(mv) else None
+        self._chunks: dict[int, np.ndarray] = {}
+
+    def min(self) -> int:
+        if self._min is not None:
+            return self._min
+        return int(self[np.arange(self.size)].min()) if self.size else 1
+
+    def _chunk(self, c: int) -> np.ndarray:
+        a = self._chunks.get(c)
+        if a is None:
+            a = vbyte_decode(self._enc[c]).astype(np.int64)
+            self._chunks[c] = a
+        return a
+
+    def __getitem__(self, idx) -> np.ndarray:
+        idx = np.asarray(idx, dtype=np.int64)
+        if len(self._enc) == 1:
+            return self._chunk(0)[idx]
+        out = np.empty(idx.size, dtype=np.int64)
+        cid = np.searchsorted(self._starts, idx, side="right") - 1
+        for c in np.unique(cid):
+            m = cid == c
+            out[m] = self._chunk(int(c))[idx[m] - self._starts[c]]
+        return out
+
+
 def _deleted_of(norm_pdf: pd.DataFrame) -> np.ndarray | None:
     """Per-segment sorted delete array from the norms row (document_mask)."""
     if "del_ids" not in norm_pdf.columns:
@@ -1006,7 +1056,7 @@ class Searcher:
                     {"segment_id": "int32", "doc_id": "int32", "score": "float64"}
                 )
             sid = int(norm_pdf["segment_id"].iloc[0])
-            dl = vbyte_decode(norm_pdf["doc_len_enc"].iloc[0]).astype(np.int64)
+            dl = _SegmentNorms(norm_pdf)
             dels = _deleted_of(norm_pdf)
             sv = _SegmentViews(post_pdf)
             ids, scores = _eval_root(plan, sv, k, dl, avgdl, model, dt, dels)
@@ -1067,7 +1117,7 @@ class Searcher:
                     {"segment_id": "int32", "doc_id": "int32", "score": "float64"}
                 )
             sid = int(norm_pdf["segment_id"].iloc[0])
-            dl = vbyte_decode(norm_pdf["doc_len_enc"].iloc[0]).astype(np.int64)
+            dl = _SegmentNorms(norm_pdf)
             dels = _deleted_of(norm_pdf)
             sv = _SegmentViews(post_pdf)
             ids, scores = _eval_plan(plan, sv, dl, avgdl, model, dt)
@@ -1185,7 +1235,7 @@ class Searcher:
             if len(norm_pdf) == 0:
                 return empty  # postings may be empty: All plans use norms only
             sid = int(norm_pdf["segment_id"].iloc[0])
-            dl = vbyte_decode(norm_pdf["doc_len_enc"].iloc[0]).astype(np.int64)
+            dl = _SegmentNorms(norm_pdf)
             dels = _deleted_of(norm_pdf)
             sv = _SegmentViews(post_pdf)
             frames = []
@@ -1632,7 +1682,7 @@ class Searcher:
             if len(post_pdf) == 0 or len(norm_pdf) == 0:
                 return empty
             sid = int(norm_pdf["segment_id"].iloc[0])
-            dl = vbyte_decode(norm_pdf["doc_len_enc"].iloc[0]).astype(np.int64)
+            dl = _SegmentNorms(norm_pdf)
             dels = _deleted_of(norm_pdf)
             sv = _SegmentViews(post_pdf)
             slot_views = []

@@ -398,3 +398,66 @@ def test_fuzzy_candidate_selection_reference_order(spark, tmp_path_factory):
     # boosts: scan=1.0; len>=4 d=1 -> 0.75 (zcan scann scanx scax scaz sxan);
     # sca (len 3, d=1) -> 2/3. top-3 = scan, then the two LARGEST 0.75 terms
     assert [t for t, _ in got] == sorted(["scan", "zcan", "sxan"])
+
+
+# --------------------------------------------------------------------------
+# chunked norms (round-1 finding #7 / VERDICT r2 #4): doc_len stored in
+# 2^16-doc VByte rows; kernels decode only the chunks their candidates touch
+# --------------------------------------------------------------------------
+
+
+def test_segment_norms_chunked_gather():
+    import pandas as pd
+
+    from iresearch_spark.index.codec import vbyte_encode
+    from iresearch_spark.search.executor import _SegmentNorms
+
+    rng = np.random.default_rng(3)
+    lens = rng.integers(1, 500, size=1000).astype(np.int64)
+    rows = []
+    for ci, lo in enumerate(range(0, 1000, 256)):
+        c = lens[lo : lo + 256]
+        rows.append(
+            {
+                "segment_id": 0,
+                "chunk_id": ci,
+                "docs_count": len(c),
+                "doc_len_enc": vbyte_encode(c),
+                "docs_with_field": int((c > 0).sum()),
+                "sum_len": int(c.sum()),
+                "min_len": int(c.min()),
+            }
+        )
+    sn = _SegmentNorms(pd.DataFrame(rows[::-1]))  # shuffled chunk order
+    assert sn.size == 1000
+    assert sn.min() == int(lens.min())
+    idx = rng.integers(0, 1000, size=300)
+    assert np.array_equal(sn[idx], lens[idx])
+    # only touched chunks decoded
+    one = _SegmentNorms(pd.DataFrame(rows))
+    _ = one[np.array([0, 5, 10])]
+    assert set(one._chunks) == {0}
+
+
+def test_norms_rows_bounded_by_chunk_size(spark, tmp_path_factory):
+    import os
+
+    from iresearch_spark.index.builder import NORMS_CHUNK_DOCS
+
+    path = str(tmp_path_factory.mktemp("chunks"))
+    n = NORMS_CHUNK_DOCS + 5000  # forces a second chunk in the one segment
+    df = spark.range(n).selectExpr(
+        "cast(id as string) as doc_key",
+        "case when id % 97 = 0 then 'scan scan rare' else 'scan pad' end as text",
+    )
+    IndexBuilder(spark, path, num_segments=1).build(df, key_col="doc_key", text_col="text")
+    reader = IndexReader(spark, path)
+    rows = reader.norms().orderBy("chunk_id").collect()
+    assert [r["chunk_id"] for r in rows] == [0, 1]
+    assert rows[0]["docs_count"] == NORMS_CHUNK_DOCS
+    assert rows[1]["docs_count"] == 5000
+    assert all(r["docs_count"] <= NORMS_CHUNK_DOCS for r in rows)
+    assert reader.segment_docs_counts() == {0: n}
+    # queries across the chunk boundary score correctly (dl gathered lazily)
+    hits = Searcher(reader).search(flt.Term("rare"), k=5).collect()
+    assert len(hits) == 5 and all(h["score"] > 0 for h in hits)
