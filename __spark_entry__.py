@@ -49,14 +49,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
-def _index(spark: SparkSession, sf_dir: str, analyzer: str = "simple", tag: str = "") -> IndexReader:
+def _index(
+    spark: SparkSession,
+    sf_dir: str,
+    analyzer: str = "simple",
+    tag: str = "",
+    with_offsets: bool = False,
+) -> IndexReader:
     key = (sf_dir, tag or "base")
     if key in _READERS:
         return _READERS[key]
     h = hashlib.md5(f"{sf_dir}|{analyzer}|{tag}".encode()).hexdigest()[:10]
     path = os.path.join("/tmp", f"iresearch_entry_idx_v2_{h}")
     os.makedirs(path, exist_ok=True)
-    builder = IndexBuilder(spark, path, analyzer=analyzer, num_segments=4)
+    builder = IndexBuilder(
+        spark, path, analyzer=analyzer, num_segments=4, with_offsets=with_offsets
+    )
     if builder.read_meta() is None:
         df = _docs(spark, sf_dir).withColumn(
             "doc_key", F.lpad(F.col("doc_id").cast("string"), 8, "0")
@@ -597,6 +605,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_batch_topk"] = batch_search
 
+    def highlight_offsets(s, d):
+        # OFFS sidecar + highlight: first-occurrence byte offsets of each
+        # query term inside the BM25 top-k docs (index built with_offsets)
+        reader = _index(s, d, tag="offs", with_offsets=True)
+        hl = Searcher(reader, k1=K1, b=B).highlight(
+            flt.Or((flt.Term("scan"), flt.Term("dup"))), k=TOPK
+        )
+        return hl.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.col("term"),
+            F.col("start").cast("bigint").alias("start"),
+            F.col("end").cast("bigint").alias("end"),
+        ).orderBy("doc_id", "term")
+
+    q["q_highlight_offsets"] = highlight_offsets
+
     # ---- text analysis / pipeline ops (declarative DataFrame plans) ----
     q["q_token_stats"] = lambda s, d: textops.token_stats(_docs(s, d)).select(
         "doc_id", F.col("n_tokens").cast("long"), F.col("n_unique").cast("long")
@@ -726,6 +750,39 @@ SELECT * FROM (
   SELECT 'qb' AS query, doc_id, score FROM ({_bm25_sql("term IN ('sort','merge')")})
 )
 ORDER BY query, score DESC, doc_id"""
+
+    # OFFS highlight: top-k docs of Or(scan, dup), then the first-occurrence
+    # byte offset of each present query term. Offsets are recomputed in SQL
+    # independently: replacing every non-[a-z0-9] char of the lowered text
+    # with ONE space preserves positions, so instr of ' term ' in the
+    # space-padded string gives the 0-based token start as instr-1 (0 = absent).
+    o["q_highlight_offsets"] = f"""{_BM25_CTE},
+q AS (SELECT term FROM dfreq WHERE term IN ('scan','dup')),
+leg AS (
+  SELECT tf.doc_id,
+         (2.2 * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))) * tf.tf
+           / ((1.2*(1-0.75)) + (1.2*0.75) * dl.dl / st.avgdl + tf.tf) AS s
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN dfreq d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st
+),
+topk AS (
+  SELECT doc_id FROM (
+    SELECT leg.doc_id, sum(leg.s) AS s_sum FROM leg GROUP BY leg.doc_id
+  ) ORDER BY s_sum DESC, doc_id LIMIT {TOPK}
+),
+hl AS (
+  SELECT t.doc_id, q.term,
+         instr(' ' || regexp_replace(lower(d.text), '[^a-z0-9]', ' ', 'g') || ' ',
+               ' ' || q.term || ' ') - 1 AS start
+  FROM topk t JOIN documents d ON d.doc_id = t.doc_id CROSS JOIN q
+)
+SELECT doc_id, term, CAST(start AS BIGINT) AS start,
+       CAST(start + length(term) AS BIGINT) AS "end"
+FROM hl WHERE start >= 0
+ORDER BY doc_id, term"""
 
     o["q_token_stats"] = f"""{_TOKS_CTE}
 SELECT doc_id, len(toks)::BIGINT AS n_tokens, len(list_distinct(toks))::BIGINT AS n_unique FROM t"""

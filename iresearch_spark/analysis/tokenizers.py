@@ -328,3 +328,55 @@ def tokens_to_postings(
     sorted_pos = pos[order]
     uniq, starts, counts = np.unique(sorted_terms, return_index=True, return_counts=True)
     return uniq, counts.astype(np.int64), sorted_pos
+
+
+def arrow_simple_token_offsets(texts):
+    """Byte offsets of every ``simple``-analyzer token (OFFS index feature).
+
+    Returns ``(tok_start int64, tok_len int64)`` aligned with the kept-token
+    order of :func:`arrow_tokenize_encode` (doc order, then position order):
+    ``tok_start[i]`` is the 0-based byte offset of token *i* inside its doc's
+    LOWERCASED utf-8 text, ``tok_len[i]`` its byte length. For ASCII text
+    (lowering is length-preserving) these are offsets into the original text.
+
+    Reference analogue: the ``offset`` token attribute
+    (token_attributes.hpp:39-47) whose start/end the ``.pos``/``.pay``
+    streams persist when OFFS is indexed (formats_10.cpp:345-353).
+
+    Fully vectorized on the Arrow string buffers: a ``simple`` token is a
+    maximal ``[a-z0-9]`` byte run of the lowered text (utf-8 multibyte units
+    never contain ASCII-range bytes, so byte runs == codepoint runs), and
+    doc boundaries break runs. No per-row Python.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        arr = pc.fill_null(pc.cast(arr, pa.large_string()), "")
+    else:
+        arr = pa.array(["" if t is None else t for t in texts], type=pa.large_string())
+    arr = pc.utf8_lower(arr)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    # large_string: int64 value offsets; honour the array's own slice offset
+    off = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    w = ((data >= 0x61) & (data <= 0x7A)) | ((data >= 0x30) & (data <= 0x39))
+    if off[0] > 0:
+        w[: off[0]] = False
+    if off[-1] < data.size:
+        w[off[-1] :] = False
+    prev = np.zeros_like(w)
+    prev[1:] = w[:-1]
+    inner = off[(off > 0) & (off < data.size)]
+    prev[inner] = False  # a doc's first byte never continues the previous doc's run
+    starts = np.flatnonzero(w & ~prev)
+    nxt = np.zeros_like(w)
+    nxt[:-1] = w[1:]
+    last = off[1:] - 1
+    nxt[last[last >= 0]] = False  # a doc's last byte never extends into the next doc
+    ends = np.flatnonzero(w & ~nxt) + 1
+    doc_of = np.searchsorted(off, starts, side="right") - 1
+    return (starts - off[doc_of]).astype(np.int64), (ends - starts).astype(np.int64)

@@ -59,7 +59,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analysis.tokenizers import arrow_tokenize_encode, get_tokenizer
+from ..analysis.tokenizers import (
+    arrow_simple_token_offsets,
+    arrow_tokenize_encode,
+    get_tokenizer,
+)
 
 from .codec import encode_postings_batch_arrow, vbyte_encode
 
@@ -82,6 +86,11 @@ NORMS_SCHEMA = (
 NORMS_CHUNK_DOCS = 1 << 16
 
 TERM_DICT_SCHEMA = "term string, df long, ttf long, max_freq int"
+
+OFFSETS_SCHEMA = (
+    "term string, segment_id int, docs_count int, "
+    "doc_ids_enc binary, freqs_enc binary, offs_enc binary"
+)
 
 LINEAGE_SCHEMA = (
     "segment_id int, n_docs long, n_terms long, n_tokens long, "
@@ -168,6 +177,7 @@ class IndexBuilder:
         analyzer="simple",
         num_segments: int | None = None,
         with_positions: bool = True,
+        with_offsets: bool = False,
         postings_partitions: int | None = None,
     ):
         """``analyzer`` is a registry name/spec (resolved on executors) or a
@@ -180,6 +190,16 @@ class IndexBuilder:
         self.analyzer = analyzer
         self.num_segments = num_segments
         self.with_positions = with_positions
+        # OFFS index feature (token_attributes.hpp:39-47): persist per-
+        # occurrence token byte offsets in a sidecar `offsets` table (the
+        # .pay stream analogue, formats_10.cpp:345-353). Opt-in; supported
+        # for the `simple` analyzer (whose tokens are verbatim substrings).
+        self.with_offsets = with_offsets
+        if with_offsets and analyzer != "simple":
+            raise ValueError(
+                "with_offsets=True requires the 'simple' analyzer (token "
+                "offsets are derived from the Arrow string buffers)"
+            )
         self.postings_partitions = postings_partitions
 
     # ---------------------------------------------------------------- build
@@ -215,6 +235,9 @@ class IndexBuilder:
             gen, gen_dir, run_id, num_segments, num_segments,
             [docs_path], [norms_path], [postings_path],
             doc_cols, key_col, text_col, stored_cols,
+            offsets_paths=(
+                [os.path.join(gen_dir, "offsets")] if self.with_offsets else None
+            ),
         )
 
     def _invert_and_layout(
@@ -242,11 +265,16 @@ class IndexBuilder:
         spark = self.spark
         tokenizer_spec = self.analyzer  # registry name/spec, or a callable captured in the closure
         with_positions = self.with_positions
+        with_offsets = self.with_offsets
 
         docs_path = os.path.join(gen_dir, "docs")
         norms_path = os.path.join(gen_dir, "norms")
         raw_path = os.path.join(gen_dir, "postings_raw")
-        for p in (docs_path, norms_path, raw_path):
+        offsets_path = os.path.join(gen_dir, "offsets")
+        part_dirs = [docs_path, norms_path, raw_path] + (
+            [offsets_path] if with_offsets else []
+        )
+        for p in part_dirs:
             os.makedirs(p, exist_ok=True)
         boundaries = self._segment_boundaries(df, key_col, num_segments, gen_dir)
 
@@ -317,6 +345,10 @@ class IndexBuilder:
             docs_file = _os.path.join(docs_path, f"part-{sid:05d}.parquet")
             norms_file = _os.path.join(norms_path, f"part-{sid:05d}.parquet")
             raw_file = _os.path.join(raw_path, f"part-{sid:05d}.parquet")
+            part_files = [docs_file, norms_file, raw_file]
+            if with_offsets:
+                offsets_file = _os.path.join(offsets_path, f"part-{sid:05d}.parquet")
+                part_files.append(offsets_file)
 
             def lineage(n_docs, n_terms, n_tokens, skipped):
                 return pa.RecordBatch.from_arrays(
@@ -336,7 +368,7 @@ class IndexBuilder:
 
             key_arr = pc.cast(tbl.column(key_col).combine_chunks(), pa.string())
 
-            if all(_os.path.exists(p) for p in (docs_file, norms_file, raw_file)):
+            if all(_os.path.exists(p) for p in part_files):
                 # segment-granular resume: validate the published docs part
                 # covers exactly this segment's keys, then skip the heavy
                 # tokenize/invert/encode/write path entirely
@@ -364,9 +396,15 @@ class IndexBuilder:
                 if isinstance(tokenizer_spec, str)
                 else None
             )
+            tok_start = None
             if res is not None:
                 codes, uniq_terms, lens = res
                 tok_counts = lens
+                if with_offsets:
+                    # byte offsets aligned with the kept-token (doc,pos) order
+                    tok_start, _tok_len = arrow_simple_token_offsets(
+                        tbl.column(text_col)
+                    )
             else:
                 tokenizer = (
                     get_tokenizer(tokenizer_spec)
@@ -518,6 +556,35 @@ class IndexBuilder:
                 raw_file,
                 attempt,
             )
+
+            # ---- offsets sidecar (OFFS stream): per-occurrence token start
+            # byte offsets, same (term, doc, pos) stream order and the same
+            # codec as positions — a self-addressed table like the
+            # reference's separate .pos/.pay files (formats_10.cpp:345-353).
+            # End offsets are derivable for the `simple` analyzer
+            # (end = start + len(term): tokens are verbatim substrings). ----
+            if with_offsets:
+                if tok_start is None:
+                    raise ValueError(
+                        "with_offsets requires the Arrow 'simple' analyzer path"
+                    )
+                off_cols = encode_postings_batch_arrow(
+                    s_doc, s_counts, bounds, tok_start[order]
+                )
+                _atomic_write_parquet(
+                    pa.table(
+                        {
+                            "term": pa.array(list(uniq_terms), pa.string()),
+                            "segment_id": pa.array(np.full(T, sid, np.int32), pa.int32()),
+                            "docs_count": off_cols["docs_count"],
+                            "doc_ids_enc": off_cols["doc_ids_enc"],
+                            "freqs_enc": off_cols["freqs_enc"],
+                            "offs_enc": off_cols["pos_enc"],
+                        }
+                    ),
+                    offsets_file,
+                    attempt,
+                )
             yield lineage(n_docs, T, n_tokens, False)
 
         # prune to the consumed columns BEFORE the range shuffle — the input
@@ -551,7 +618,13 @@ class IndexBuilder:
         # (north-star manifest: segment_id, rows, tokens, seconds, skipped) —
         # writing it IS the job's action, no extra pass.
         lineage_path = os.path.join(gen_dir, "lineage")
-        if not self._stage_done(run_id, gen, "segments", docs_path):
+        segments_done = self._stage_done(run_id, gen, "segments", docs_path) and (
+            # a prior run under a different offsets mode must not satisfy
+            # resume: the sidecar parts would be missing
+            not with_offsets
+            or os.path.exists(os.path.join(offsets_path, "_SUCCESS"))
+        )
+        if not segments_done:
             t0 = time.time()
             (
                 partitioned.mapInArrow(invert_partition, LINEAGE_SCHEMA)
@@ -565,7 +638,7 @@ class IndexBuilder:
                 for r in spark.read.parquet(lineage_path).collect()
                 if r["skipped"] or r["n_docs"] > 0
             }
-            for d in (docs_path, norms_path, raw_path):
+            for d in part_dirs:
                 for fn in os.listdir(d):
                     if fn.startswith("part-") and fn.endswith(".parquet"):
                         if int(fn[5:10]) not in live:
@@ -595,6 +668,10 @@ class IndexBuilder:
                 gen_dir, "term_dict" if fuse_term_dict else "term_partial"
             )
             spark.createDataFrame([], TERM_DICT_SCHEMA).write.mode("overwrite").parquet(agg_path)
+            if with_offsets:
+                spark.createDataFrame([], OFFSETS_SCHEMA).write.mode("overwrite").parquet(
+                    offsets_path
+                )
             if fuse_term_dict:
                 self._manifest(run_id, gen, "term_dict", "done", 0.0)
             else:
@@ -662,6 +739,7 @@ class IndexBuilder:
         carry_tables: dict | None = None,
         last_stream_batch: int | None = None,
         term_sources: list[str] | None = None,
+        offsets_paths: list[str] | None = None,
     ) -> dict:
         """term_dict aggregation + two-phase commit.
 
@@ -718,6 +796,10 @@ class IndexBuilder:
                 "norms": norms_paths if len(norms_paths) > 1 else norms_paths[0],
             }
         )
+        if offsets_paths:
+            tables["offsets"] = (
+                offsets_paths if len(offsets_paths) > 1 else offsets_paths[0]
+            )
         meta = {
             "generation": gen,
             "analyzer": self.analyzer if isinstance(self.analyzer, str) else repr(self.analyzer),
@@ -768,6 +850,13 @@ class IndexBuilder:
             )
         if batch_id is not None and batch_id <= meta.get("last_stream_batch", -1):
             return meta  # replayed micro-batch: already committed
+        if self.with_offsets != ("offsets" in meta["tables"]):
+            # fail BEFORE any stage runs: a half-run append under the wrong
+            # offsets mode would mark stages done that a retry must redo
+            raise ValueError(
+                "append with_offsets must match the existing index "
+                f"(index has offsets: {'offsets' in meta['tables']})"
+            )
         key_col = key_col or meta["key_col"]
         text_col = text_col or meta["text_col"]
         stored_cols = tuple(stored_cols if stored_cols is not None else meta["stored_cols"])
@@ -798,6 +887,11 @@ class IndexBuilder:
             carry_tables=carry,
             last_stream_batch=batch_id if batch_id is not None else meta.get("last_stream_batch"),
             term_sources=term_sources,
+            offsets_paths=(
+                paths_of(meta["tables"]["offsets"]) + [os.path.join(gen_dir, "offsets")]
+                if self.with_offsets
+                else None
+            ),
         )
 
     # ------------------------------------------------------------- plumbing

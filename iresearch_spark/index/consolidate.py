@@ -201,6 +201,12 @@ def consolidate(
     meta = dict(reader.meta)
     gen = meta["generation"] + 1
     index_path = reader.index_path
+    if "offsets" in reader.meta.get("tables", {}):
+        raise NotImplementedError(
+            "consolidate() does not yet merge the OFFS offsets sidecar; "
+            "rebuild the index after consolidation or keep offsets indexes "
+            "unconsolidated"
+        )
     gen_dir = os.path.join(index_path, f"gen={gen}")
     os.makedirs(gen_dir, exist_ok=True)
 

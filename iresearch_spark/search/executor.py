@@ -1607,6 +1607,108 @@ class Searcher:
             return topk
         return self._attach_keys(topk, k)
 
+    def highlight(self, f: flt.Filter, k: int = 10, dtype: str = "float64") -> DataFrame:
+        """First-occurrence token offsets of the query's terms in the top-k
+        docs (the OFFS highlighting surface; offset attribute
+        token_attributes.hpp:39-47, persisted streams formats_10.cpp:345-353).
+
+        Requires the index built with ``IndexBuilder(..., with_offsets=True)``.
+        The term set is extracted from the normalized filter (Term / Terms /
+        And / Or over those). Returns one row per (top-k doc, query term
+        occurring in it): ``(doc_key, segment_id, doc_id, score, term, start,
+        end)`` where ``start`` is the 0-based byte offset of the term's FIRST
+        occurrence in the doc's lowercased text and ``end = start +
+        len(term)`` (simple-analyzer tokens are verbatim substrings).
+
+        Scale shape: top-k is the normal pruned search; the offsets decode is
+        a mapInPandas over the term+segment-pruned sidecar scan with the ≤k
+        target docs broadcast — per-occurrence work only for the touched
+        (term, segment) rows, nothing unbounded at the driver.
+        """
+        meta_tables = self.reader.meta.get("tables", {})
+        if "offsets" not in meta_tables:
+            raise ValueError(
+                "index has no offsets sidecar: build with "
+                "IndexBuilder(..., with_offsets=True)"
+            )
+
+        def terms_of(node: flt.Filter) -> set[str]:
+            if isinstance(node, flt.Term):
+                return {node.term}
+            if isinstance(node, flt.Terms):
+                return set(node.terms)
+            if isinstance(node, (flt.And, flt.Or)):
+                out: set[str] = set()
+                for p in node.parts:
+                    out |= terms_of(p)
+                return out
+            raise TypeError(
+                f"highlight() supports Term/Terms/And/Or filters, got {type(node).__name__}"
+            )
+
+        terms = sorted(terms_of(flt.normalize(f)))
+        top = self.search(f, k=k, dtype=dtype, with_keys=True)
+        hits = top.collect()  # ≤ k rows by construction
+        out_schema = (
+            "doc_key string, segment_id int, doc_id int, score double, "
+            "term string, start long, end long"
+        )
+        if not hits:
+            return self.reader.spark.createDataFrame([], out_schema)
+        targets: dict[int, np.ndarray] = {}
+        keys: dict[tuple[int, int], tuple[str, float]] = {}
+        for r in hits:
+            sid, did = int(r["segment_id"]), int(r["doc_id"])
+            targets.setdefault(sid, []).append(did)
+            keys[(sid, did)] = (r["doc_key"], float(r["score"]))
+        targets = {s: np.asarray(sorted(d), dtype=np.int64) for s, d in targets.items()}
+        spark = self.reader.spark
+        b_targets = spark.sparkContext.broadcast(targets)
+        b_keys = spark.sparkContext.broadcast(keys)
+
+        offs_scan = (
+            self.reader._table("offsets")
+            .where(F.col("term").isin(terms) & F.col("segment_id").isin(list(targets)))
+            .select("term", "segment_id", "doc_ids_enc", "freqs_enc", "offs_enc")
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                cols = {c: [] for c in (
+                    "doc_key", "segment_id", "doc_id", "score", "term", "start", "end"
+                )}
+                for row in pdf.itertuples(index=False):
+                    tgt = b_targets.value.get(int(row.segment_id))
+                    if tgt is None:
+                        continue
+                    docs = np.cumsum(vbyte_decode(row.doc_ids_enc).astype(np.int64))
+                    freqs = vbyte_decode(row.freqs_enc).astype(np.int64)
+                    sel = np.flatnonzero(np.isin(docs, tgt))
+                    if sel.size == 0:
+                        continue
+                    offs = decode_positions(row.offs_enc, freqs)
+                    occ_start = np.zeros(docs.size, dtype=np.int64)
+                    np.cumsum(freqs[:-1], out=occ_start[1:])
+                    first = offs[occ_start[sel]]
+                    for j, d in zip(first, docs[sel]):
+                        dk, sc = b_keys.value[(int(row.segment_id), int(d))]
+                        cols["doc_key"].append(dk)
+                        cols["segment_id"].append(int(row.segment_id))
+                        cols["doc_id"].append(int(d))
+                        cols["score"].append(sc)
+                        cols["term"].append(row.term)
+                        cols["start"].append(int(j))
+                        cols["end"].append(int(j) + len(row.term))
+                yield pd.DataFrame(cols).astype(
+                    {"segment_id": "int32", "doc_id": "int32", "score": "float64",
+                     "start": "int64", "end": "int64"}
+                )
+
+        return (
+            offs_scan.mapInPandas(kernel, out_schema)
+            .orderBy(F.desc("score"), "segment_id", "doc_id", "term")
+        )
+
     def _expand_slots(self, terms: list) -> list[list[str]]:
         """Variadic slots: a str slot stays fixed; a multiterm filter slot
         (Prefix/Wildcard/Fuzzy/Range/Terms) expands against the term dict,
