@@ -60,7 +60,7 @@ def _index(
     if key in _READERS:
         return _READERS[key]
     h = hashlib.md5(f"{sf_dir}|{analyzer}|{tag}".encode()).hexdigest()[:10]
-    path = os.path.join("/tmp", f"iresearch_entry_idx_v2_{h}")
+    path = os.path.join("/tmp", f"iresearch_entry_idx_v3_{h}")
     os.makedirs(path, exist_ok=True)
     builder = IndexBuilder(
         spark, path, analyzer=analyzer, num_segments=4, with_offsets=with_offsets
@@ -96,7 +96,7 @@ def _nested_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     if key in _READERS:
         return _READERS[key]
     h = hashlib.md5(f"{sf_dir}|nested".encode()).hexdigest()[:10]
-    path = os.path.join("/tmp", f"iresearch_entry_idx_v2_{h}")
+    path = os.path.join("/tmp", f"iresearch_entry_idx_v3_{h}")
     os.makedirs(path, exist_ok=True)
     builder = IndexBuilder(spark, path, analyzer="simple", num_segments=4)
     if builder.read_meta() is None:
@@ -120,6 +120,34 @@ def _nested_index(spark: SparkSession, sf_dir: str) -> IndexReader:
             key_col="doc_key",
             text_col="text",
             stored_cols=("parent_key",),
+        )
+    _READERS[key] = IndexReader(spark, path)
+    return _READERS[key]
+
+
+def _fields_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Two-field index (reference per-doc field lists, index-put.cpp:258-277):
+    ``body`` = the full text, ``title`` = the first 6 tokens (derived
+    deterministically so DuckDB replays the same field)."""
+    key = (sf_dir, "fields")
+    if key in _READERS:
+        return _READERS[key]
+    h = hashlib.md5(f"{sf_dir}|fields".encode()).hexdigest()[:10]
+    path = os.path.join("/tmp", f"iresearch_entry_idx_v3_{h}")
+    os.makedirs(path, exist_ok=True)
+    builder = IndexBuilder(spark, path, analyzer="simple", num_segments=4)
+    if builder.read_meta() is None:
+        toks = F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
+        )
+        df = (
+            _docs(spark, sf_dir)
+            .withColumn("doc_key", F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+            .withColumn("title", F.array_join(F.slice(toks, 1, 6), " "))
+        )
+        builder.build(
+            df, key_col="doc_key",
+            fields=(("body", "text", "simple"), ("title", "title", "simple")),
         )
     _READERS[key] = IndexReader(spark, path)
     return _READERS[key]
@@ -319,6 +347,41 @@ FROM (
 )
 ORDER BY s_raw DESC, doc_id
 LIMIT {k}"""
+
+
+# two-field oracle: body = all tokens, title = the first 6 tokens (DuckDB
+# list slices are 1-based inclusive); each field has its own tf/dl/stats/df
+_TWO_FIELD_CTE = """
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+btf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM (
+          SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+bdl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM t WHERE len(toks) > 0),
+bst AS (SELECT count(*)::DOUBLE AS n, sum(dl)/count(*) AS avgdl FROM bdl),
+bdf AS (SELECT term, count(*)::DOUBLE AS df FROM btf GROUP BY 1),
+ttf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM (
+          SELECT doc_id, unnest(toks[1:6]) AS term FROM t) GROUP BY 1, 2),
+tdl AS (SELECT doc_id, least(len(toks), 6)::DOUBLE AS dl FROM t WHERE len(toks) > 0),
+tst AS (SELECT count(*)::DOUBLE AS n, sum(dl)/count(*) AS avgdl FROM tdl),
+tdf AS (SELECT term, count(*)::DOUBLE AS df FROM ttf GROUP BY 1)
+"""
+
+
+def _field_leg_sql(prefix: str, term: str) -> str:
+    """One field's BM25 leg over the two-field CTE tables (prefix b/t)."""
+    p = prefix
+    return f"""
+  SELECT tf.doc_id,
+         (2.2 * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))) * tf.tf
+           / ((1.2*(1-0.75)) + (1.2*0.75) * dl.dl / st.avgdl + tf.tf) AS s
+  FROM {p}tf tf
+  JOIN {p}df d ON d.term = tf.term
+  JOIN {p}dl dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN {p}st st
+  WHERE tf.term = '{term}'"""
 
 
 def _plane_sql(p: list[float]) -> str:
@@ -605,6 +668,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_batch_topk"] = batch_search
 
+    def term_title_field(s, d):
+        # field-scoped term query: BM25 over the title field's OWN stats
+        # (per-field df/dl/avgdl — bm25.cpp:204-276 per-field collectors)
+        reader = _fields_index(s, d)
+        res = Searcher(reader, k1=K1, b=B).search(
+            flt.Term("scan", field="title"), k=TOPK
+        )
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.round(F.col("score"), 4).cast("double").alias("score"),
+        )
+
+    q["q_term_title_field"] = term_title_field
+
+    def or_two_fields(s, d):
+        # mixed-field disjunction: each leg scores against its own field's
+        # norms + stats, summed per doc (per-leaf field scoping)
+        reader = _fields_index(s, d)
+        res = Searcher(reader, k1=K1, b=B).search(
+            flt.Or((flt.Term("merge", field="body"), flt.Term("scan", field="title"))),
+            k=TOPK,
+        )
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.round(F.col("score"), 4).cast("double").alias("score"),
+        )
+
+    q["q_or_two_fields"] = or_two_fields
+
     def highlight_offsets(s, d):
         # OFFS sidecar + highlight: first-occurrence byte offsets of each
         # query term inside the BM25 top-k docs (index built with_offsets)
@@ -783,6 +875,22 @@ SELECT doc_id, term, CAST(start AS BIGINT) AS start,
        CAST(start + length(term) AS BIGINT) AS "end"
 FROM hl WHERE start >= 0
 ORDER BY doc_id, term"""
+
+    o["q_term_title_field"] = f"""{_TWO_FIELD_CTE}
+SELECT doc_id, CAST(round(s, 4) AS DOUBLE) AS score
+FROM ({_field_leg_sql('t', 'scan')})
+ORDER BY s DESC, doc_id
+LIMIT {TOPK}"""
+    o["q_or_two_fields"] = f"""{_TWO_FIELD_CTE},
+legs AS (
+  {_field_leg_sql('b', 'merge')}
+  UNION ALL
+  {_field_leg_sql('t', 'scan')}
+)
+SELECT doc_id, CAST(round(s_sum, 4) AS DOUBLE) AS score
+FROM (SELECT doc_id, sum(s) AS s_sum FROM legs GROUP BY doc_id)
+ORDER BY s_sum DESC, doc_id
+LIMIT {TOPK}"""
 
     o["q_token_stats"] = f"""{_TOKS_CTE}
 SELECT doc_id, len(toks)::BIGINT AS n_tokens, len(list_distinct(toks))::BIGINT AS n_unique FROM t"""

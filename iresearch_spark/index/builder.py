@@ -68,16 +68,21 @@ from ..analysis.tokenizers import (
 from .codec import encode_postings_batch_arrow, vbyte_encode
 
 POSTINGS_SCHEMA = (
-    "term string, segment_id int, docs_count int, total_freq long, max_freq int, "
-    "doc_ids_enc binary, freqs_enc binary, pos_enc binary, "
+    "field string, term string, segment_id int, docs_count int, total_freq long, "
+    "max_freq int, doc_ids_enc binary, freqs_enc binary, pos_enc binary, "
     "block_last_doc array<long>, block_doc_off array<long>, "
     "block_freq_off array<long>, block_max_freq array<long>"
 )
 
 NORMS_SCHEMA = (
-    "segment_id int, chunk_id int, docs_count int, doc_len_enc binary, "
+    "field string, segment_id int, chunk_id int, docs_count int, doc_len_enc binary, "
     "docs_with_field int, sum_len long, min_len int"
 )
+
+# separator for composite (field, term) kernel keys — must never appear in a
+# field name (the builder validates); term text cannot contain it either for
+# the builtin analyzers (it is a control char no tokenizer emits)
+FIELD_SEP = "\x1f"
 
 # Norm2 columnstore chunking: doc_len is stored in fixed 2^16-doc VByte rows
 # (sparse_bitmap.hpp:62 block analogue) so query kernels decode only the
@@ -85,7 +90,7 @@ NORMS_SCHEMA = (
 # cells, not one multi-hundred-MB cell every kernel must decode in full.
 NORMS_CHUNK_DOCS = 1 << 16
 
-TERM_DICT_SCHEMA = "term string, df long, ttf long, max_freq int"
+TERM_DICT_SCHEMA = "field string, term string, df long, ttf long, max_freq int"
 
 OFFSETS_SCHEMA = (
     "term string, segment_id int, docs_count int, "
@@ -115,15 +120,16 @@ def _atomic_write_parquet(tbl, final_path: str, task_attempt: int) -> None:
 def _layout_and_aggregate(postings_dir: str):
     """Fused postings-layout + term_dict kernel (mapInArrow).
 
-    Input: one term-RANGE partition of encoded posting rows, sorted by
-    (term, segment_id). The task (a) writes its partition DIRECTLY as a
-    parquet part file (atomic tmp+rename — idempotent under retries; parquet
-    min/max column stats give the same file/row-group pruning a Spark-written
-    layout has), and (b) emits the per-term (df, ttf, max_freq) aggregate rows,
-    still term-sorted. Because the range partitioning is on ``term`` alone, a
-    term's rows NEVER span partitions, so the per-partition aggregate is the
-    exact global term_dict — the separate groupBy job of the unfused path
-    (one full re-read + shuffle of the postings table) disappears.
+    Input: one (field, term)-RANGE partition of encoded posting rows, sorted
+    by (field, term, segment_id). The task (a) writes its partition DIRECTLY
+    as a parquet part file (atomic tmp+rename — idempotent under retries;
+    parquet min/max column stats give the same file/row-group pruning a
+    Spark-written layout has), and (b) emits the per-(field, term)
+    (df, ttf, max_freq) aggregate rows, still sorted. Because the range
+    partitioning is on (field, term) alone, a term's rows NEVER span
+    partitions, so the per-partition aggregate is the exact global term_dict —
+    the separate groupBy job of the unfused path (one full re-read + shuffle
+    of the postings table) disappears.
     """
 
     def fn(arrow_batches):
@@ -148,14 +154,18 @@ def _layout_and_aggregate(postings_dir: str):
         _os.replace(tmp, final)  # atomic publish, idempotent across retries
 
         terms = tbl.column("term").combine_chunks().to_numpy(zero_copy_only=False)
+        flds = tbl.column("field").combine_chunks().to_numpy(zero_copy_only=False)
         starts = _np.flatnonzero(
-            _np.concatenate(([True], terms[1:] != terms[:-1]))
+            _np.concatenate(
+                ([True], (terms[1:] != terms[:-1]) | (flds[1:] != flds[:-1]))
+            )
         )
         dc = tbl.column("docs_count").to_numpy().astype(_np.int64)
         tf = tbl.column("total_freq").to_numpy().astype(_np.int64)
         mf = tbl.column("max_freq").to_numpy().astype(_np.int64)
         yield _pa.RecordBatch.from_arrays(
             [
+                _pa.array(flds[starts], _pa.string()),
                 _pa.array(terms[starts], _pa.string()),
                 _pa.array(_np.add.reduceat(dc, starts), _pa.int64()),
                 _pa.array(_np.add.reduceat(tf, starts), _pa.int64()),
@@ -163,7 +173,7 @@ def _layout_and_aggregate(postings_dir: str):
                     _np.maximum.reduceat(mf, starts).astype(_np.int32), _pa.int32()
                 ),
             ],
-            names=["term", "df", "ttf", "max_freq"],
+            names=["field", "term", "df", "ttf", "max_freq"],
         )
 
     return fn
@@ -202,16 +212,54 @@ class IndexBuilder:
             )
         self.postings_partitions = postings_partitions
 
+    def _resolve_fields(self, text_col, fields) -> list[tuple[str, str, object]]:
+        """Normalize the field spec: a list of ``(name, source_col, analyzer)``
+        triples. ``fields=None`` is the single-field surface: one field named
+        after ``text_col``, analyzed with the builder's analyzer. Multi-field
+        indexing is the reference's per-document field list
+        (utils/index-put.cpp:258-277 indexes title+date+body)."""
+        if fields is None:
+            if text_col is None:
+                raise ValueError("either text_col or fields must be given")
+            return [(text_col, text_col, self.analyzer)]
+        out: list[tuple[str, str, object]] = []
+        for spec in fields:
+            if isinstance(spec, str):
+                name, col, an = spec, spec, self.analyzer
+            elif len(spec) == 2:
+                name, col = spec
+                an = self.analyzer
+            else:
+                name, col, an = spec
+            if FIELD_SEP in name:
+                raise ValueError(f"field name {name!r} contains the reserved separator")
+            out.append((name, col, an))
+        if len({n for n, _, _ in out}) != len(out):
+            raise ValueError("duplicate field names")
+        if self.with_offsets and (len(out) > 1 or out[0][2] != "simple"):
+            raise ValueError(
+                "with_offsets=True supports a single 'simple'-analyzed field"
+            )
+        return out
+
     # ---------------------------------------------------------------- build
     def build(
         self,
         df: DataFrame,
         key_col: str,
-        text_col: str,
+        text_col: str | None = None,
         stored_cols: tuple[str, ...] = (),
         run_id: str | None = None,
+        fields=None,
     ) -> dict:
-        """Build (or resume) the index; returns the committed meta dict."""
+        """Build (or resume) the index; returns the committed meta dict.
+
+        ``fields`` (optional) indexes MULTIPLE per-document fields — a list of
+        ``(name, source_col, analyzer)`` triples (or ``(name, col)`` /
+        plain column names inheriting the builder analyzer). Every field gets
+        its own postings namespace, norms (doc lengths) and BM25 stats, like
+        the reference's per-field field_data (field_data.cpp) and per-field
+        stats collectors (bm25.cpp:204-276)."""
         spark = self.spark
         run_id = run_id or uuid.uuid4().hex[:12]
         gen = self._next_generation()
@@ -222,19 +270,20 @@ class IndexBuilder:
         if committed is not None:
             return committed  # already committed — resume is a no-op
 
+        field_list = self._resolve_fields(text_col, fields)
         num_segments = self.num_segments or max(
             1, spark.sparkContext.defaultParallelism
         )
         stored_cols = tuple(stored_cols)
         doc_cols = ["segment_id", "doc_id", "doc_key", "doc_len", *stored_cols]
         docs_path, norms_path, postings_path, _ = self._invert_and_layout(
-            df, gen_dir, key_col, text_col, stored_cols, num_segments, 0, run_id, gen,
+            df, gen_dir, key_col, field_list, stored_cols, num_segments, 0, run_id, gen,
             fuse_term_dict=True,
         )
         return self._finish_commit(
             gen, gen_dir, run_id, num_segments, num_segments,
             [docs_path], [norms_path], [postings_path],
-            doc_cols, key_col, text_col, stored_cols,
+            doc_cols, key_col, field_list, stored_cols,
             offsets_paths=(
                 [os.path.join(gen_dir, "offsets")] if self.with_offsets else None
             ),
@@ -245,7 +294,7 @@ class IndexBuilder:
         df: DataFrame,
         gen_dir: str,
         key_col: str,
-        text_col: str,
+        field_list: list[tuple[str, str, object]],
         stored_cols: tuple[str, ...],
         num_segments: int,
         sid_base: int,
@@ -263,7 +312,9 @@ class IndexBuilder:
         generation's term_dict. Returns (docs_path, norms_path, postings_path,
         term_partial_path | None)."""
         spark = self.spark
-        tokenizer_spec = self.analyzer  # registry name/spec, or a callable captured in the closure
+        # (name, source col, registry name/spec or callable) per indexed field —
+        # captured in the task closure, resolved on executors
+        fspecs = list(field_list)
         with_positions = self.with_positions
         with_offsets = self.with_offsets
 
@@ -388,30 +439,33 @@ class IndexBuilder:
 
             stored_arrs = {c: tbl.column(c).combine_chunks() for c in stored_cols}
 
-            # tokenize + term-id encode: Arrow fast path (tokens never become
-            # Python objects) or pandas fallback for custom analyzers
-            explicit_pos = None  # set by positional analyzers (0-increment synonyms)
-            res = (
-                arrow_tokenize_encode(tbl.column(text_col), tokenizer_spec)
-                if isinstance(tokenizer_spec, str)
-                else None
-            )
-            tok_start = None
-            if res is not None:
-                codes, uniq_terms, lens = res
-                tok_counts = lens
-                if with_offsets:
-                    # byte offsets aligned with the kept-token (doc,pos) order
-                    tok_start, _tok_len = arrow_simple_token_offsets(
-                        tbl.column(text_col)
-                    )
-            else:
+            def tokenize_field(fcol: str, tokenizer_spec):
+                """Tokenize + term-id encode ONE field's column: Arrow fast
+                path (tokens never become Python objects) or pandas fallback
+                for custom analyzers. Returns (codes, uniq_terms, lens,
+                tok_counts, explicit_pos, tok_start)."""
+                explicit_pos = None  # set by positional analyzers (synonyms)
+                tok_start = None
+                res = (
+                    arrow_tokenize_encode(tbl.column(fcol), tokenizer_spec)
+                    if isinstance(tokenizer_spec, str)
+                    else None
+                )
+                if res is not None:
+                    codes, uniq_terms, lens = res
+                    tok_counts = lens
+                    if with_offsets:
+                        # byte offsets aligned with the kept-token order
+                        tok_start, _tok_len = arrow_simple_token_offsets(
+                            tbl.column(fcol)
+                        )
+                    return codes, uniq_terms, lens, tok_counts, explicit_pos, tok_start
                 tokenizer = (
                     get_tokenizer(tokenizer_spec)
                     if isinstance(tokenizer_spec, str)
                     else tokenizer_spec
                 )
-                tok_res = tokenizer(tbl.column(text_col).to_pandas()).tolist()
+                tok_res = tokenizer(tbl.column(fcol).to_pandas()).tolist()
                 if getattr(tokenizer, "emits_positions", False):
                     # analyzer emits (tokens, positions): positions are 1-based
                     # and may repeat (increment-0 tokens, e.g. synonyms at the
@@ -439,16 +493,21 @@ class IndexBuilder:
                     flat[off : off + len(t)] = t
                     off += len(t)
                 codes, uniq_arr = pd.factorize(flat)
-                uniq_terms = list(uniq_arr)
+                return codes, list(uniq_arr), lens, tok_counts, explicit_pos, tok_start
 
-            # ---- docs part (doc ids dense 1-based per segment) ----
+            per_field = [
+                (fname,) + tokenize_field(fcol, fspec) for fname, fcol, fspec in fspecs
+            ]
+
+            # ---- docs part (doc ids dense 1-based per segment; doc_len is
+            # the DEFAULT field's — per-field lengths live in norms) ----
             _atomic_write_parquet(
                 pa.table(
                     {
                         "segment_id": pa.array(np.full(n_docs, sid, np.int32), pa.int32()),
                         "doc_id": pa.array(np.arange(1, n_docs + 1, dtype=np.int32), pa.int32()),
                         "doc_key": key_arr,
-                        "doc_len": pa.array(lens.astype(np.int32), pa.int32()),
+                        "doc_len": pa.array(per_field[0][3].astype(np.int32), pa.int32()),
                         **stored_arrs,
                     }
                 ),
@@ -456,35 +515,53 @@ class IndexBuilder:
                 attempt,
             )
 
-            # ---- norms part (Norm2 columnstore + field stats, zero extra
-            # stages: the kernel already holds the segment's doc lengths);
+            # ---- norms part (Norm2 columnstore + per-field stats, zero extra
+            # stages: the kernel already holds each field's doc lengths);
             # chunked into NORMS_CHUNK_DOCS rows so kernels decode only the
             # chunks covering their candidates ----
+            norm_cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "field", "segment_id", "chunk_id", "docs_count", "doc_len_enc",
+                    "docs_with_field", "sum_len", "min_len",
+                )
+            }
             chunk_bounds = list(range(0, int(n_docs), NORMS_CHUNK_DOCS)) + [int(n_docs)]
-            chunks = [
-                lens[lo:hi] for lo, hi in zip(chunk_bounds[:-1], chunk_bounds[1:])
-            ]
+            for fname, _codes, _uniq, lens, _tc, _ep, _ts in per_field:
+                chunks = [
+                    lens[lo:hi] for lo, hi in zip(chunk_bounds[:-1], chunk_bounds[1:])
+                ]
+                norm_cols["field"].extend([fname] * len(chunks))
+                norm_cols["segment_id"].extend([sid] * len(chunks))
+                norm_cols["chunk_id"].extend(range(len(chunks)))
+                norm_cols["docs_count"].extend(len(c) for c in chunks)
+                norm_cols["doc_len_enc"].extend(vbyte_encode(c) for c in chunks)
+                norm_cols["docs_with_field"].extend(int((c > 0).sum()) for c in chunks)
+                norm_cols["sum_len"].extend(int(c.sum()) for c in chunks)
+                norm_cols["min_len"].extend(int(c.min()) if len(c) else 0 for c in chunks)
             _atomic_write_parquet(
                 pa.table(
                     {
-                        "segment_id": pa.array([sid] * len(chunks), pa.int32()),
-                        "chunk_id": pa.array(range(len(chunks)), pa.int32()),
-                        "docs_count": pa.array([len(c) for c in chunks], pa.int32()),
-                        "doc_len_enc": pa.array([vbyte_encode(c) for c in chunks], pa.binary()),
-                        "docs_with_field": pa.array([int((c > 0).sum()) for c in chunks], pa.int32()),
-                        "sum_len": pa.array([int(c.sum()) for c in chunks], pa.int64()),
-                        "min_len": pa.array([int(c.min()) if len(c) else 0 for c in chunks], pa.int32()),
+                        "field": pa.array(norm_cols["field"], pa.string()),
+                        "segment_id": pa.array(norm_cols["segment_id"], pa.int32()),
+                        "chunk_id": pa.array(norm_cols["chunk_id"], pa.int32()),
+                        "docs_count": pa.array(norm_cols["docs_count"], pa.int32()),
+                        "doc_len_enc": pa.array(norm_cols["doc_len_enc"], pa.binary()),
+                        "docs_with_field": pa.array(norm_cols["docs_with_field"], pa.int32()),
+                        "sum_len": pa.array(norm_cols["sum_len"], pa.int64()),
+                        "min_len": pa.array(norm_cols["min_len"], pa.int32()),
                     }
                 ),
                 norms_file,
                 attempt,
             )
 
-            # ---- invert across the segment (field_data::invert analogue,
-            # fully vectorized: one hash pass + one int sort for the whole
-            # segment, no per-doc Python) ----
+            # ---- invert across the segment, per field (field_data::invert
+            # analogue, fully vectorized: one hash pass + one int sort per
+            # field for the whole segment, no per-doc Python) ----
             raw_schema = pa.schema(
                 [
+                    ("field", pa.string()),
                     ("term", pa.string()),
                     ("segment_id", pa.int32()),
                     ("docs_count", pa.int32()),
@@ -499,93 +576,106 @@ class IndexBuilder:
                     ("block_max_freq", pa.list_(pa.int64())),
                 ]
             )
-            n_tokens = int(tok_counts.sum())
-            if n_tokens == 0:
+            raw_tables = []
+            total_tokens = 0
+            total_terms = 0
+            for fname, codes, uniq_terms, lens, tok_counts, explicit_pos, tok_start in per_field:
+                n_tokens = int(tok_counts.sum())
+                if n_tokens == 0:
+                    continue
+                total_tokens += n_tokens
+                tok_doc = np.repeat(np.arange(1, n_docs + 1, dtype=np.int64), tok_counts)
+                if explicit_pos is not None:
+                    tok_pos = explicit_pos
+                else:
+                    starts = np.zeros(n_docs, dtype=np.int64)
+                    np.cumsum(tok_counts[:-1], out=starts[1:])
+                    tok_pos = np.arange(1, n_tokens + 1, dtype=np.int64) - np.repeat(starts, tok_counts)
+                # sort tokens by (term, doc, pos): the flat stream is ALREADY in
+                # (doc, pos) order, so a single STABLE (radix) sort on the term
+                # code gives the full 3-key order — ~3× faster than np.lexsort.
+                # Positional analyzers may emit arbitrary position order → full
+                # lexsort on that (rare) path.
+                if explicit_pos is not None:
+                    order = np.lexsort((tok_pos, tok_doc, codes))
+                else:
+                    order = np.argsort(codes, kind="stable")
+                c_s = codes[order]
+                d_s = tok_doc[order]
+                pos_sorted = tok_pos[order]
+                # (term, doc) run boundaries → per-posting doc ids + freqs
+                dt_break = np.flatnonzero(
+                    np.diff(c_s, prepend=-1) | np.diff(d_s, prepend=-1)
+                )
+                s_codes = c_s[dt_break]
+                s_doc = d_s[dt_break]
+                s_counts = np.diff(np.append(dt_break, n_tokens))
+                bounds = np.flatnonzero(np.diff(s_codes, prepend=-1))
+                bounds = np.append(bounds, s_codes.size)
+                enc_cols = encode_postings_batch_arrow(
+                    s_doc, s_counts, bounds, pos_sorted if with_positions else None
+                )
+                T = len(uniq_terms)
+                total_terms += T
+                raw_tables.append(
+                    pa.table(
+                        {
+                            "field": pa.array([fname] * T, pa.string()),
+                            "term": pa.array(list(uniq_terms), pa.string()),
+                            "segment_id": pa.array(np.full(T, sid, np.int32), pa.int32()),
+                            "docs_count": enc_cols["docs_count"],
+                            "total_freq": enc_cols["total_freq"],
+                            "max_freq": enc_cols["max_freq"],
+                            "doc_ids_enc": enc_cols["doc_ids_enc"],
+                            "freqs_enc": enc_cols["freqs_enc"],
+                            "pos_enc": enc_cols["pos_enc"],
+                            "block_last_doc": enc_cols["block_last_doc"],
+                            "block_doc_off": enc_cols["block_doc_off"],
+                            "block_freq_off": enc_cols["block_freq_off"],
+                            "block_max_freq": enc_cols["block_max_freq"],
+                        }
+                    )
+                )
+
+                # ---- offsets sidecar (OFFS stream): per-occurrence token
+                # start byte offsets, same (term, doc, pos) stream order and
+                # the same codec as positions — a self-addressed table like
+                # the reference's separate .pos/.pay files
+                # (formats_10.cpp:345-353). End offsets are derivable for the
+                # `simple` analyzer (end = start + len(term): tokens are
+                # verbatim substrings). Single-field indexes only. ----
+                if with_offsets:
+                    if tok_start is None:
+                        raise ValueError(
+                            "with_offsets requires the Arrow 'simple' analyzer path"
+                        )
+                    off_cols = encode_postings_batch_arrow(
+                        s_doc, s_counts, bounds, tok_start[order]
+                    )
+                    _atomic_write_parquet(
+                        pa.table(
+                            {
+                                "term": pa.array(list(uniq_terms), pa.string()),
+                                "segment_id": pa.array(np.full(T, sid, np.int32), pa.int32()),
+                                "docs_count": off_cols["docs_count"],
+                                "doc_ids_enc": off_cols["doc_ids_enc"],
+                                "freqs_enc": off_cols["freqs_enc"],
+                                "offs_enc": off_cols["pos_enc"],
+                            }
+                        ),
+                        offsets_file,
+                        attempt,
+                    )
+            if not raw_tables:
                 _atomic_write_parquet(raw_schema.empty_table(), raw_file, attempt)
                 yield lineage(n_docs, 0, 0, False)
                 return
-            tok_doc = np.repeat(np.arange(1, n_docs + 1, dtype=np.int64), tok_counts)
-            if explicit_pos is not None:
-                tok_pos = explicit_pos
-            else:
-                starts = np.zeros(n_docs, dtype=np.int64)
-                np.cumsum(tok_counts[:-1], out=starts[1:])
-                tok_pos = np.arange(1, n_tokens + 1, dtype=np.int64) - np.repeat(starts, tok_counts)
-            # sort tokens by (term, doc, pos): the flat stream is ALREADY in
-            # (doc, pos) order, so a single STABLE (radix) sort on the term
-            # code gives the full 3-key order — ~3× faster than np.lexsort.
-            # Positional analyzers may emit arbitrary position order → full
-            # lexsort on that (rare) path.
-            if explicit_pos is not None:
-                order = np.lexsort((tok_pos, tok_doc, codes))
-            else:
-                order = np.argsort(codes, kind="stable")
-            c_s = codes[order]
-            d_s = tok_doc[order]
-            pos_sorted = tok_pos[order]
-            # (term, doc) run boundaries → per-posting doc ids + freqs
-            dt_break = np.flatnonzero(
-                np.diff(c_s, prepend=-1) | np.diff(d_s, prepend=-1)
-            )
-            s_codes = c_s[dt_break]
-            s_doc = d_s[dt_break]
-            s_counts = np.diff(np.append(dt_break, n_tokens))
-            bounds = np.flatnonzero(np.diff(s_codes, prepend=-1))
-            bounds = np.append(bounds, s_codes.size)
-            enc_cols = encode_postings_batch_arrow(
-                s_doc, s_counts, bounds, pos_sorted if with_positions else None
-            )
-            T = len(uniq_terms)
             _atomic_write_parquet(
-                pa.table(
-                    {
-                        "term": pa.array(list(uniq_terms), pa.string()),
-                        "segment_id": pa.array(np.full(T, sid, np.int32), pa.int32()),
-                        "docs_count": enc_cols["docs_count"],
-                        "total_freq": enc_cols["total_freq"],
-                        "max_freq": enc_cols["max_freq"],
-                        "doc_ids_enc": enc_cols["doc_ids_enc"],
-                        "freqs_enc": enc_cols["freqs_enc"],
-                        "pos_enc": enc_cols["pos_enc"],
-                        "block_last_doc": enc_cols["block_last_doc"],
-                        "block_doc_off": enc_cols["block_doc_off"],
-                        "block_freq_off": enc_cols["block_freq_off"],
-                        "block_max_freq": enc_cols["block_max_freq"],
-                    }
-                ),
+                pa.concat_tables(raw_tables) if len(raw_tables) > 1 else raw_tables[0],
                 raw_file,
                 attempt,
             )
-
-            # ---- offsets sidecar (OFFS stream): per-occurrence token start
-            # byte offsets, same (term, doc, pos) stream order and the same
-            # codec as positions — a self-addressed table like the
-            # reference's separate .pos/.pay files (formats_10.cpp:345-353).
-            # End offsets are derivable for the `simple` analyzer
-            # (end = start + len(term): tokens are verbatim substrings). ----
-            if with_offsets:
-                if tok_start is None:
-                    raise ValueError(
-                        "with_offsets requires the Arrow 'simple' analyzer path"
-                    )
-                off_cols = encode_postings_batch_arrow(
-                    s_doc, s_counts, bounds, tok_start[order]
-                )
-                _atomic_write_parquet(
-                    pa.table(
-                        {
-                            "term": pa.array(list(uniq_terms), pa.string()),
-                            "segment_id": pa.array(np.full(T, sid, np.int32), pa.int32()),
-                            "docs_count": off_cols["docs_count"],
-                            "doc_ids_enc": off_cols["doc_ids_enc"],
-                            "freqs_enc": off_cols["freqs_enc"],
-                            "offs_enc": off_cols["pos_enc"],
-                        }
-                    ),
-                    offsets_file,
-                    attempt,
-                )
-            yield lineage(n_docs, T, n_tokens, False)
+            yield lineage(n_docs, total_terms, total_tokens, False)
 
         # prune to the consumed columns BEFORE the range shuffle — the input
         # may carry wide payloads (e.g. raw html binary) that the index never
@@ -607,8 +697,11 @@ class IndexBuilder:
             b = np.searchsorted(barr, keys.astype(str).to_numpy(), side="right")
             return pd.Series(b.astype(np.int32), index=keys.index)
 
+        in_cols = list(
+            dict.fromkeys([key_col, *(fc for _, fc, _ in fspecs), *stored_cols])
+        )
         partitioned = (
-            df.select(key_col, text_col, *stored_cols)
+            df.select(*in_cols)
             .withColumn("_b", _bucket(F.col(key_col).cast("string")))
             .repartitionByRange(num_segments, "_b")
             .sortWithinPartitions("_b", key_col)
@@ -679,16 +772,17 @@ class IndexBuilder:
             return docs_path, norms_path, postings_path, term_partial
 
         # postings layout pass: shuffle the already-encoded rows (compact) into
-        # term-RANGE partitions sorted by (term, segment_id) — every parquet
-        # file/row-group covers a contiguous term range, so Catalyst min/max
-        # stats prune exact, prefix and range term predicates (the FST role).
-        # Skew: a head term is already split across all segments by
-        # construction, so its rows in one range partition are bounded by the
-        # segment count; partitioning on term ALONE keeps every term whole
-        # within one partition, which is what makes the fused per-partition
-        # term aggregation exact (no groupBy job). The tasks write their
-        # postings part files directly (atomic rename) and the job's OUTPUT is
-        # the term_dict — layout + global term stats in a single pass.
+        # (field, term)-RANGE partitions sorted by (field, term, segment_id) —
+        # every parquet file/row-group covers a contiguous term range within a
+        # field, so Catalyst min/max stats prune exact, prefix and range term
+        # predicates (the FST role). Skew: a head term is already split across
+        # all segments by construction, so its rows in one range partition are
+        # bounded by the segment count; partitioning on (field, term) ALONE
+        # keeps every term whole within one partition, which is what makes the
+        # fused per-partition term aggregation exact (no groupBy job). The
+        # tasks write their postings part files directly (atomic rename) and
+        # the job's OUTPUT is the term_dict — layout + global term stats in a
+        # single pass.
         if not self._stage_done(run_id, gen, "postings", postings_path):
             t0 = time.time()
             import shutil
@@ -703,8 +797,8 @@ class IndexBuilder:
             )
             (
                 spark.read.parquet(raw_path)
-                .repartitionByRange(p_parts, "term")
-                .sortWithinPartitions("term", "segment_id")
+                .repartitionByRange(p_parts, "field", "term")
+                .sortWithinPartitions("field", "term", "segment_id")
                 .mapInArrow(_layout_and_aggregate(postings_path), TERM_DICT_SCHEMA)
                 .write.mode("overwrite")
                 .parquet(agg_path)
@@ -734,7 +828,7 @@ class IndexBuilder:
         postings_paths: list[str],
         doc_cols: list[str],
         key_col: str,
-        text_col: str,
+        field_list: list[tuple[str, str, object]],
         stored_cols: tuple[str, ...],
         carry_tables: dict | None = None,
         last_stream_batch: int | None = None,
@@ -756,7 +850,7 @@ class IndexBuilder:
             if term_sources:
                 agg = (
                     spark.read.parquet(*term_sources)
-                    .groupBy("term")
+                    .groupBy("field", "term")
                     .agg(
                         F.sum("df").alias("df"),
                         F.sum("ttf").alias("ttf"),
@@ -766,7 +860,7 @@ class IndexBuilder:
             else:
                 agg = (
                     spark.read.parquet(*postings_paths)
-                    .groupBy("term")
+                    .groupBy("field", "term")
                     .agg(
                         F.sum("docs_count").alias("df"),
                         F.sum("total_freq").alias("ttf"),
@@ -774,16 +868,20 @@ class IndexBuilder:
                     )
                 )
             (
-                agg.repartitionByRange(max(8, p_parts // 4), "term")
-                .sortWithinPartitions("term")
+                agg.repartitionByRange(max(8, p_parts // 4), "field", "term")
+                .sortWithinPartitions("field", "term")
                 .write.mode("overwrite")
                 .parquet(term_dict_path)
             )
             self._manifest(run_id, gen, "term_dict", "done", time.time() - t0)
 
-        # docs_count for the meta from the tiny kind=n slices (one row/segment)
+        # docs_count for the meta from the tiny norms rows of the DEFAULT
+        # field (every field covers the same docs; counting one avoids
+        # multi-field double counting)
+        default_field = field_list[0][0]
         norm_rows = (
             spark.read.parquet(*norms_paths)
+            .where(F.col("field") == default_field)
             .select("segment_id", "docs_count")
             .collect()
         )
@@ -810,7 +908,16 @@ class IndexBuilder:
             "docs_count": sum(int(r["docs_count"]) for r in norm_rows),
             "doc_cols": doc_cols,
             "key_col": key_col,
-            "text_col": text_col,
+            "text_col": field_list[0][1],
+            "fields": [
+                {
+                    "name": n,
+                    "col": c,
+                    "analyzer": a if isinstance(a, str) else repr(a),
+                }
+                for n, c, a in field_list
+            ],
+            "default_field": default_field,
             "stored_cols": list(stored_cols),
             "run_id": run_id,
             "tables": tables,
@@ -831,6 +938,7 @@ class IndexBuilder:
         text_col: str | None = None,
         stored_cols: tuple[str, ...] | None = None,
         batch_id: int | None = None,
+        fields=None,
     ) -> dict:
         """Append a micro-batch as NEW segments under generation+1.
 
@@ -846,7 +954,7 @@ class IndexBuilder:
         if meta is None:
             return self.build(
                 df, key_col=key_col, text_col=text_col,
-                stored_cols=tuple(stored_cols or ()), run_id=None,
+                stored_cols=tuple(stored_cols or ()), run_id=None, fields=fields,
             )
         if batch_id is not None and batch_id <= meta.get("last_stream_batch", -1):
             return meta  # replayed micro-batch: already committed
@@ -858,8 +966,19 @@ class IndexBuilder:
                 f"(index has offsets: {'offsets' in meta['tables']})"
             )
         key_col = key_col or meta["key_col"]
-        text_col = text_col or meta["text_col"]
         stored_cols = tuple(stored_cols if stored_cols is not None else meta["stored_cols"])
+        if fields is not None:
+            field_list = self._resolve_fields(None, fields)
+        elif "fields" in meta and text_col is None:
+            # reuse the committed field specs; callable analyzers were stored
+            # as reprs and cannot be resolved — pass `fields` explicitly then
+            field_list = [(f["name"], f["col"], f["analyzer"]) for f in meta["fields"]]
+        else:
+            field_list = self._resolve_fields(text_col or meta["text_col"], None)
+        if [n for n, _, _ in field_list] != [
+            f["name"] for f in meta.get("fields", [{"name": meta["text_col"]}])
+        ]:
+            raise ValueError("append field names must match the existing index")
         run_id = uuid.uuid4().hex[:12]
         gen = meta["generation"] + 1
         gen_dir = os.path.join(self.index_path, f"gen={gen}")
@@ -867,7 +986,7 @@ class IndexBuilder:
         n_new = self.num_segments or max(1, self.spark.sparkContext.defaultParallelism)
         sid_base = int(meta.get("next_segment_id", meta["num_segments"]))
         docs_path, norms_path, postings_path, term_partial = self._invert_and_layout(
-            df, gen_dir, key_col, text_col, stored_cols, n_new, sid_base, run_id, gen
+            df, gen_dir, key_col, field_list, stored_cols, n_new, sid_base, run_id, gen
         )
 
         def paths_of(v) -> list[str]:
@@ -883,7 +1002,7 @@ class IndexBuilder:
             paths_of(meta["tables"]["docs"]) + [docs_path],
             paths_of(meta["tables"]["norms"]) + [norms_path],
             paths_of(meta["tables"]["postings"]) + [postings_path],
-            meta["doc_cols"], key_col, text_col, stored_cols,
+            meta["doc_cols"], key_col, field_list, stored_cols,
             carry_tables=carry,
             last_stream_batch=batch_id if batch_id is not None else meta.get("last_stream_batch"),
             term_sources=term_sources,

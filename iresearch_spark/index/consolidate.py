@@ -262,7 +262,7 @@ def consolidate(
         :func:`encode_postings_batch` call — no per-term Python re-encode
         (merge_writer.cpp's remapping iterators collapsed into flat numpy)."""
         cols = (
-            "term", "segment_id", "docs_count", "total_freq", "max_freq",
+            "field", "term", "segment_id", "docs_count", "total_freq", "max_freq",
             "doc_ids_enc", "freqs_enc", "pos_enc",
             "block_last_doc", "block_doc_off", "block_freq_off", "block_max_freq",
         )
@@ -271,7 +271,7 @@ def consolidate(
         offs = b_offsets.value
         dmask_v = b_dmask.value
         tgt = min(offs)
-        pdf = pdf.sort_values(["term", "segment_id"], kind="stable").reset_index(drop=True)
+        pdf = pdf.sort_values(["field", "term", "segment_id"], kind="stable").reset_index(drop=True)
         n_rows = len(pdf)
         counts = pdf["docs_count"].to_numpy(np.int64)
         n = int(counts.sum())
@@ -287,8 +287,20 @@ def consolidate(
         seg_ids = pdf["segment_id"].to_numpy(np.int64)
         seg_off = pdf["segment_id"].map(offs).to_numpy(np.int64)
         freqs = vbyte_decode(b"".join(pdf["freqs_enc"])).astype(np.int64)
-        codes, uniq_terms = pd.factorize(pdf["term"])
+        # factorize on the (field, term) composite — per-field term namespaces
+        # never merge across fields
+        composite = pdf["field"] + "\x1f" + pdf["term"]
+        codes, uniq_keys = pd.factorize(composite)
+        uniq_terms = uniq_keys  # composite keys; split back on emit
         first_row = np.flatnonzero(np.diff(codes, prepend=-1))
+
+        def split_keys(keys):
+            fs, ts = [], []
+            for k_ in keys:
+                f_, _, t_ = k_.partition("\x1f")
+                fs.append(f_)
+                ts.append(t_)
+            return fs, ts
 
         if any(ds.size for ds in dmask_v.values()):
             # purge + renumber: drop masked docs, shift survivors down by the
@@ -320,8 +332,9 @@ def consolidate(
             firstk = np.flatnonzero(np.diff(t_k, prepend=-1))
             tb = np.append(firstk, ids_k.size)
             enc = encode_postings_batch(ids_k, freqs_k, tb, positions)
-            out_terms = [uniq_terms[i] for i in t_k[firstk]]
-            out = {"term": out_terms, "segment_id": np.full(len(out_terms), tgt, np.int32)}
+            out_keys = [uniq_terms[i] for i in t_k[firstk]]
+            ofs, ots = split_keys(out_keys)
+            out = {"field": ofs, "term": ots, "segment_id": np.full(len(out_keys), tgt, np.int32)}
             out.update(enc)
             return pd.DataFrame(out)[list(cols)]
 
@@ -335,21 +348,22 @@ def consolidate(
             b"".join(pos_vals[row_bounds[t] : row_bounds[t + 1]])
             for t in range(uniq_terms.size)
         ]
-        out = {"term": list(uniq_terms), "segment_id": np.full(uniq_terms.size, tgt, np.int32)}
+        ofs, ots = split_keys(list(uniq_terms))
+        out = {"field": ofs, "term": ots, "segment_id": np.full(uniq_terms.size, tgt, np.int32)}
         out.update(enc)
         return pd.DataFrame(out)[list(cols)]
 
     n_groups = max(8, p_parts)
     merged = (
-        to_merge.withColumn("mgrp", F.abs(F.hash("term")) % n_groups)
+        to_merge.withColumn("mgrp", F.abs(F.hash("field", "term")) % n_groups)
         .groupBy("mgrp")
         .applyInPandas(lambda pdf: merge_group(pdf.drop(columns=["mgrp"])), POSTINGS_SCHEMA)
     )
     postings_path = os.path.join(gen_dir, "postings")
     (
         passthrough.unionByName(merged)
-        .repartitionByRange(p_parts, "term", "segment_id")
-        .sortWithinPartitions("term", "segment_id")
+        .repartitionByRange(p_parts, "field", "term", "segment_id")
+        .sortWithinPartitions("field", "term", "segment_id")
         .write.mode("overwrite")
         .parquet(postings_path)
     )
@@ -361,7 +375,7 @@ def consolidate(
     norm_cols = [
         c
         for c in (
-            "segment_id", "chunk_id", "docs_count", "doc_len_enc",
+            "field", "segment_id", "chunk_id", "docs_count", "doc_len_enc",
             "docs_with_field", "sum_len", "min_len",
         )
         if c in reader._table("norms").columns
@@ -369,10 +383,13 @@ def consolidate(
     norms = reader._table("norms").select(*norm_cols)
 
     def merge_norms(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Merge ONE field's norm rows across the merged segments (the group
+        key is the field — every field's doc-length space merges separately)."""
         from .builder import NORMS_CHUNK_DOCS
 
         offs = b_offsets.value
         dmask_v = b_dmask.value
+        fname = pdf["field"].iloc[0] if len(pdf) else ""
         sort_cols = ["segment_id"] + (["chunk_id"] if "chunk_id" in pdf.columns else [])
         pdf = pdf.sort_values(sort_cols)
         parts = []
@@ -392,6 +409,7 @@ def consolidate(
         return pd.DataFrame(
             [
                 {
+                    "field": fname,
                     "segment_id": min(offs),
                     "chunk_id": ci,
                     "docs_count": len(c),
@@ -407,8 +425,7 @@ def consolidate(
     norms_path = os.path.join(gen_dir, "norms")
     merged_norms = (
         norms.where(F.col("segment_id").isin(merge_ids))
-        .withColumn("g", F.lit(1))
-        .groupBy("g")
+        .groupBy("field")
         .applyInPandas(lambda pdf: merge_norms(pdf), NORMS_SCHEMA)
     )
     (
@@ -492,14 +509,14 @@ def consolidate(
         term_dict_path = os.path.join(gen_dir, "term_dict")
         (
             spark.read.parquet(postings_path)
-            .groupBy("term")
+            .groupBy("field", "term")
             .agg(
                 F.sum("docs_count").alias("df"),
                 F.sum("total_freq").alias("ttf"),
                 F.max("max_freq").alias("max_freq"),
             )
-            .repartitionByRange(max(8, p_parts // 4), "term")
-            .sortWithinPartitions("term")
+            .repartitionByRange(max(8, p_parts // 4), "field", "term")
+            .sortWithinPartitions("field", "term")
             .write.mode("overwrite")
             .parquet(term_dict_path)
         )

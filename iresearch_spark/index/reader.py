@@ -1,7 +1,12 @@
 """Point-in-time index reader (segment_reader.hpp analogue).
 
 Loads the committed generation's tables; global BM25 stats are collected once
-(tiny) and cached — the ``filter::prepare`` stats phase (SURVEY.md §3.2).
+per field (tiny) and cached — the ``filter::prepare`` stats phase
+(SURVEY.md §3.2). Multi-field indexes (reference per-document field lists,
+utils/index-put.cpp:258-277) carry a ``field`` column in postings / term_dict
+/ norms; every scan helper takes an optional ``field`` (None = the index's
+default field) and the field equality clause pushes down to the
+(field, term)-sorted parquet layout exactly like the term predicates.
 """
 
 from __future__ import annotations
@@ -22,8 +27,34 @@ class IndexReader:
         self.index_path = index_path
         with open(os.path.join(index_path, "meta.json")) as f:
             self.meta = json.load(f)
-        self._field_stats: dict | None = None
+        self._field_stats: dict[str, dict] = {}
         self._tables: dict[str, DataFrame] = {}
+
+    # ------------------------------------------------------------- fields
+    @property
+    def default_field(self) -> str:
+        return self.meta.get("default_field") or self.meta.get("text_col", "text")
+
+    @property
+    def field_names(self) -> list[str]:
+        fields = self.meta.get("fields")
+        if fields:
+            return [f["name"] for f in fields]
+        return [self.default_field]
+
+    @property
+    def is_multifield(self) -> bool:
+        return len(self.field_names) > 1
+
+    def _resolve_field(self, field: str | None) -> str:
+        return field if field is not None else self.default_field
+
+    def _field_clause(self, field: str | None):
+        """Pushdown field-equality clause, or None when the index has a single
+        field (legacy tables may lack the column entirely)."""
+        if not self.is_multifield:
+            return None
+        return F.col("field") == self._resolve_field(field)
 
     def _table(self, name: str) -> DataFrame:
         """Point-in-time table handle, created ONCE per reader: re-reading
@@ -44,8 +75,10 @@ class IndexReader:
     def postings(self) -> DataFrame:
         return self._table("postings")
 
-    def term_dict(self) -> DataFrame:
-        return self._table("term_dict")
+    def term_dict(self, field: str | None = None) -> DataFrame:
+        td = self._table("term_dict")
+        clause = self._field_clause(field) if "field" in td.columns else None
+        return td.where(clause) if clause is not None else td
 
     def deletes(self) -> DataFrame | None:
         """(segment_id, doc_id) delete pairs — the document_mask
@@ -62,17 +95,23 @@ class IndexReader:
             return docs
         return docs.join(dels, ["segment_id", "doc_id"], "left_anti")
 
-    def norms(self) -> DataFrame:
+    def norms(self, field: str | None = None, all_fields: bool = False) -> DataFrame:
+        """Per-segment chunked Norm2 rows. ``field`` scopes to one field's doc
+        lengths (the default field when None); ``all_fields=True`` returns
+        every field's rows (the mixed-field kernel path builds a per-field
+        norms map from them)."""
         df = self._table("norms")
         keep = [
             c
             for c in (
-                "segment_id", "chunk_id", "docs_count", "doc_len_enc",
+                "field", "segment_id", "chunk_id", "docs_count", "doc_len_enc",
                 "docs_with_field", "sum_len", "min_len",
             )
             if c in df.columns
         ]
         out = df.select(*keep)
+        if not all_fields and "field" in out.columns and self.is_multifield:
+            out = out.where(F.col("field") == self._resolve_field(field))
         dels = self.deletes()
         if dels is not None:
             # per-segment sorted delete arrays ride the norms side into the
@@ -83,29 +122,35 @@ class IndexReader:
             out = out.join(F.broadcast(agg), "segment_id", "left")
         return out
 
-    def field_stats(self) -> dict:
-        """{docs_with_field, total_term_freq, avgdl} — collected once, tiny.
+    def field_stats(self, field: str | None = None) -> dict:
+        """{docs_with_field, total_term_freq, avgdl} for one field — collected
+        once per field, tiny (bm25.cpp:495-519 field_collector analogue).
 
-        Derived from the per-segment norms rows (one row per segment); legacy
-        indexes with a dedicated field_stats table still read that."""
-        if self._field_stats is None:
+        Derived from the per-segment norms rows; legacy indexes with a
+        dedicated field_stats table still read that."""
+        fname = self._resolve_field(field)
+        if fname not in self._field_stats:
             if "field_stats" in self.meta["tables"]:
                 row = self.spark.read.parquet(self.meta["tables"]["field_stats"]).collect()[0]
                 n = int(row["docs_with_field"])
                 ttf = int(row["total_term_freq"])
             else:
-                rows = self.norms().select("docs_with_field", "sum_len").collect()
+                nt = self._table("norms")
+                sel = nt
+                if "field" in nt.columns:
+                    sel = nt.where(F.col("field") == fname)
+                rows = sel.select("docs_with_field", "sum_len").collect()
                 n = sum(int(r["docs_with_field"]) for r in rows)
                 ttf = sum(int(r["sum_len"]) for r in rows)
-            self._field_stats = {
+            self._field_stats[fname] = {
                 "docs_with_field": n,
                 "total_term_freq": ttf,
                 "avgdl": ttf / n if n else 0.0,
             }
-        return self._field_stats
+        return self._field_stats[fname]
 
     @staticmethod
-    def _term_pred(terms: list[str]):
+    def _bare_term_pred(terms: list[str]):
         """Pushdown-friendly membership predicate: an explicit min/max range
         (always prunable from parquet row-group stats on the term-sorted
         layout) AND'd with the In set. Spark only converts small In lists to
@@ -115,50 +160,72 @@ class IndexReader:
         rng = (F.col("term") >= ts[0]) & (F.col("term") <= ts[-1])
         return rng & F.col("term").isin(ts)
 
-    def postings_for_terms(self, terms: list[str], extra_pred=None) -> DataFrame:
+    def _term_pred(self, terms: list[str], field: str | None = None):
+        """:meth:`_bare_term_pred` plus the field equality on multi-field
+        indexes."""
+        pred = self._bare_term_pred(terms)
+        clause = self._field_clause(field)
+        return pred & clause if clause is not None else pred
+
+    def postings_for_terms(
+        self, terms: list[str], extra_pred=None, field: str | None = None
+    ) -> DataFrame:
         """Pruned postings scan (the FST term-index role, done by layout):
-        the postings table is range-partitioned + sorted by term, so the
-        min/max + In predicate prunes files and row groups. ``extra_pred``
-        widens the scan with a pushable term predicate (prefix/range/wildcard
-        multiterm tails) OR'd in — evaluated in-scan, never collected.
+        the postings table is range-partitioned + sorted by (field, term), so
+        the field + min/max + In predicate prunes files and row groups.
+        ``extra_pred`` widens the scan with a pushable term predicate
+        (prefix/range/wildcard multiterm tails) OR'd in — evaluated in-scan,
+        never collected. The whole scan is scoped to ONE field; mixed-field
+        scans OR several of these predicates (executor `_batch_postings`).
 
         Very large term sets without an extra predicate use a broadcast
         semi-join plus the min/max range clause instead of a giant In
         expression (which costs seconds of driver planning)."""
+        clause = self._field_clause(field)
         if not terms:
-            return self.postings().where(
-                extra_pred if extra_pred is not None else F.lit(False)
-            )
+            pred = extra_pred if extra_pred is not None else F.lit(False)
+            if clause is not None and extra_pred is not None:
+                pred = clause & pred
+            return self.postings().where(pred)
         ts = sorted(terms)
         if len(ts) > 2048 and extra_pred is None:
             rng = (F.col("term") >= ts[0]) & (F.col("term") <= ts[-1])
+            if clause is not None:
+                rng = clause & rng
             tdf = self.spark.createDataFrame([(t,) for t in ts], "term string")
             return self.postings().where(rng).join(F.broadcast(tdf), "term", "leftsemi")
-        pred = self._term_pred(ts)
+        pred = self._bare_term_pred(ts)
         if extra_pred is not None:
             pred = pred | extra_pred
+        if clause is not None:
+            pred = clause & pred
         return self.postings().where(pred)
 
-    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """term → (df, ttf); the term_collector phase (collectors.cpp:144-219)."""
-        rows = self.term_dict().where(self._term_pred(terms)).collect()
+    def term_stats(
+        self, terms: list[str], field: str | None = None
+    ) -> dict[str, tuple[int, int]]:
+        """term → (df, ttf) within one field; the term_collector phase
+        (collectors.cpp:144-219)."""
+        rows = self.term_dict(field).where(self._bare_term_pred(terms)).collect()
         return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
 
-    def doc_lens(self, segment_id: int) -> np.ndarray:
-        """Dense doc_len array for one segment (Norm2 reader analogue);
+    def doc_lens(self, segment_id: int, field: str | None = None) -> np.ndarray:
+        """Dense doc_len array for one segment+field (Norm2 reader analogue);
         chunked rows are concatenated in chunk order."""
-        rows = self.norms().where(F.col("segment_id") == segment_id).collect()
+        rows = self.norms(field=field).where(F.col("segment_id") == segment_id).collect()
         rows.sort(key=lambda r: r["chunk_id"] if "chunk_id" in r.__fields__ else 0)
         return np.concatenate(
             [vbyte_decode(r["doc_len_enc"]).astype(np.int64) for r in rows]
         ) if rows else np.empty(0, np.int64)
 
     def segment_docs_counts(self) -> dict[int, int]:
-        """segment_id → live+masked doc count (sums norm chunk rows)."""
+        """segment_id → live+masked doc count (sums the default field's norm
+        chunk rows — every field covers the same docs)."""
+        nt = self._table("norms")
+        sel = nt
+        if "field" in nt.columns:
+            sel = nt.where(F.col("field") == self.default_field)
         rows = (
-            self._table("norms")
-            .groupBy("segment_id")
-            .agg(F.sum("docs_count").alias("n"))
-            .collect()
+            sel.groupBy("segment_id").agg(F.sum("docs_count").alias("n")).collect()
         )
         return {int(r["segment_id"]): int(r["n"]) for r in rows}

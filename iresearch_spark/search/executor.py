@@ -48,6 +48,7 @@ the only driver-side data is #segments × #queries × k candidate rows.
 from __future__ import annotations
 
 import functools as _functools
+from dataclasses import dataclass, field as _dc_field
 from typing import Any
 
 import numpy as np
@@ -55,6 +56,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..index.builder import FIELD_SEP
 from ..index.codec import (
     decode_doc_ids,
     decode_freqs,
@@ -67,6 +69,39 @@ from .bm25 import B_DEFAULT, K_DEFAULT, BM25Model, ScoreModel, bm25_idf, get_mod
 
 KERNEL_OUT_SCHEMA = "segment_id int, doc_id int, score double"
 MATCH_OUT_SCHEMA = "segment_id int, doc_id int, tf long, dl long"
+
+
+@dataclass
+class ScanSpec:
+    """What one compiled batch needs from the postings table, per field.
+
+    ``mixed`` (two or more fields in one batch) switches the kernels to
+    composite ``field + FIELD_SEP + term`` keys so one postings scan serves
+    every field (the per-field term spaces stay disjoint, like the
+    reference's per-field term readers)."""
+
+    field_terms: dict[str, list[str]] = _dc_field(default_factory=dict)
+    field_specs: dict[str, list[tuple]] = _dc_field(default_factory=dict)
+
+    @property
+    def fields(self) -> list[str]:
+        return sorted(set(self.field_terms) | set(self.field_specs))
+
+    @property
+    def mixed(self) -> bool:
+        return len(self.fields) > 1
+
+    def is_empty(self) -> bool:
+        return not any(self.field_terms.values()) and not any(
+            self.field_specs.values()
+        )
+
+    def key(self, field: str, term: str) -> str:
+        """Kernel lookup key for a (field, term) posting list."""
+        return f"{field}{FIELD_SEP}{term}" if self.mixed else term
+
+    def key_prefix(self, field: str) -> str:
+        return f"{field}{FIELD_SEP}" if self.mixed else ""
 
 
 # --------------------------------------------------------------------------
@@ -226,7 +261,7 @@ def spec_match(spec: tuple, term: str) -> bool:
 
 
 def expand_multiterm(
-    node: flt.Filter, reader: IndexReader
+    node: flt.Filter, reader: IndexReader, field: str | None = None
 ) -> tuple[list[tuple[str, int]], tuple | None]:
     """Term-dict expansion for multiterm filters → (scored, tail_spec).
 
@@ -239,7 +274,10 @@ def expand_multiterm(
     returned as a predicate spec that the postings scan + kernels evaluate
     in place — no unbounded ``collect`` anywhere on this path.
     """
-    td = reader.term_dict()
+    fname = getattr(node, "field", None) or field or reader.default_field
+    if fname not in reader.field_names:
+        return [], None  # unknown field matches nothing (reference semantics)
+    td = reader.term_dict(fname)
     limit = getattr(node, "scored_terms_limit", 1 << 30)
     if isinstance(node, flt.Fuzzy):
         q, maxd, max_terms = node.term, node.max_distance, node.max_terms
@@ -300,30 +338,64 @@ def compile_plans(
     b: float = B_DEFAULT,
     dtype: str = "float64",
     model: ScoreModel | None = None,
-) -> tuple[dict[str, dict], list[str], list[tuple]]:
+) -> tuple[dict[str, dict], ScanSpec]:
     """Normalize + expand + bake stats for a BATCH of filters.
 
-    ONE term_stats fetch covers every query (the prepare phase runs once per
-    batch, not per query), and multiterm expansions are cached by filter value
-    so duplicated prefixes/wildcards in a batch expand once. Returns
-    ({name: plan}, union of terms used, unscored-tail predicate specs the
-    postings scan must OR in).
+    ONE term_stats fetch PER FIELD covers every query (the prepare phase runs
+    once per batch, not per query), and multiterm expansions are cached by
+    filter value so duplicated prefixes/wildcards in a batch expand once.
+    Returns ({name: plan}, :class:`ScanSpec` describing the union postings
+    scan — per-field term sets plus unscored-tail predicate specs).
+
+    Field scoping (multi-field indexes): every leaf resolves its field
+    (``None`` → the index default); idf/avgdl come from THAT field's stats
+    (per-field collectors, bm25.cpp:204-276). A plan whose leaves all share
+    one field carries ``plan["field"]`` and runs the pruned kernels
+    unchanged; a plan mixing fields carries ``"field": None`` and evaluates
+    exact with per-leaf norms.
     """
     model = model or BM25Model(k1, b)
     normalized = {name: flt.normalize(f) for name, f in filters.items()}
-    stats = reader.field_stats()
-    n_field = stats["docs_with_field"]
+    default_field = reader.default_field
+    known = set(reader.field_names)
     dt = np.float32 if dtype == "float32" else np.float64
 
-    terms_needed: list[str] = []
+    def fld(node: flt.Filter) -> str:
+        return getattr(node, "field", None) or default_field
+
+    # pass 1: fields referenced by the whole batch → key scheme (mixed or not)
+    fields_used: set[str] = set()
+
+    def collect_fields(node: flt.Filter):
+        if isinstance(node, (flt.And, flt.Or)):
+            for p in node.parts:
+                collect_fields(p)
+        elif isinstance(node, flt.Not):
+            collect_fields(node.part)
+        elif isinstance(
+            node,
+            (flt.Term, flt.Terms, flt.Prefix, flt.Range, flt.Wildcard,
+             flt.Fuzzy, flt.Phrase, flt.SamePosition),
+        ):
+            if fld(node) in known:
+                fields_used.add(fld(node))
+
+    for nf in normalized.values():
+        collect_fields(nf)
+    scan = ScanSpec({f: [] for f in sorted(fields_used)}, {})
+    terms_by_field: dict[str, set[str]] = {f: set() for f in fields_used}
 
     def collect_terms(node: flt.Filter):
+        f = fld(node)
         if isinstance(node, flt.Term):
-            terms_needed.append(node.term)
+            if f in known:
+                terms_by_field[f].add(node.term)
         elif isinstance(node, flt.Terms):
-            terms_needed.extend(node.terms)
+            if f in known:
+                terms_by_field[f].update(node.terms)
         elif isinstance(node, flt.Phrase):
-            terms_needed.extend(t for t in node.terms if isinstance(t, str))
+            if f in known:
+                terms_by_field[f].update(t for t in node.terms if isinstance(t, str))
         elif isinstance(node, (flt.And, flt.Or)):
             for p in node.parts:
                 collect_terms(p)
@@ -332,48 +404,69 @@ def compile_plans(
 
     for nf in normalized.values():
         collect_terms(nf)
-    tstats = reader.term_stats(sorted(set(terms_needed))) if terms_needed else {}
+    tstats: dict[tuple[str, str], tuple[int, int]] = {}
+    for f, ts in terms_by_field.items():
+        if ts:
+            for t, st in reader.term_stats(sorted(ts), field=f).items():
+                tstats[(f, t)] = st
+    n_by_field = {f: reader.field_stats(f)["docs_with_field"] for f in fields_used}
     expansion_cache: dict[str, tuple] = {}
-    tail_specs: list[tuple] = []
 
-    def idf_of(term: str) -> float:
-        df = tstats.get(term, (0, 0))[0]
+    def idf_of(f: str, term: str) -> float:
+        df = tstats.get((f, term), (0, 0))[0]
         if df == 0:
             return 0.0
-        return model.term_const(df, n_field, dt)
-
-    all_terms: set[str] = set()
+        return model.term_const(df, n_by_field[f], dt)
 
     def build(node: flt.Filter) -> dict:
+        f = fld(node)
         if isinstance(node, flt.Term):
-            all_terms.add(node.term)
-            return {"op": "term", "term": node.term, "idf": idf_of(node.term), "boost": node.boost}
+            if f not in known:
+                return {"op": "empty"}
+            scan.field_terms[f].append(node.term)
+            return {
+                "op": "term", "term": scan.key(f, node.term),
+                "idf": idf_of(f, node.term), "boost": node.boost, "field": f,
+            }
         if isinstance(node, flt.Terms):
+            if f not in known:
+                return {"op": "empty"}
             boosts = node.boosts or (1.0,) * len(node.terms)
-            members = [(t, idf_of(t), float(b)) for t, b in zip(node.terms, boosts)]
-            all_terms.update(node.terms)
-            return {"op": "mterm", "terms": members, "min_match": node.min_match, "boost": node.boost}
+            members = [
+                (scan.key(f, t), idf_of(f, t), float(b))
+                for t, b in zip(node.terms, boosts)
+            ]
+            scan.field_terms[f].extend(node.terms)
+            return {
+                "op": "mterm", "terms": members, "min_match": node.min_match,
+                "boost": node.boost, "field": f,
+            }
         if isinstance(node, (flt.Prefix, flt.Range, flt.Wildcard, flt.Fuzzy)):
-            ckey = repr(node)
+            if f not in known:
+                return {"op": "empty"}
+            ckey = repr(node) + FIELD_SEP + f
             if ckey not in expansion_cache:
-                expansion_cache[ckey] = expand_multiterm(node, reader)
+                expansion_cache[ckey] = expand_multiterm(node, reader, field=f)
             expanded, tail_spec = expansion_cache[ckey]
             members = []
             for t, df in expanded:
-                all_terms.add(t)
-                members.append((t, model.term_const(df, n_field, dt), 1.0))
+                scan.field_terms[f].append(t)
+                members.append(
+                    (scan.key(f, t), model.term_const(df, n_by_field[f], dt), 1.0)
+                )
             if tail_spec is not None:
-                tail_specs.append(tail_spec)
+                scan.field_specs.setdefault(f, []).append(tail_spec)
             return {
                 "op": "mterm",
                 "terms": members,
                 "unscored_spec": tail_spec,
+                "key_prefix": scan.key_prefix(f),
                 "min_match": 1,
                 "boost": node.boost,
+                "field": f,
             }
         if isinstance(node, flt.Phrase):
-            all_terms.update(node.terms)
-            return {"op": "phrase", "terms": list(node.terms), "boost": node.boost}
+            return {"op": "phrase", "terms": list(node.terms), "boost": node.boost, "field": f}
         if isinstance(node, flt.And):
             incl, excl = [], []
             for p in node.parts:
@@ -412,8 +505,31 @@ def compile_plans(
             return {"op": "empty"}
         raise TypeError(f"unsupported filter: {node}")
 
-    plans = {name: build(nf) for name, nf in normalized.items()}
-    return plans, sorted(all_terms), tail_specs
+    def annotate(plan: dict) -> dict:
+        """Root field tag: the plan's single field, or None when leaves mix
+        fields (→ exact per-leaf-norms evaluation instead of pruned kernels)."""
+        fs = _plan_fields(plan)
+        plan["field"] = next(iter(fs)) if len(fs) == 1 else plan.get("field")
+        if len(fs) > 1:
+            plan["field"] = None
+        return plan
+
+    plans = {name: annotate(build(nf)) for name, nf in normalized.items()}
+    for f in list(scan.field_terms):
+        scan.field_terms[f] = sorted(set(scan.field_terms[f]))
+    return plans, scan
+
+
+def _plan_fields(plan: dict) -> set[str]:
+    """Set of index fields a compiled plan's scoring leaves touch."""
+    out: set[str] = set()
+    if plan.get("field") and plan["op"] in ("term", "mterm", "phrase"):
+        out.add(plan["field"])
+    for p in plan.get("parts", ()):  # boolean composites
+        out |= _plan_fields(p)
+    for p in plan.get("exclude", ()):
+        out |= _plan_fields(p)
+    return out
 
 
 def compile_plan(
@@ -423,10 +539,10 @@ def compile_plan(
     b: float = B_DEFAULT,
     dtype: str = "float64",
     model: ScoreModel | None = None,
-) -> tuple[dict, list[str], list[tuple]]:
+) -> tuple[dict, ScanSpec]:
     """Single-query convenience wrapper over :func:`compile_plans`."""
-    plans, terms, specs = compile_plans({"q": f}, reader, k1, b, dtype, model)
-    return plans["q"], terms, specs
+    plans, scan = compile_plans({"q": f}, reader, k1, b, dtype, model)
+    return plans["q"], scan
 
 
 # --------------------------------------------------------------------------
@@ -504,16 +620,28 @@ def _tail_terms(plan: dict, sv) -> list[str]:
     """Unscored-tail members for an overflowed multiterm plan: terms present
     in THIS segment's scanned postings that match the tail spec and are not
     already scored (multiterm_query.cpp unscored bitset, evaluated in-kernel
-    instead of via a driver-collected term list)."""
+    instead of via a driver-collected term list). On mixed-field scans the
+    kernel keys are ``field\\x1fterm`` composites; the plan's ``key_prefix``
+    scopes the tail to its own field before the term-level spec match."""
     tails = list(plan.get("unscored", ()))
     spec = plan.get("unscored_spec")
     if spec is not None:
+        prefix = plan.get("key_prefix", "")
         scored = {m[0] for m in plan["terms"]}
         seen = set(tails)
         keys = sv.views.keys() if hasattr(sv, "views") else sv.keys()
-        tails.extend(
-            t for t in keys if t not in scored and t not in seen and spec_match(spec, t)
-        )
+        for t in keys:
+            if t in scored or t in seen:
+                continue
+            base = t
+            if prefix:
+                if not t.startswith(prefix):
+                    continue
+                base = t[len(prefix):]
+            elif FIELD_SEP in t:
+                continue  # composite key from another field's scan slice
+            if spec_match(spec, base):
+                tails.append(t)
     return tails
 
 
@@ -769,6 +897,44 @@ def _eval_root(
     return _eval_plan(plan, sv, dl, avgdl, model, dt)
 
 
+def _eval_root_dispatch(
+    plan: dict,
+    sv: "_SegmentViews",
+    k: int,
+    model: ScoreModel,
+    dt,
+    dels: np.ndarray | None,
+    dl,
+    avgdl: float,
+    dl_map: dict | None = None,
+    avg_map: dict | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Field-aware kernel entry. Single-field batches (``dl_map=None``) go
+    straight to the pruned :func:`_eval_root`. On mixed-field batches a plan
+    whose leaves share one field still runs pruned against that field's norms;
+    a plan mixing fields inside one boolean tree evaluates exact with per-leaf
+    norms (rank-identical; pruning needs one norm space per bound)."""
+    if dl_map is None:
+        return _eval_root(plan, sv, k, dl, avgdl, model, dt, dels)
+    pf = plan.get("field")
+    if pf is not None and pf in dl_map:
+        return _eval_root(plan, sv, k, dl_map[pf], avg_map[pf], model, dt, dels)
+    if len(_plan_fields(plan)) > 1:
+        return _eval_plan(plan, sv, dl, avgdl, model, dt, (dl_map, avg_map))
+    return _eval_root(plan, sv, k, dl, avgdl, model, dt, dels)
+
+
+def _norms_views(norm_pdf: pd.DataFrame, mixed: bool):
+    """(default dl, dl_map) for one segment's norms rows. Mixed batches carry
+    several fields' chunk rows per segment; each field's rows become one
+    :class:`_SegmentNorms` (all fields cover the same docs, so any entry
+    serves as the size/all-docs reference)."""
+    if not mixed:
+        return _SegmentNorms(norm_pdf), None
+    dl_map = {str(f): _SegmentNorms(g) for f, g in norm_pdf.groupby("field")}
+    return next(iter(dl_map.values())), dl_map
+
+
 def _eval_plan(
     plan: dict,
     decoded: dict[str, Any],
@@ -776,18 +942,32 @@ def _eval_plan(
     avgdl: float,
     model: ScoreModel,
     dt,
+    nctx: tuple[dict, dict] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Bottom-up evaluation → (sorted doc_ids, scores)."""
+    """Bottom-up evaluation → (sorted doc_ids, scores).
+
+    ``nctx`` = (dl_by_field, avgdl_by_field) for MIXED-field plans: each term
+    leaf scores against its OWN field's doc lengths and avgdl (per-field norms
+    readers, bm25.cpp:283-299); ``None`` (single-field plan) uses the
+    positional ``dl``/``avgdl``."""
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dt))
     op = plan["op"]
+
+    def leaf_norms(p: dict):
+        if nctx is not None and p.get("field") in nctx[0]:
+            return nctx[0][p["field"]], nctx[1][p["field"]]
+        return dl, avgdl
+
     if op == "term":
         hit = decoded.get(plan["term"])
         if hit is None:
             return empty
+        dl_l, avgdl_l = leaf_norms(plan)
         ids, tfs = hit[0], hit[1]
-        scores = model.score(tfs, dl[ids - 1], plan["idf"], avgdl, plan["boost"], dt)
+        scores = model.score(tfs, dl_l[ids - 1], plan["idf"], avgdl_l, plan["boost"], dt)
         return ids, scores
     if op == "mterm":
+        dl_l, avgdl_l = leaf_norms(plan)
         legs = []
         for m in plan["terms"]:
             term, idf = m[0], m[1]
@@ -796,7 +976,7 @@ def _eval_plan(
             if hit is None:
                 continue
             ids, tfs = hit[0], hit[1]
-            legs.append((ids, model.score(tfs, dl[ids - 1], idf, avgdl, tb, dt)))
+            legs.append((ids, model.score(tfs, dl_l[ids - 1], idf, avgdl_l, tb, dt)))
         for term in _tail_terms(plan, decoded):  # bitset tail: matches, score 0
             hit = decoded.get(term)
             if hit is not None:
@@ -804,7 +984,7 @@ def _eval_plan(
         return _union(legs, plan.get("min_match", 1), dt)
     if op == "and":
         merge = plan.get("merge", "sum")
-        parts = [_eval_plan(p, decoded, dl, avgdl, model, dt) for p in plan["parts"]]
+        parts = [_eval_plan(p, decoded, dl, avgdl, model, dt, nctx) for p in plan["parts"]]
         # cost-ordered: smallest first (conjunction.hpp:112-124)
         parts.sort(key=lambda t: t[0].size)
         ids, scores = parts[0]
@@ -813,17 +993,17 @@ def _eval_plan(
             ids, ia, ib = np.intersect1d(ids, oids, assume_unique=True, return_indices=True)
             scores = mop(scores[ia], oscores[ib])
         for ex in plan.get("exclude", []):
-            eids, _ = _eval_plan(ex, decoded, dl, avgdl, model, dt)
+            eids, _ = _eval_plan(ex, decoded, dl, avgdl, model, dt, nctx)
             keep = ~np.isin(ids, eids, assume_unique=True)
             ids, scores = ids[keep], scores[keep]
         if plan["boost"] != 1.0:
             scores = scores * dt(plan["boost"])
         return ids, scores
     if op == "or":
-        legs = [_eval_plan(p, decoded, dl, avgdl, model, dt) for p in plan["parts"]]
+        legs = [_eval_plan(p, decoded, dl, avgdl, model, dt, nctx) for p in plan["parts"]]
         ids, scores = _union(legs, plan.get("min_match", 1), dt, plan.get("merge", "sum"))
         for ex in plan.get("exclude", []):
-            eids, _ = _eval_plan(ex, decoded, dl, avgdl, model, dt)
+            eids, _ = _eval_plan(ex, decoded, dl, avgdl, model, dt, nctx)
             keep = ~np.isin(ids, eids, assume_unique=True)
             ids, scores = ids[keep], scores[keep]
         if plan["boost"] != 1.0:
@@ -1016,9 +1196,7 @@ class Searcher:
             return self._search_ngram_similarity(nf, k, with_keys)
         if isinstance(nf, flt.Nested):
             return self._search_nested(nf, k, with_keys)
-        plan, terms, specs = compile_plan(nf, self.reader, self.k1, self.b, dtype, model=self.model)
-        stats = self.reader.field_stats()
-        avgdl = stats["avgdl"]
+        plan, scan = compile_plan(nf, self.reader, self.k1, self.b, dtype, model=self.model)
         model = self.model
         dt = np.float32 if dtype == "float32" else np.float64
         spark = self.reader.spark
@@ -1029,24 +1207,13 @@ class Searcher:
                 "doc_key", "segment_id", "doc_id", F.lit(float(plan["boost"])).alias("score")
             ).orderBy("segment_id", "doc_id").limit(k)
             return out if with_keys else out.drop("doc_key")
-        if plan["op"] == "empty" or (not terms and not specs and not _plan_has_all(plan)):
+        if plan["op"] == "empty" or (scan.is_empty() and not _plan_has_all(plan)):
             schema = "doc_key string, segment_id int, doc_id int, score double"
             return spark.createDataFrame([], schema if with_keys else schema.split(", ", 1)[1])
 
         # no pos_enc: non-positional queries never read position bytes
-        pq = self.reader.postings_for_terms(terms, extra_pred=specs_pred(specs)).select(
-            "segment_id",
-            "term",
-            "doc_ids_enc",
-            "freqs_enc",
-            "block_last_doc",
-            "block_doc_off",
-            "block_freq_off",
-            "block_max_freq",
-            "docs_count",
-            "max_freq",
-        )
-        norms = self.reader.norms()
+        pq = self._batch_postings(scan)
+        norms, mixed, avgdl, avg_map = self._norms_ctx(scan)
 
         def kernel(post_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
             # norms cover every segment (one row each); postings may be empty
@@ -1056,10 +1223,12 @@ class Searcher:
                     {"segment_id": "int32", "doc_id": "int32", "score": "float64"}
                 )
             sid = int(norm_pdf["segment_id"].iloc[0])
-            dl = _SegmentNorms(norm_pdf)
+            dl, dl_map = _norms_views(norm_pdf, mixed)
             dels = _deleted_of(norm_pdf)
             sv = _SegmentViews(post_pdf)
-            ids, scores = _eval_root(plan, sv, k, dl, avgdl, model, dt, dels)
+            ids, scores = _eval_root_dispatch(
+                plan, sv, k, model, dt, dels, dl, avgdl, dl_map, avg_map
+            )
             ids, scores = _mask_deleted(ids, scores, dels)
             ids, scores = _local_topk(ids, scores, k)
             return pd.DataFrame(
@@ -1096,20 +1265,19 @@ class Searcher:
             return self.search(nf, k=1 << 30, with_keys=False).select(
                 "segment_id", "doc_id", "score"
             )
-        plan, terms, specs = compile_plan(nf, self.reader, self.k1, self.b, dtype, model=self.model)
+        plan, scan = compile_plan(nf, self.reader, self.k1, self.b, dtype, model=self.model)
         spark = self.reader.spark
         if plan["op"] == "all":
             docs = self.reader.live_docs()
             return docs.select(
                 "segment_id", "doc_id", F.lit(float(plan["boost"])).alias("score")
             )
-        if plan["op"] == "empty" or (not terms and not specs and not _plan_has_all(plan)):
+        if plan["op"] == "empty" or (scan.is_empty() and not _plan_has_all(plan)):
             return spark.createDataFrame([], KERNEL_OUT_SCHEMA)
-        avgdl = self.reader.field_stats()["avgdl"]
         model = self.model
         dt = np.float32 if dtype == "float32" else np.float64
-        pq = self._batch_postings(terms, specs)
-        norms = self.reader.norms()
+        pq = self._batch_postings(scan)
+        norms, mixed, avgdl, avg_map = self._norms_ctx(scan)
 
         def kernel(post_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
             if len(norm_pdf) == 0:
@@ -1117,10 +1285,11 @@ class Searcher:
                     {"segment_id": "int32", "doc_id": "int32", "score": "float64"}
                 )
             sid = int(norm_pdf["segment_id"].iloc[0])
-            dl = _SegmentNorms(norm_pdf)
+            dl, dl_map = _norms_views(norm_pdf, mixed)
             dels = _deleted_of(norm_pdf)
             sv = _SegmentViews(post_pdf)
-            ids, scores = _eval_plan(plan, sv, dl, avgdl, model, dt)
+            nctx = (dl_map, avg_map) if mixed else None
+            ids, scores = _eval_plan(plan, sv, dl, avgdl, model, dt, nctx)
             ids, scores = _mask_deleted(ids, scores, dels)
             return pd.DataFrame(
                 {
@@ -1154,10 +1323,10 @@ class Searcher:
                 raise ValueError(f"{name}: phrase queries need search() (two-pass stats)")
             if isinstance(nf, (flt.SamePosition, flt.ColumnExists)):
                 raise ValueError(f"{name}: {type(nf).__name__} queries need search()")
-        plans, all_terms, specs = compile_plans(
+        plans, scan = compile_plans(
             normalized, self.reader, self.k1, self.b, dtype, model=self.model
         )
-        return PreparedBatch(self, plans, list(all_terms), dtype, specs)
+        return PreparedBatch(self, plans, scan, dtype)
 
     def search_many(
         self,
@@ -1177,44 +1346,81 @@ class Searcher:
         """
         return self.prepare(queries, dtype).execute(k)
 
-    def _batch_postings(self, all_terms: list[str], specs: list[tuple] | None = None) -> DataFrame:
-        return self.reader.postings_for_terms(
-            sorted(all_terms), extra_pred=specs_pred(specs or [])
-        ).select(
-            "segment_id",
-            "term",
-            "doc_ids_enc",
-            "freqs_enc",
-            "block_last_doc",
-            "block_doc_off",
-            "block_freq_off",
-            "block_max_freq",
-            "docs_count",
-            "max_freq",
+    def _norms_ctx(self, scan: ScanSpec):
+        """(norms_df, mixed, default avgdl, avgdl-by-field) for a compiled
+        batch. Single-field batches get that field's norms rows only (the
+        field clause pushes down with the parquet scan); mixed batches carry
+        every referenced field's rows and the kernels build a per-field map."""
+        flds = scan.fields
+        if scan.mixed:
+            norms = self.reader.norms(all_fields=True).where(F.col("field").isin(flds))
+            avg_map = {f: self.reader.field_stats(f)["avgdl"] for f in flds}
+            return norms, True, avg_map[flds[0]], avg_map
+        f = flds[0] if flds else None
+        return self.reader.norms(field=f), False, self.reader.field_stats(f)["avgdl"], None
+
+    def _batch_postings(self, scan: ScanSpec, with_pos: bool = False) -> DataFrame:
+        """Union pruned postings scan for a compiled batch: per field, the
+        (range + In) term predicate OR the field's pushable tail specs, AND'd
+        with the field equality (multi-field layout is sorted by
+        (field, term), so both clauses reach parquet row-group stats); fields
+        OR together into ONE scan. Mixed batches key rows by the composite
+        ``field\\x1fterm`` so every kernel lookup stays a dict hit."""
+        reader = self.reader
+        pred = None
+        for f in scan.fields:
+            terms = scan.field_terms.get(f, [])
+            specs = scan.field_specs.get(f, [])
+            p = IndexReader._bare_term_pred(sorted(terms)) if terms else None
+            sp = specs_pred(specs)
+            if sp is not None:
+                p = sp if p is None else (p | sp)
+            if p is None:
+                continue
+            clause = reader._field_clause(f)
+            if clause is not None:
+                p = clause & p
+            pred = p if pred is None else (pred | p)
+        scan_df = reader.postings().where(pred if pred is not None else F.lit(False))
+        term_col = (
+            F.concat_ws(FIELD_SEP, F.col("field"), F.col("term")).alias("term")
+            if scan.mixed
+            else F.col("term")
         )
+        cols = [
+            F.col("segment_id"),
+            term_col,
+            F.col("doc_ids_enc"),
+            F.col("freqs_enc"),
+            *([F.col("pos_enc")] if with_pos else []),
+            F.col("block_last_doc"),
+            F.col("block_doc_off"),
+            F.col("block_freq_off"),
+            F.col("block_max_freq"),
+            F.col("docs_count"),
+            F.col("max_freq"),
+        ]
+        return scan_df.select(*cols)
 
     def _execute_batch(
         self,
         plans: dict[str, dict],
-        all_terms: list[str],
+        scan: ScanSpec,
         k: int,
         dtype: str,
         pq: DataFrame | None = None,
-        specs: list[tuple] | None = None,
     ) -> DataFrame:
-        stats = self.reader.field_stats()
-        avgdl = stats["avgdl"]
         model = self.model
         dt = np.float32 if dtype == "float32" else np.float64
         spark = self.reader.spark
-        if not all_terms and not specs and not any(_plan_has_all(p) for p in plans.values()):
+        if scan.is_empty() and not any(_plan_has_all(p) for p in plans.values()):
             return spark.createDataFrame(
                 [], "query string, segment_id int, doc_id int, score double"
             )
 
         if pq is None:
-            pq = self._batch_postings(all_terms, specs)
-        norms = self.reader.norms()
+            pq = self._batch_postings(scan)
+        norms, mixed, avgdl, avg_map = self._norms_ctx(scan)
         # large batches: ship the plan list as a BROADCAST, not a task-closure
         # capture — a 1000-plan dict pickled into every task binary costs
         # seconds of serialize/deserialize PER STAGE, which is pure fixed
@@ -1235,12 +1441,14 @@ class Searcher:
             if len(norm_pdf) == 0:
                 return empty  # postings may be empty: All plans use norms only
             sid = int(norm_pdf["segment_id"].iloc[0])
-            dl = _SegmentNorms(norm_pdf)
+            dl, dl_map = _norms_views(norm_pdf, mixed)
             dels = _deleted_of(norm_pdf)
             sv = _SegmentViews(post_pdf)
             frames = []
             for name, plan in plan_items:
-                ids, scores = _eval_root(plan, sv, k, dl, avgdl, model, dt, dels)
+                ids, scores = _eval_root_dispatch(
+                    plan, sv, k, model, dt, dels, dl, avgdl, dl_map, avg_map
+                )
                 ids, scores = _mask_deleted(ids, scores, dels)
                 ids, scores = _local_topk(ids, scores, k)
                 if ids.size:
@@ -1377,7 +1585,13 @@ class Searcher:
         multiterm filters (VariadicPhraseQuery, phrase_query.cpp:119-303)."""
         from .bm25 import BoostModel, TFIDFModel
 
-        stats = self.reader.field_stats()
+        fname = getattr(node, "field", None) or self.reader.default_field
+        if fname not in self.reader.field_names:
+            schema = "doc_key string, segment_id int, doc_id int, score double"
+            return self.reader.spark.createDataFrame(
+                [], schema if with_keys else schema.split(", ", 1)[1]
+            )
+        stats = self.reader.field_stats(fname)
         n, avgdl = stats["docs_with_field"], stats["avgdl"]
         if isinstance(self.model, TFIDFModel):
             mode = "tfidf"
@@ -1393,7 +1607,9 @@ class Searcher:
         # slack absorbs rank-vs-score FP boundary noise: the exact expression
         # re-ranks the survivors below, so only >16 docs inside one ULP of the
         # k-th rank could ever flip the set
-        local = self.phrase_matches(terms, shifts, local_k=k + 16, rank_params=rank_params)
+        local = self.phrase_matches(
+            terms, shifts, local_k=k + 16, rank_params=rank_params, field=fname
+        )
         pdf = local.toPandas()
         spark = self.reader.spark
         if len(pdf) == 0:
@@ -1490,12 +1706,13 @@ class Searcher:
         min_match = max(1, int(math.ceil(node.threshold * n_total)))
         boost = float(node.boost)
         uniq = sorted(set(ngrams))
-        pq = self.reader.postings_for_terms(uniq).select(
+        fname = getattr(node, "field", None)
+        pq = self.reader.postings_for_terms(uniq, field=fname).select(
             "segment_id", "term", "doc_ids_enc", "freqs_enc", "pos_enc",
             "block_last_doc", "block_doc_off", "block_freq_off",
             "block_max_freq", "docs_count", "max_freq",
         )
-        norms = self.reader.norms()
+        norms = self.reader.norms(field=fname)
 
         def kernel(post_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"segment_id": [], "doc_id": [], "score": []}).astype(
@@ -1709,11 +1926,11 @@ class Searcher:
             .orderBy(F.desc("score"), "segment_id", "doc_id", "term")
         )
 
-    def _expand_slots(self, terms: list) -> list[list[str]]:
+    def _expand_slots(self, terms: list, field: str | None = None) -> list[list[str]]:
         """Variadic slots: a str slot stays fixed; a multiterm filter slot
-        (Prefix/Wildcard/Fuzzy/Range/Terms) expands against the term dict,
-        capped at its ``scored_terms_limit`` (phrase_filter.cpp variadic
-        parts)."""
+        (Prefix/Wildcard/Fuzzy/Range/Terms) expands against the term dict of
+        the phrase's field, capped at its ``scored_terms_limit``
+        (phrase_filter.cpp variadic parts)."""
         slots: list[list[str]] = []
         for t in terms:
             if isinstance(t, str):
@@ -1721,7 +1938,7 @@ class Searcher:
             elif isinstance(t, flt.Terms):
                 slots.append(sorted(set(t.terms)))
             else:
-                expanded, _tail = expand_multiterm(t, self.reader)
+                expanded, _tail = expand_multiterm(t, self.reader, field=field)
                 slots.append([w for w, _ in expanded])
         return slots
 
@@ -1731,6 +1948,7 @@ class Searcher:
         shifts: list[int] | None = None,
         local_k: int | None = None,
         rank_params: tuple[str, float, float] | None = None,
+        field: str | None = None,
     ) -> DataFrame:
         """All docs matching the (possibly variadic) phrase, with occurrence
         counts.
@@ -1752,9 +1970,9 @@ class Searcher:
         phrase scorer needs without ever shuffling the full match set."""
         if shifts is None:
             shifts = list(range(len(terms)))
-        slots = self._expand_slots(list(terms))
+        slots = self._expand_slots(list(terms), field=field)
         flat_terms = sorted({t for slot in slots for t in slot})
-        pq = self.reader.postings_for_terms(flat_terms).select(
+        pq = self.reader.postings_for_terms(flat_terms, field=field).select(
             "segment_id",
             "term",
             "doc_ids_enc",
@@ -1767,7 +1985,7 @@ class Searcher:
             "docs_count",
             "max_freq",
         )
-        norms = self.reader.norms()
+        norms = self.reader.norms(field=field)
         slot_list = [list(s) for s in slots]
         shift_list = list(shifts)
         PACK = np.int64(1) << np.int64(32)  # doc_rank * 2^32 + shifted pos
@@ -1899,22 +2117,20 @@ class PreparedBatch:
         self,
         searcher: Searcher,
         plans: dict[str, dict],
-        terms: list[str],
+        scan: ScanSpec,
         dtype: str,
-        specs: list[tuple] | None = None,
     ):
         self._searcher = searcher
         self.plans = plans
-        self.terms = terms
+        self.scan = scan
         self.dtype = dtype
-        self.specs = specs or []
         self._pq: DataFrame | None = None
 
     def execute(self, k: int = 10) -> DataFrame:
-        if self._pq is None and (self.terms or self.specs):
-            self._pq = self._searcher._batch_postings(self.terms, self.specs).persist()
+        if self._pq is None and not self.scan.is_empty():
+            self._pq = self._searcher._batch_postings(self.scan).persist()
         return self._searcher._execute_batch(
-            self.plans, self.terms, k, self.dtype, pq=self._pq, specs=self.specs
+            self.plans, self.scan, k, self.dtype, pq=self._pq
         )
 
     def unpersist(self) -> None:

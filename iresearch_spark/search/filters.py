@@ -26,6 +26,7 @@ class Filter:
 class Term(Filter):
     term: str
     boost: float = 1.0
+    field: str | None = None  # None = the index's default field
 
 
 @dataclass
@@ -37,6 +38,7 @@ class Terms(Filter):
     min_match: int = 1
     boosts: tuple[float, ...] | None = None  # parallel to terms; None = all 1.0
     boost: float = 1.0
+    field: str | None = None  # None = the index's default field
 
 
 @dataclass
@@ -44,6 +46,7 @@ class Prefix(Filter):
     prefix: str
     scored_terms_limit: int = 1024  # prefix_filter.hpp:58 default
     boost: float = 1.0
+    field: str | None = None  # None = the index's default field
 
 
 @dataclass
@@ -57,6 +60,7 @@ class Range(Filter):
     include_high: bool = True
     scored_terms_limit: int = 1024
     boost: float = 1.0
+    field: str | None = None  # None = the index's default field
 
 
 @dataclass
@@ -66,6 +70,7 @@ class Wildcard(Filter):
     pattern: str
     scored_terms_limit: int = 1024
     boost: float = 1.0
+    field: str | None = None  # None = the index's default field
 
 
 @dataclass
@@ -79,6 +84,7 @@ class Fuzzy(Filter):
     max_terms: int = 50  # benchmark default, index-search.cpp:393-394
     with_transpositions: bool = False
     boost: float = 1.0
+    field: str | None = None  # None = the index's default field
 
 
 @dataclass
@@ -92,6 +98,7 @@ class Phrase(Filter):
 
     terms: tuple  # str | Filter per slot
     boost: float = 1.0
+    field: str | None = None  # None = the index's default field
 
 
 @dataclass
@@ -102,6 +109,7 @@ class SamePosition(Filter):
 
     terms: tuple[str, ...]
     boost: float = 1.0
+    field: str | None = None  # None = the index's default field
 
 
 @dataclass
@@ -117,6 +125,7 @@ class NgramSimilarity(Filter):
     ngrams: tuple[str, ...]
     threshold: float = 1.0
     boost: float = 1.0
+    field: str | None = None  # None = the index's default field
 
 
 @dataclass
