@@ -384,6 +384,46 @@ def _field_leg_sql(prefix: str, term: str) -> str:
   WHERE tf.term = '{term}'"""
 
 
+def _phrase_sum_sql(terms: tuple[str, ...], k: int = TOPK) -> str:
+    """Reference-parity phrase BM25 (phrase_filter.cpp term_stats.finish:
+    idf = SUM of member-term idfs; tf = phrase occurrence count)."""
+    ph = " " + "  ".join(terms) + " "
+    qlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, ' ' || array_to_string(toks, '  ') || ' ' AS s,
+         len(toks)::DOUBLE AS dl
+  FROM base
+),
+st AS (SELECT count(*)::DOUBLE AS n, sum(dl)/count(*) AS avgdl FROM norm WHERE dl > 0),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY 1),
+q AS (SELECT unnest([{qlist}]) AS term),
+idfs AS (
+  SELECT sum(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))) AS idf_sum
+  FROM q JOIN dfreq d USING (term) CROSS JOIN st
+),
+m AS (
+  SELECT doc_id, dl,
+         ((length(s) - length(replace(s, '{ph}', ''))) / length('{ph}'))::DOUBLE AS tf
+  FROM norm WHERE s LIKE '%{ph}%'
+)
+SELECT doc_id, CAST(round(s_raw, 4) AS DOUBLE) AS score
+FROM (
+  SELECT m.doc_id,
+         2.2 * idfs.idf_sum * m.tf
+           / ((1.2*(1-0.75)) + (1.2*0.75) * m.dl / st.avgdl + m.tf) AS s_raw
+  FROM m CROSS JOIN st CROSS JOIN idfs
+)
+ORDER BY s_raw DESC, doc_id
+LIMIT {k}"""
+
+
 def _plane_sql(p: list[float]) -> str:
     return "[" + ", ".join(repr(float(x)) for x in p) + "]"
 
@@ -569,6 +609,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_phrase_variadic"] = lambda s, d: _run_search(
         s, d, flt.Phrase(("fast", flt.Prefix("s")))
     )
+
+    def phrase_sumidf(s, d):
+        # REFERENCE-PARITY phrase scoring: idf = sum of member-term idfs
+        # (phrase_filter.cpp:231-318 term_stats.finish; bm25.cpp:495-497)
+        reader = _index(s, d)
+        res = Searcher(reader, k1=K1, b=B, phrase_scoring="sum_of_terms").search(
+            flt.Phrase(("fast", "scan")), k=TOPK
+        )
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.round(F.col("score"), 4).cast("double").alias("score"),
+        )
+
+    q["q_phrase_sumidf"] = phrase_sumidf
     q["q_fuzzy_transpose"] = lambda s, d: _run_search(
         s, d, flt.Fuzzy("saprk", max_distance=1, with_transpositions=True)
     )
@@ -824,6 +878,7 @@ LIMIT {TOPK}"""
     o["q_wildcard"] = _bm25_sql("term LIKE 's_a%'")
     o["q_fuzzy"] = _bm25_sql("levenshtein(term, 'scam') <= 1")
     o["q_phrase"] = _phrase_sql(("fast", "scan"))
+    o["q_phrase_sumidf"] = _phrase_sum_sql(("fast", "scan"))
     o["q_tfidf_term"] = _tfidf_sql("term = 'scan'")
     o["q_tfidf_or"] = _tfidf_sql("term IN ('sort','merge')")
     o["q_range_incl"] = _bm25_sql("term >= 'merge' AND term <= 'query'")

@@ -1152,11 +1152,26 @@ class Searcher:
         k1: float = K_DEFAULT,
         b: float = B_DEFAULT,
         scorer: str = "bm25",
+        phrase_scoring: str = "exact_df",
     ):
+        """``phrase_scoring`` picks the Phrase/SamePosition stats semantics:
+
+        * ``"exact_df"`` (default, this engine's documented historical mode) —
+          idf from the exact phrase document frequency;
+        * ``"sum_of_terms"`` — REFERENCE PARITY: the aggregated stats blob sums
+          every member term's idf (phrase_filter.cpp:231-318
+          ``term_stats.finish`` per slot term; bm25.cpp:495-497 / tfidf.cpp:380
+          ``idf +=``), and the phrase frequency plugs into the scorer as tf.
+          Variadic slots sum ALL expanded terms' idfs, like the reference's
+          per-slot collectors (phrase_filter.cpp:418-427).
+        """
         self.reader = reader
         self.k1 = k1
         self.b = b
         self.model = get_model(scorer, k1, b)
+        if phrase_scoring not in ("exact_df", "sum_of_terms"):
+            raise ValueError(f"unknown phrase_scoring {phrase_scoring!r}")
+        self.phrase_scoring = phrase_scoring
 
     def _seg_partitioned(self, df: DataFrame) -> DataFrame:
         """Explicit hash(segment_id) partitioning with FIXED partition count
@@ -1604,11 +1619,31 @@ class Searcher:
             self.k1 * (1 - self.b),
             (self.k1 * self.b / avgdl) if avgdl else 0.0,
         )
+        # reference-parity stats mode: the aggregated stats blob is the SUM of
+        # every member term's idf (term_stats.finish per slot term,
+        # phrase_filter.cpp:231-318; bm25.cpp:495-497 `idf +=`); the phrase
+        # frequency plugs in as tf. The idf is a per-query constant, so the
+        # dfp-independent rank key below already yields the exact top-k set.
+        slots = self._expand_slots(list(terms), field=fname)
+        idf_sum: float | None = None
+        if self.phrase_scoring == "sum_of_terms" and mode in ("bm25", "tfidf"):
+            flat = sorted({t for slot in slots for t in slot})
+            tstats = self.reader.term_stats(flat, field=fname) if flat else {}
+            idf_sum = 0.0
+            for slot in slots:
+                for t in slot:
+                    df_t = tstats.get(t, (0, 0))[0]
+                    if df_t == 0:
+                        continue  # absent term: the phrase matches nothing anyway
+                    if mode == "bm25":
+                        idf_sum += float(np.log1p((n - df_t + 0.5) / (df_t + 0.5)))
+                    else:
+                        idf_sum += float(np.log((n + 1.0) / (df_t + 1.0)) + 1.0)
         # slack absorbs rank-vs-score FP boundary noise: the exact expression
         # re-ranks the survivors below, so only >16 docs inside one ULP of the
         # k-th rank could ever flip the set
         local = self.phrase_matches(
-            terms, shifts, local_k=k + 16, rank_params=rank_params, field=fname
+            slots, shifts, local_k=k + 16, rank_params=rank_params, field=fname
         )
         pdf = local.toPandas()
         spark = self.reader.spark
@@ -1617,26 +1652,39 @@ class Searcher:
             return spark.createDataFrame(
                 [], schema if with_keys else schema.split(", ", 1)[1]
             )
-        dfp = float(pdf.drop_duplicates("segment_id")["seg_matches"].sum())
         cand = spark.createDataFrame(
             pdf[["segment_id", "doc_id", "tf", "dl"]],
             "segment_id int, doc_id int, tf long, dl long",
         )
         boost = node.boost
-        if mode == "tfidf":
-            idf = F.log((F.lit(float(n)) + 1.0) / (F.lit(dfp) + 1.0)) + 1.0
-            score_col = F.lit(boost) * F.sqrt(F.col("tf")) * idf
-        elif mode == "boost":
+        k1v, bv = self.k1, self.b
+        if mode == "boost":
             score_col = F.lit(float(boost))
+        elif idf_sum is not None:
+            if mode == "tfidf":
+                score_col = F.lit(boost * idf_sum) * F.sqrt(F.col("tf"))
+            else:
+                c0 = boost * (k1v + 1.0) * idf_sum
+                score_col = (
+                    F.lit(c0)
+                    * F.col("tf")
+                    / (F.lit(k1v * (1 - bv)) + F.lit(k1v * bv) * F.col("dl") / F.lit(avgdl) + F.col("tf"))
+                )
         else:
-            k1v, bv = self.k1, self.b
-            idf = F.log1p((F.lit(float(n)) - F.lit(dfp) + 0.5) / (F.lit(dfp) + 0.5))
-            c0 = F.lit(boost * (k1v + 1.0)) * idf
-            score_col = (
-                c0
-                * F.col("tf")
-                / (F.lit(k1v * (1 - bv)) + F.lit(k1v * bv) * F.col("dl") / F.lit(avgdl) + F.col("tf"))
-            )
+            # exact phrase-df mode: per-segment exact match counts summed into
+            # the global dfp (one-pass stats, no extra job)
+            dfp = float(pdf.drop_duplicates("segment_id")["seg_matches"].sum())
+            if mode == "tfidf":
+                idf = F.log((F.lit(float(n)) + 1.0) / (F.lit(dfp) + 1.0)) + 1.0
+                score_col = F.lit(boost) * F.sqrt(F.col("tf")) * idf
+            else:
+                idf = F.log1p((F.lit(float(n)) - F.lit(dfp) + 0.5) / (F.lit(dfp) + 0.5))
+                c0 = F.lit(boost * (k1v + 1.0)) * idf
+                score_col = (
+                    c0
+                    * F.col("tf")
+                    / (F.lit(k1v * (1 - bv)) + F.lit(k1v * bv) * F.col("dl") / F.lit(avgdl) + F.col("tf"))
+                )
         scored = cand.withColumn("score", score_col)
         topk = scored.orderBy(F.desc("score"), F.asc("segment_id"), F.asc("doc_id")).limit(k)
         if not with_keys:
@@ -1935,6 +1983,8 @@ class Searcher:
         for t in terms:
             if isinstance(t, str):
                 slots.append([t])
+            elif isinstance(t, (list, tuple)):
+                slots.append(list(t))  # already-expanded slot (pass-through)
             elif isinstance(t, flt.Terms):
                 slots.append(sorted(set(t.terms)))
             else:
