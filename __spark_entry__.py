@@ -623,6 +623,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_phrase_sumidf"] = phrase_sumidf
+
+    def multi_order(s, d):
+        # multi-scorer Order (sort.hpp:218-349): lexicographic (tfidf, bm25)
+        # bucket ordering — tfidf ties (equal tf) broken by the bm25 bucket
+        reader = _index(s, d)
+        res = Searcher(reader, k1=K1, b=B).search_ordered(
+            flt.Term("scan"), k=TOPK, scorers=("tfidf", "bm25")
+        )
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.round(F.col("score0"), 4).cast("double").alias("s_tfidf"),
+            F.round(F.col("score1"), 4).cast("double").alias("s_bm25"),
+        )
+
+    q["q_multi_order"] = multi_order
     q["q_fuzzy_transpose"] = lambda s, d: _run_search(
         s, d, flt.Fuzzy("saprk", max_distance=1, with_transpositions=True)
     )
@@ -879,6 +894,23 @@ LIMIT {TOPK}"""
     o["q_fuzzy"] = _bm25_sql("levenshtein(term, 'scam') <= 1")
     o["q_phrase"] = _phrase_sql(("fast", "scan"))
     o["q_phrase_sumidf"] = _phrase_sum_sql(("fast", "scan"))
+    o["q_multi_order"] = f"""{_BM25_CTE},
+m AS (
+  SELECT tf.doc_id,
+         sqrt(tf.tf) * (ln((st.n + 1) / (d.df + 1)) + 1) AS s_tfidf,
+         (2.2 * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))) * tf.tf
+           / ((1.2*(1-0.75)) + (1.2*0.75) * dl.dl / st.avgdl + tf.tf) AS s_bm25
+  FROM tf
+  JOIN dfreq d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st
+  WHERE tf.term = 'scan'
+)
+SELECT doc_id, CAST(round(s_tfidf, 4) AS DOUBLE) AS s_tfidf,
+       CAST(round(s_bm25, 4) AS DOUBLE) AS s_bm25
+FROM m
+ORDER BY s_tfidf DESC, s_bm25 DESC, doc_id
+LIMIT {TOPK}"""
     o["q_tfidf_term"] = _tfidf_sql("term = 'scan'")
     o["q_tfidf_or"] = _tfidf_sql("term IN ('sort','merge')")
     o["q_range_incl"] = _bm25_sql("term >= 'merge' AND term <= 'query'")

@@ -1265,6 +1265,56 @@ class Searcher:
             return topk
         return self._attach_keys(topk, k)
 
+    def search_ordered(
+        self,
+        f: flt.Filter,
+        k: int = 10,
+        scorers: tuple[str, ...] = ("bm25",),
+        dtype: str = "float64",
+        with_keys: bool = True,
+    ) -> DataFrame:
+        """Multi-scorer Order (sort.hpp:218-349 bucket list): every scorer in
+        ``scorers`` produces one score bucket and results order
+        LEXICOGRAPHICALLY by the bucket values (desc), doc order last — the
+        reference's multi-bucket sort semantics.
+
+        Returns (doc_key?, segment_id, doc_id, score0..scoreN).
+
+        Scale shape: one full match pass per bucket (each a distributed
+        kernel job over the pruned scan), joined on (segment_id, doc_id) —
+        the join moves only the MATCH set, never the corpus — and the
+        lexicographic top-k is a TakeOrdered (no global sort). Pruning
+        (WAND/MaxScore) is single-bucket-bound in the reference too, so the
+        exact per-bucket evaluation here is the honest equivalent."""
+        if not scorers:
+            raise ValueError("scorers must name at least one scorer")
+        legs = []
+        for i, name in enumerate(scorers):
+            s = Searcher(
+                self.reader, self.k1, self.b, scorer=name,
+                phrase_scoring=self.phrase_scoring,
+            )
+            legs.append(
+                s.matches(f, dtype=dtype).withColumnRenamed("score", f"score{i}")
+            )
+        out = legs[0]
+        for leg in legs[1:]:
+            # identical boolean structure → identical match sets; inner join
+            out = out.join(leg, ["segment_id", "doc_id"])
+        order = [F.desc(f"score{i}") for i in range(len(scorers))] + [
+            F.asc("segment_id"), F.asc("doc_id"),
+        ]
+        topk = out.orderBy(*order).limit(k)
+        if not with_keys:
+            return topk
+        docs = self.reader.docs().select("segment_id", "doc_id", "doc_key")
+        score_cols = [f"score{i}" for i in range(len(scorers))]
+        return (
+            docs.join(F.broadcast(topk), ["segment_id", "doc_id"], "inner")
+            .select("doc_key", "segment_id", "doc_id", *score_cols)
+            .orderBy(*[F.desc(c) for c in score_cols], F.asc("segment_id"), F.asc("doc_id"))
+        )
+
     def matches(self, f: flt.Filter, dtype: str = "float64") -> DataFrame:
         """ALL matching (segment_id, doc_id, score) rows — no top-k, no global
         sort, output stays partitioned by segment. This is the composition
