@@ -18,10 +18,10 @@ Registered analyzers (name → factory), mirroring REGISTER_ANALYZER_*:
                       (text_token_normalizing_stream.cpp).
 * ``stopwords``     — drop masked tokens (token_stopwords_stream.cpp).
 * ``pipeline``      — compose analyzers (pipeline_token_stream.cpp).
-* ``text``          — reference ICU+Snowball pipeline (text_token_stream.cpp):
-                      requires PyICU/PyStemmer which are NOT available in this
-                      environment → gated stub raising ImportError with a
-                      documented fallback to ``simple``.
+* ``text``          — reference ICU+Snowball pipeline (text_token_stream.cpp)
+                      for any locale: casefold → accent fold → unicode/CJK
+                      segmentation → locale stopwords → stem (Porter2 for en;
+                      other locales index surface forms — documented).
 """
 
 from __future__ import annotations
@@ -38,6 +38,23 @@ Tokenizer = Callable[[pd.Series], pd.Series]  # Series[str] -> Series[list[str]]
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
+# UAX#29-flavoured segmentation with CJK handling (approximation of ICU
+# UBRK_WORD, segmentation_token_stream.cpp): Han ideographs emit ONE TOKEN
+# PER CHARACTER (the unigram approximation of ICU's dictionary-based
+# zh/ja segmentation — the standard fallback when no dictionary is present),
+# kana and hangul runs stay whole, every other \w run is a word. The general
+# word class excludes the CJK ranges so they don't get swallowed by \w.
+_CJK_HAN = "一-鿿㐀-䶿豈-﫿"
+_KANA = "぀-ゟ゠-ヿㇰ-ㇿ"
+_HANGUL = "가-힯ᄀ-ᇿ"
+_UNI_TOKEN_RE = re.compile(
+    f"[{_CJK_HAN}]"           # one Han ideograph per token
+    f"|[{_KANA}]+"            # kana run
+    f"|[{_HANGUL}]+"          # hangul run
+    f"|(?:(?![{_CJK_HAN}{_KANA}{_HANGUL}])\\w)+",  # any other word run
+    re.UNICODE,
+)
+
 
 def simple_tokenize(texts: pd.Series) -> pd.Series:
     """lower() then extract ``[a-z0-9]+`` runs. Matches the DuckDB oracle
@@ -46,14 +63,15 @@ def simple_tokenize(texts: pd.Series) -> pd.Series:
 
 
 def segmentation_tokenize(texts: pd.Series, case: str = "lower") -> pd.Series:
-    """Unicode word segmentation (approximation of ICU UBRK_WORD with
-    alpha-only emission; segmentation_token_stream.cpp)."""
+    """Unicode word segmentation (approximation of ICU UBRK_WORD;
+    segmentation_token_stream.cpp): \\w runs per word, Han ideographs one
+    token per character, kana/hangul runs whole — see ``_UNI_TOKEN_RE``."""
     s = texts.fillna("")
     if case == "lower":
         s = s.str.casefold()
     elif case == "upper":
         s = s.str.upper()
-    return s.str.findall(_WORD_RE)
+    return s.str.findall(_UNI_TOKEN_RE)
 
 
 def delimiter_tokenize(texts: pd.Series, delimiter: str = ",") -> pd.Series:
@@ -183,7 +201,7 @@ def text_en_tokenize(
 
     sw = frozenset(stopwords)
     folded = accent_fold(texts.fillna("").str.casefold())
-    tok_lists = folded.str.findall(_WORD_RE)
+    tok_lists = folded.str.findall(_UNI_TOKEN_RE)
     # stem via a per-batch vocab cache: stem once per unique token, not per
     # occurrence (vocab << corpus)
     cache: dict[str, str] = {}
@@ -202,12 +220,52 @@ def text_en_tokenize(
     return tok_lists.map(_one)
 
 
-def text_tokenize(texts: pd.Series, locale: str = "en") -> pd.Series:
-    """Reference ``text`` analyzer: only the ``en`` locale pipeline is
-    implemented (see :func:`text_en_tokenize`)."""
-    if not locale.startswith("en"):
-        raise NotImplementedError(f"text analyzer locale {locale!r}: only 'en' is available")
-    return text_en_tokenize(texts)
+# abridged per-locale stopword lists (the reference ships the full snowball
+# lists per locale; these carry the most frequent function words — users pass
+# their own list for exactness)
+LOCALE_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": DEFAULT_STOPWORDS,
+    "de": ("der", "die", "das", "und", "in", "zu", "den", "ist", "von", "mit",
+           "auf", "für", "ein", "eine", "nicht"),
+    "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "du", "en",
+           "est", "que", "pour", "dans", "pas"),
+    "es": ("el", "la", "los", "las", "de", "y", "en", "un", "una", "que",
+           "es", "por", "con", "para", "no"),
+    "ru": ("и", "в", "не", "на", "что", "с", "по", "это", "как", "из",
+           "но", "для", "он", "она", "то"),
+}
+
+
+def text_tokenize(
+    texts: pd.Series,
+    locale: str = "en",
+    stopwords: Iterable[str] | None = None,
+) -> pd.Series:
+    """Reference ``text`` analyzer pipeline for ANY locale
+    (text_token_stream.cpp:373-437): casefold → accent fold (the
+    ``NFD; [:Nonspacing Mark:] Remove; NFC`` transliterator) → unicode word
+    segmentation (Han per-character, kana/hangul runs — the no-dictionary
+    ICU approximation) → locale stopword filter → stem.
+
+    Documented divergences: segmentation approximates UBRK_WORD (identical
+    on alphanumeric text; CJK uses the unigram fallback instead of ICU's
+    dictionaries), and stemming runs ONLY for ``en`` (hand-built Porter2) —
+    other locales index surface forms (the reference links per-locale
+    snowball stemmers). ``stopwords=None`` picks the abridged built-in list
+    for the locale's language (empty when unknown)."""
+    lang = locale.split("_")[0].split("-")[0].lower()
+    if lang == "en" and stopwords is None:
+        return text_en_tokenize(texts)
+    if lang == "en":
+        return text_en_tokenize(texts, stopwords)
+    sw = frozenset(
+        stopwords if stopwords is not None else LOCALE_STOPWORDS.get(lang, ())
+    )
+    folded = accent_fold(texts.fillna("").str.casefold())
+    tok_lists = folded.str.findall(_UNI_TOKEN_RE)
+    if not sw:
+        return tok_lists
+    return tok_lists.map(lambda ts: [t for t in ts if t not in sw])
 
 
 def stem_tokenize(texts: pd.Series) -> pd.Series:
@@ -297,6 +355,11 @@ def get_tokenizer(name: str) -> Tokenizer:
         if kind == "text_en":  # text_en:<stopword,stopword,...> ('' = none)
             words = tuple(w for w in arg.split(",") if w)
             return lambda s, w=words: text_en_tokenize(s, w)
+        if kind == "text":  # text:<locale>[,stopword,...] ('' after locale = none)
+            parts = arg.split(",")
+            loc = parts[0] or "en"
+            words = tuple(w for w in parts[1:] if w) if len(parts) > 1 else None
+            return lambda s, l=loc, w=words: text_tokenize(s, l, w)
         if kind == "simple+syn":  # simple+syn:word=alias,word2=alias2
             syn = dict(pair.split("=", 1) for pair in arg.split(",") if pair)
             return synonym_tokenizer(syn)

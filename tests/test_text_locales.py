@@ -1,0 +1,82 @@
+"""Multi-locale ``text`` analyzer + CJK-aware unicode segmentation
+(text_token_stream.cpp:373-437 locale pipelines;
+segmentation_token_stream.cpp UBRK_WORD approximation)."""
+
+import pandas as pd
+
+from iresearch_spark.analysis.tokenizers import (
+    get_tokenizer,
+    segmentation_tokenize,
+    text_tokenize,
+)
+
+
+def test_cjk_han_per_character():
+    out = segmentation_tokenize(pd.Series(["大数据 处理 spark"]))[0]
+    assert out == ["大", "数", "据", "处", "理", "spark"]
+
+
+def test_kana_and_hangul_runs_whole():
+    out = segmentation_tokenize(pd.Series(["カタカナ ひらがな 한국어 mixed漢字"]))[0]
+    assert out == ["カタカナ", "ひらがな", "한국어", "mixed", "漢", "字"]
+
+
+def test_text_fr_accent_fold_and_stopwords_no_stem():
+    out = text_tokenize(pd.Series(["Le café est très bon"]), locale="fr")[0]
+    # 'le'/'est' are fr stopwords; accents folded; no stemming (surface forms)
+    assert out == ["cafe", "tres", "bon"]
+
+
+def test_text_de_default_stopwords():
+    out = text_tokenize(pd.Series(["Die Katze und der Hund"]), locale="de")[0]
+    assert out == ["katze", "hund"]
+
+
+def test_text_ru_cyrillic():
+    out = text_tokenize(pd.Series(["быстрый поиск и индекс"]), locale="ru")[0]
+    # the NFD;[:Nonspacing Mark:]Remove;NFC transliterator folds й → и
+    # (the breve is a combining mark), exactly like the reference's accent
+    # removal (text_token_stream.cpp:1098-1135)
+    assert out == ["быстрыи", "поиск", "индекс"]
+
+
+def test_text_zh_unigrams():
+    out = text_tokenize(pd.Series(["倒排索引"]), locale="zh")[0]
+    assert out == ["倒", "排", "索", "引"]
+
+
+def test_text_en_still_stems():
+    out = text_tokenize(pd.Series(["the customers are running"]), locale="en")[0]
+    assert out == ["custom", "run"]
+
+
+def test_spec_parsing_and_custom_stopwords():
+    tok = get_tokenizer("text:fr,bon")
+    out = tok(pd.Series(["Le café est bon"]))[0]
+    assert out == ["le", "cafe", "est"]
+    tok2 = get_tokenizer("text:de")
+    assert tok2(pd.Series(["und der Hund"]))[0] == ["hund"]
+
+
+def test_locale_index_end_to_end(spark, tmp_path):
+    from iresearch_spark import IndexBuilder, IndexReader, Searcher
+    from iresearch_spark import filters as flt
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "倒排索引 很快"),
+            ("d2", "索引 构建 在 spark"),
+            ("d3", "没有 相关 词"),
+        ],
+        "doc_key string, text string",
+    )
+    path = str(tmp_path / "idx")
+    IndexBuilder(spark, path, analyzer="text:zh", num_segments=2).build(
+        docs, key_col="doc_key", text_col="text"
+    )
+    s = Searcher(IndexReader(spark, path))
+    got = s.search(flt.Term("索"), k=10).collect()
+    assert {r["doc_key"] for r in got} == {"d1", "d2"}
+    # phrase over unigrams = consecutive characters
+    ph = s.search(flt.Phrase(("索", "引")), k=10).collect()
+    assert {r["doc_key"] for r in ph} == {"d1", "d2"}

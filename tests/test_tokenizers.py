@@ -73,13 +73,14 @@ def test_norm_and_stopwords_pipeline():
     assert norm_tokenize(pd.Series(["ABC"]))[0] == ["abc"]
 
 
-def test_text_analyzer_english_only():
-    # 'text' now runs the pure-Python en pipeline; other locales are gated
+def test_text_analyzer_locales():
+    # 'text' runs the pure-Python en pipeline by default; other locales get
+    # the casefold → accent-fold → unicode-segment → stopword pipeline
+    # (surface forms, no stem — see tests/test_text_locales.py)
     assert get_tokenizer("text")(pd.Series(["Running dogs"])).tolist() == [["run", "dog"]]
     from iresearch_spark.analysis.tokenizers import text_tokenize
 
-    with pytest.raises(NotImplementedError):
-        text_tokenize(pd.Series(["x"]), locale="de")
+    assert text_tokenize(pd.Series(["Die Hunde"]), locale="de")[0] == ["hunde"]
 
 
 def test_tokens_to_postings():
