@@ -859,6 +859,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_lsh_bucket_cand"] = lsh_bucket_cand
+
+    def ivf_topk_q(s, d):
+        # IVF coarse-quantizer ANN: deterministic LCG init + one Lloyd
+        # refinement, probe the 2 nearest of 8 inverted lists, exact cosine
+        # rerank — the second scale path next to sign-LSH
+        emb = s.read.parquet(os.path.join(d, "embeddings.parquet")).withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        return vecops.ivf_topk(emb, qv, k=10, n_lists=8, nprobe=2, seed=23).select(
+            F.col("vec_id").cast("long"), "cos_sim"
+        )
+
+    q["q_ivf_topk"] = ivf_topk_q
     return q
 
 
@@ -1131,6 +1145,68 @@ SELECT vec_id::BIGINT AS vec_id,
 FROM cand CROSS JOIN q
 ORDER BY cos_sim DESC, vec_id
 LIMIT 10"""
+    # IVF: the oracle REPLAYS the whole deterministic pipeline in SQL —
+    # identical LCG init centroids (literals), the same rounded algebraic
+    # L2 assignment, the same one-pass Lloyd mean update (rounded to 6dp on
+    # both sides, which absorbs cross-engine float summation-order noise),
+    # the same 2-of-8 probe selection, exact cosine rerank
+    ivf_c0 = [[round(v, 6) for v in c] for c in vecops.hyperplanes(64, 8, 23)]
+    c0_vals = ", ".join(f"({i}, {_plane_sql(c)}::DOUBLE[])" for i, c in enumerate(ivf_c0))
+    o["q_ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+c0 AS (SELECT * FROM (VALUES {c0_vals}) t(lid, c)),
+d0 AS (
+  SELECT e.vec_id, e.v, c0.lid,
+         round(list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c0.c)
+               + list_dot_product(c0.c, c0.c), 6) AS d
+  FROM e CROSS JOIN c0
+),
+a0 AS (
+  SELECT vec_id, v, lid FROM (
+    SELECT vec_id, v, lid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, lid) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+m AS (
+  SELECT lid, pos, round(avg(val), 6) AS mv
+  FROM (SELECT lid, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM a0)
+  GROUP BY 1, 2
+),
+c1 AS (
+  SELECT c0.lid, coalesce(r.lst, c0.c) AS c
+  FROM c0 LEFT JOIN (SELECT lid, list(mv ORDER BY pos) AS lst FROM m GROUP BY lid) r
+  USING (lid)
+),
+d1 AS (
+  SELECT e.vec_id, e.v, c1.lid,
+         round(list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c1.c)
+               + list_dot_product(c1.c, c1.c), 6) AS d
+  FROM e CROSS JOIN c1
+),
+a1 AS (
+  SELECT vec_id, v, lid FROM (
+    SELECT vec_id, v, lid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, lid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT lid FROM (
+    SELECT c1.lid,
+           round(list_dot_product(qv, qv) - 2*list_dot_product(qv, c1.c)
+                 + list_dot_product(c1.c, c1.c), 6) AS d
+    FROM c1 CROSS JOIN q
+  ) ORDER BY d, lid LIMIT 2
+),
+cand AS (SELECT vec_id, v FROM a1 WHERE lid IN (SELECT lid FROM probe))
+SELECT vec_id::BIGINT AS vec_id,
+       CAST(round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS DOUBLE) AS cos_sim
+FROM cand CROSS JOIN q
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10"""
+
     planes6 = vecops.hyperplanes(64, 6, 11)
     o["q_lsh_bucket_cand"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -134,6 +134,94 @@ def lsh_bucket_candidates(
     return l.join(r, "bucket").where(F.col("a") < F.col("b")).select("a", "b", "bucket")
 
 
+def ivf_assign_col(vec_col: str, centroids: list[list[float]]):
+    """Index of the nearest centroid by L2 distance (ties → smallest index).
+
+    One JVM expression: an array of (distance, index) structs reduced with
+    ``array_min`` (struct ordering = lexicographic) — whole-stage codegen,
+    no Python, no shuffle. The distance uses the algebraic form
+    ``|v|² − 2·v·c + |c|²`` rounded to 6 decimals so a SQL oracle computing
+    the same dot products reproduces the identical assignment (float
+    summation-order noise is far below the rounding grain)."""
+    vv = _dot(F.col(vec_col), F.col(vec_col))
+    entries = []
+    for i, c in enumerate(centroids):
+        cc = F.array(*[F.lit(float(x)) for x in c])
+        cnorm = sum(x * x for x in c)
+        d = F.round(vv - 2.0 * _dot(F.col(vec_col), cc) + F.lit(cnorm), 6)
+        entries.append(F.named_struct(F.lit("d"), d, F.lit("i"), F.lit(i)))
+    return F.array_min(F.array(*entries)).getField("i")
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_lists: int = 8,
+    seed: int = 23,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    refine_iters: int = 1,
+    round_to: int = 6,
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: seeded LCG initial centroids +
+    ``refine_iters`` Lloyd mean-update passes (k-means with FIXED init).
+
+    Each pass is one distributed job: assign (in-scan expression) →
+    ``posexplode`` → per-(list, dim) mean — the collected result is
+    n_lists × dim rows (tiny). Centroids are rounded to ``round_to``
+    decimals so the oracle can replay the identical refinement in SQL
+    (float summation order differs across engines; rounding absorbs it).
+    Empty lists keep their previous centroid."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    cents = [[round(v, round_to) for v in c] for c in hyperplanes(dim, n_lists, seed)]
+    for _ in range(refine_iters):
+        assigned = df.select(
+            ivf_assign_col(vec_col, cents).alias("lid"),
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        )
+        rows = (
+            assigned.groupBy("lid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in rows:
+            new[int(r["lid"])][int(r["pos"])] = round(float(r["m"]), round_to)
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine restricted to the ``nprobe``
+    inverted lists whose centroids are nearest the query.
+
+    The scale path next to sign-LSH: the coarse quantizer partitions the
+    corpus into n_lists cells (assignment is a pushed-down in-scan
+    expression; with the assignment persisted as a partition column the
+    probe prunes files), and only ~nprobe/n_lists of the corpus is scanned
+    per query."""
+    if centroids is None:
+        centroids = ivf_centroids(df, n_lists, seed, vec_col, dim=len(query))
+    qq = sum(x * x for x in query)
+    dists = sorted(
+        (round(qq - 2.0 * sum(a * b for a, b in zip(query, c)) + sum(x * x for x in c), 6), i)
+        for i, c in enumerate(centroids)
+    )
+    probe = [i for _, i in dists[:nprobe]]
+    cand = df.where(ivf_assign_col(vec_col, centroids).isin(probe))
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query: list[float],
