@@ -125,25 +125,23 @@ def _fuzzy_distances(
     only on survivors. Transpositions keep the character multiset, so the
     bounds hold for the Damerau/OSA variant too. Returns ``maxd + 1`` for
     candidates ruled out by either test or the DP."""
+    import re as _re
+
     n = len(cands)
     out = np.full(n, maxd + 1, dtype=np.int64)
     if n == 0:
         return out
-    lens = np.fromiter((len(c) for c in cands), count=n, dtype=np.int64)
-    lmax = int(lens.max())
     q_cp = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32)
-    if lmax == 0:
-        out[lens == 0] = len(q_cp)
-        return np.minimum(out, maxd + 1)
-    chars = np.zeros((n, lmax), dtype=np.uint32)
-    for i, c in enumerate(cands):
-        chars[i, : len(c)] = np.frombuffer(c.encode("utf-32-le"), dtype=np.uint32)
-    pad = chars == 0
-    outside = (~np.isin(chars, q_cp)) & ~pad
-    keep = outside.sum(axis=1) <= maxd
+    # both prefilter tests run as C-regex ops over the WHOLE candidate batch
+    # (no per-candidate Python): the matrix encode below happens only for the
+    # few survivors, which is what makes the expansion vocab-scan cheap
+    s = pd.Series(cands, dtype="object").astype(str)
+    alphabet = "".join(sorted(set(query)))
+    outside = s.str.count(f"[^{_re.escape(alphabet)}]") if alphabet else s.str.len()
+    keep = (outside <= maxd).to_numpy()
     missing = np.zeros(n, dtype=np.int64)
-    for c in np.unique(q_cp):
-        missing += ~(chars == c).any(axis=1)
+    for ch in sorted(set(query)):
+        missing += (~s.str.contains(_re.escape(ch), regex=True)).to_numpy()
     keep &= missing <= maxd
     idx = np.flatnonzero(keep)
     if idx.size:
