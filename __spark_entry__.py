@@ -153,6 +153,51 @@ def _fields_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     return _READERS[key]
 
 
+def _append_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Index built as TWO generations (build half, append half): global BM25
+    stats re-aggregate across appends, so every query must equal the
+    single-build oracle (index_writer incremental commits)."""
+    key = (sf_dir, "append")
+    if key in _READERS:
+        return _READERS[key]
+    h = hashlib.md5(f"{sf_dir}|append".encode()).hexdigest()[:10]
+    path = os.path.join("/tmp", f"iresearch_entry_idx_v3_{h}")
+    os.makedirs(path, exist_ok=True)
+    builder = IndexBuilder(spark, path, analyzer="simple", num_segments=2)
+    if builder.read_meta() is None:
+        df = _docs(spark, sf_dir).withColumn(
+            "doc_key", F.lpad(F.col("doc_id").cast("string"), 8, "0")
+        )
+        n = df.count()
+        cut = F.col("doc_id") < n // 2
+        builder.build(df.where(cut), key_col="doc_key", text_col="text")
+        builder.append(df.where(~cut))
+    _READERS[key] = IndexReader(spark, path)
+    return _READERS[key]
+
+
+def _consolidated_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Base index consolidated to one segment (merge_writer path): scores and
+    ranks must be invariant under merge."""
+    from iresearch_spark.index.consolidate import consolidate
+
+    key = (sf_dir, "consol")
+    if key in _READERS:
+        return _READERS[key]
+    h = hashlib.md5(f"{sf_dir}|consol".encode()).hexdigest()[:10]
+    path = os.path.join("/tmp", f"iresearch_entry_idx_v3_{h}")
+    os.makedirs(path, exist_ok=True)
+    builder = IndexBuilder(spark, path, analyzer="simple", num_segments=4)
+    if builder.read_meta() is None:
+        df = _docs(spark, sf_dir).withColumn(
+            "doc_key", F.lpad(F.col("doc_id").cast("string"), 8, "0")
+        )
+        builder.build(df, key_col="doc_key", text_col="text")
+        consolidate(IndexReader(spark, path))
+    _READERS[key] = IndexReader(spark, path)
+    return _READERS[key]
+
+
 def _del_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     """Index with a document_mask: docs with doc_id % 7 == 3 deleted.
     Reference delete semantics: masked docs vanish from results immediately,
@@ -624,6 +669,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_phrase_sumidf"] = phrase_sumidf
 
+    def append_term(s, d):
+        # two-generation index (build half + append half): BM25 equals the
+        # single-build oracle because term_dict/field stats re-aggregate
+        reader = _append_index(s, d)
+        res = Searcher(reader, k1=K1, b=B).search(flt.Term("scan"), k=TOPK)
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.round(F.col("score"), 4).cast("double").alias("score"),
+        )
+
+    q["q_append_term"] = append_term
+
+    def consolidate_term(s, d):
+        # merge_writer invariance: scores/ranks unchanged after consolidation
+        reader = _consolidated_index(s, d)
+        res = Searcher(reader, k1=K1, b=B).search(flt.Term("scan"), k=TOPK)
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.round(F.col("score"), 4).cast("double").alias("score"),
+        )
+
+    q["q_consolidate_term"] = consolidate_term
+
     def multi_order(s, d):
         # multi-scorer Order (sort.hpp:218-349): lexicographic (tfidf, bm25)
         # bucket ordering — tfidf ties (equal tf) broken by the bm25 bucket
@@ -908,6 +976,11 @@ LIMIT {TOPK}"""
     o["q_fuzzy"] = _bm25_sql("levenshtein(term, 'scam') <= 1")
     o["q_phrase"] = _phrase_sql(("fast", "scan"))
     o["q_phrase_sumidf"] = _phrase_sum_sql(("fast", "scan"))
+    # lifecycle invariants: an appended (two-generation) index and a
+    # consolidated (merged-segment) index must both score EXACTLY like the
+    # single-build engine — the oracle is the plain single-corpus BM25
+    o["q_append_term"] = _bm25_sql("term = 'scan'")
+    o["q_consolidate_term"] = _bm25_sql("term = 'scan'")
     o["q_multi_order"] = f"""{_BM25_CTE},
 m AS (
   SELECT tf.doc_id,
