@@ -268,6 +268,33 @@ def text_tokenize(
     return tok_lists.map(lambda ts: [t for t in ts if t not in sw])
 
 
+def collation_tokenize(texts: pd.Series, strength: str = "primary") -> pd.Series:
+    """``collation`` analyzer approximation (collation_token_stream.cpp):
+    the reference emits ONE token per input — the ICU collation sort key for
+    a locale — so term ORDER (and therefore by_range/by_prefix semantics)
+    follows locale collation.
+
+    Without ICU this emits the closest pure-Python analogue of a
+    primary-strength key: NFKD normalize → strip combining marks → casefold
+    ('café', 'CAFE', 'Cafe' all collate equal, like ICU primary strength).
+    ``strength="secondary"`` keeps accents (NFKD + casefold only);
+    ``strength="tertiary"`` keeps case too (NFKD only). Locale-specific
+    tailoring (e.g. sv 'ä' after 'z') needs real ICU and is documented out
+    of scope."""
+
+    def key(s: str) -> list[str]:
+        d = unicodedata.normalize("NFKD", s)
+        if strength == "primary":
+            d = "".join(c for c in d if not unicodedata.combining(c)).casefold()
+        elif strength == "secondary":
+            d = d.casefold()
+        elif strength != "tertiary":
+            raise ValueError(f"unknown collation strength {strength!r}")
+        return [unicodedata.normalize("NFC", d)]
+
+    return texts.fillna("").map(key)
+
+
 def stem_tokenize(texts: pd.Series) -> pd.Series:
     """Standalone Snowball stem stage over simple tokens
     (text_token_stemming_stream.cpp — no stopwords, no accent fold)."""
@@ -282,6 +309,7 @@ _REGISTRY: dict[str, Tokenizer] = {
     "text": text_tokenize,
     "text_en": text_en_tokenize,
     "stem": stem_tokenize,
+    "collation": collation_tokenize,
 }
 
 
@@ -355,6 +383,8 @@ def get_tokenizer(name: str) -> Tokenizer:
         if kind == "text_en":  # text_en:<stopword,stopword,...> ('' = none)
             words = tuple(w for w in arg.split(",") if w)
             return lambda s, w=words: text_en_tokenize(s, w)
+        if kind == "collation":  # collation:<strength> (primary|secondary|tertiary)
+            return lambda s, st=arg: collation_tokenize(s, st or "primary")
         if kind == "text":  # text:<locale>[,stopword,...] ('' after locale = none)
             parts = arg.split(",")
             loc = parts[0] or "en"

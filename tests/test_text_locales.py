@@ -80,3 +80,36 @@ def test_locale_index_end_to_end(spark, tmp_path):
     # phrase over unigrams = consecutive characters
     ph = s.search(flt.Phrase(("索", "引")), k=10).collect()
     assert {r["doc_key"] for r in ph} == {"d1", "d2"}
+
+
+def test_collation_primary_strength():
+    from iresearch_spark.analysis.tokenizers import collation_tokenize, get_tokenizer
+    import pandas as pd
+
+    out = collation_tokenize(pd.Series(["Café", "CAFE", "cafe", "Straße"]))
+    assert out[0] == out[1] == out[2] == ["cafe"]
+    assert out[3] == ["strasse"]  # NFKD+casefold expands ß
+    sec = get_tokenizer("collation:secondary")(pd.Series(["Café", "cafe"]))
+    assert sec[0] != sec[1]  # accents survive at secondary strength
+    ter = get_tokenizer("collation:tertiary")(pd.Series(["Cafe", "cafe"]))
+    assert ter[0] != ter[1]  # case survives at tertiary strength
+
+
+def test_collation_index_range_order(spark, tmp_path):
+    # by_range over collation keys: accented/case variants fold into the
+    # same primary key, so a range over plain keys captures them
+    from iresearch_spark import IndexBuilder, IndexReader, Searcher
+    from iresearch_spark import filters as flt
+
+    docs = spark.createDataFrame(
+        [("d1", "Ähnlich"), ("d2", "apfel"), ("d3", "Zebra"), ("d4", "Ödem")],
+        "doc_key string, text string",
+    )
+    path = str(tmp_path / "idx")
+    IndexBuilder(spark, path, analyzer="collation:primary", num_segments=2).build(
+        docs, key_col="doc_key", text_col="text"
+    )
+    s = Searcher(IndexReader(spark, path))
+    got = s.search(flt.Range(low="a", high="p"), k=10).collect()
+    # primary keys: ahnlich, apfel, odem, zebra → range [a, p] matches 3
+    assert {r["doc_key"] for r in got} == {"d1", "d2", "d4"}
