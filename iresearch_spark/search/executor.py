@@ -40,9 +40,18 @@ per-query top-k. This amortizes job/scan overhead across queries — the shape
 batched query serving takes on a real cluster.
 
 Scale notes: stats collects are O(#query terms); the postings scan is pruned
-by parquet min/max stats over the term-sorted range layout (exact, prefix and
-range predicates all push down); per-segment kernels are independent tasks;
-the only driver-side data is #segments × #queries × k candidate rows.
+by parquet min/max stats over the (field, term)-sorted range layout (field
+equality plus exact, prefix and range term predicates all push down);
+per-segment kernels are independent tasks; the only driver-side data is
+#segments × #queries × k candidate rows.
+
+Multi-field: every filter leaf resolves a field (None → index default) with
+its OWN df/doc-length/avgdl stats (per-field collectors, bm25.cpp:204-276).
+A batch touching ONE field pushes ``field == f`` into the postings and norms
+scans and runs the pruned kernels unchanged; a batch spanning several fields
+keys kernel lookups by ``field\\x1fterm`` composites, and a single plan
+mixing fields evaluates exact with per-leaf norms (rank-identical — WAND
+bounds need one norm space).
 """
 
 from __future__ import annotations

@@ -246,3 +246,25 @@ def test_append_multifield(spark, tmp_path):
     got = Searcher(reader).search(flt.Term("alpha", field="title"), k=30).collect()
     want = {r[0] for r in rows if "alpha" in r[2].split()}
     assert {r["doc_key"] for r in got} == want
+
+
+def test_offsets_rejects_multifield(spark, tmp_path):
+    # OFFS sidecar is single-'simple'-field only — fail fast at construction
+    import pytest as _pytest
+
+    b = IndexBuilder(spark, str(tmp_path / "x"), analyzer="simple", with_offsets=True)
+    with _pytest.raises(ValueError):
+        b._resolve_fields(None, (("a", "a", "simple"), ("b", "b", "simple")))
+    with _pytest.raises(ValueError):
+        b._resolve_fields(None, (("a", "a", "text_en"),))
+    assert b._resolve_fields("text", None) == [("text", "text", "simple")]
+
+
+def test_duplicate_and_reserved_field_names(spark, tmp_path):
+    import pytest as _pytest
+
+    b = IndexBuilder(spark, str(tmp_path / "y"), analyzer="simple")
+    with _pytest.raises(ValueError):
+        b._resolve_fields(None, (("a", "a"), ("a", "b")))
+    with _pytest.raises(ValueError):
+        b._resolve_fields(None, (("bad\x1fname", "a"),))
