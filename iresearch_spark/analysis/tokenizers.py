@@ -268,6 +268,51 @@ def text_tokenize(
     return tok_lists.map(lambda ts: [t for t in ts if t not in sw])
 
 
+def minhash_tokenize(
+    texts: pd.Series, num_hashes: int = 8, shingle_k: int = 3, seed: int = 7
+) -> pd.Series:
+    """``minhash`` ANALYZER plane (minhash_token_stream.hpp:34-66): emit the
+    document's MinHash signature AS INDEX TERMS (``<slot>_<minvalue>``), so
+    near-duplicate retrieval runs through the ordinary inverted index — a
+    Terms/min_match query over one doc's signature tokens finds docs sharing
+    signature slots (estimated-Jaccard search, the reference's use case).
+
+    Same Carter-Wegman construction as :mod:`iresearch_spark.textops`
+    (md5-derived 32-bit shingle keys, (a·x+b) mod p minima), so analyzer-plane
+    signatures agree with the textops operator plane."""
+    from ..textops import MINHASH_PRIME, minhash_params
+
+    params = minhash_params(num_hashes, seed)
+
+    def one(s: str) -> list[str]:
+        toks = _SIMPLE_RE.findall(s.lower())
+        if len(toks) < shingle_k:
+            shingles = {" ".join(toks)} if toks else set()
+        else:
+            shingles = {
+                " ".join(toks[i : i + shingle_k])
+                for i in range(len(toks) - shingle_k + 1)
+            }
+        if not shingles:
+            return []
+        import hashlib as _hl
+
+        xs = np.fromiter(
+            (
+                int(_hl.md5(sh.encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+                for sh in shingles
+            ),
+            dtype=np.int64,
+            count=len(shingles),
+        )
+        return [
+            f"{i}_{int(((a * xs + b) % MINHASH_PRIME).min())}"
+            for i, (a, b) in enumerate(params)
+        ]
+
+    return texts.fillna("").map(one)
+
+
 def collation_tokenize(texts: pd.Series, strength: str = "primary") -> pd.Series:
     """``collation`` analyzer approximation (collation_token_stream.cpp):
     the reference emits ONE token per input — the ICU collation sort key for
@@ -310,6 +355,7 @@ _REGISTRY: dict[str, Tokenizer] = {
     "text_en": text_en_tokenize,
     "stem": stem_tokenize,
     "collation": collation_tokenize,
+    "minhash": minhash_tokenize,
 }
 
 
@@ -383,6 +429,12 @@ def get_tokenizer(name: str) -> Tokenizer:
         if kind == "text_en":  # text_en:<stopword,stopword,...> ('' = none)
             words = tuple(w for w in arg.split(",") if w)
             return lambda s, w=words: text_en_tokenize(s, w)
+        if kind == "minhash":  # minhash:<num_hashes>[,shingle_k[,seed]]
+            parts = [int(x) for x in arg.split(",") if x]
+            nh = parts[0] if parts else 8
+            sk = parts[1] if len(parts) > 1 else 3
+            sd = parts[2] if len(parts) > 2 else 7
+            return lambda s, a=nh, b=sk, c=sd: minhash_tokenize(s, a, b, c)
         if kind == "collation":  # collation:<strength> (primary|secondary|tertiary)
             return lambda s, st=arg: collation_tokenize(s, st or "primary")
         if kind == "text":  # text:<locale>[,stopword,...] ('' after locale = none)

@@ -113,3 +113,40 @@ def test_collation_index_range_order(spark, tmp_path):
     got = s.search(flt.Range(low="a", high="p"), k=10).collect()
     # primary keys: ahnlich, apfel, odem, zebra → range [a, p] matches 3
     assert {r["doc_key"] for r in got} == {"d1", "d2", "d4"}
+
+
+def test_minhash_analyzer_plane(spark, tmp_path):
+    # minhash ANALYZER (minhash_token_stream.hpp): signature values become
+    # index terms; near-dup retrieval = Terms/min_match over one doc's tokens
+    import pandas as pd
+    from iresearch_spark.analysis.tokenizers import get_tokenizer, minhash_tokenize
+    from iresearch_spark import IndexBuilder, IndexReader, Searcher
+    from iresearch_spark import filters as flt
+    from iresearch_spark import textops
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tail"          # high shingle overlap
+    far = "completely different words in this other document entirely here"
+    toks = minhash_tokenize(pd.Series([base, near, far]), num_hashes=8)
+    assert len(toks[0]) == 8 and all("_" in t for t in toks[0])
+    shared_near = len(set(toks[0]) & set(toks[1]))
+    shared_far = len(set(toks[0]) & set(toks[2]))
+    assert shared_near > shared_far and shared_far == 0
+
+    # analyzer-plane signatures agree with the textops operator plane
+    docs = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string"
+    )
+    sig = textops.minhash_signatures(docs, num_hashes=8).collect()
+    by_id = {int(r["doc_id"]): [f"{i}_{r[f'mh{i}']}" for i in range(8)] for r in sig}
+    assert by_id[0] == toks[0]
+
+    # end-to-end: index with the analyzer, near-dup query via min_match
+    path = str(tmp_path / "idx")
+    IndexBuilder(spark, path, analyzer="minhash:8", num_segments=2).build(
+        docs.selectExpr("cast(doc_id as string) doc_key", "text"),
+        key_col="doc_key", text_col="text",
+    )
+    s = Searcher(IndexReader(spark, path))
+    got = s.search(flt.Terms(tuple(toks[0]), min_match=4), k=10).collect()
+    assert {r["doc_key"] for r in got} == {"0", "1"}
