@@ -973,6 +973,16 @@ class IndexBuilder:
             # reuse the committed field specs; callable analyzers were stored
             # as reprs and cannot be resolved — pass `fields` explicitly then
             field_list = [(f["name"], f["col"], f["analyzer"]) for f in meta["fields"]]
+            for fname, _, anl in field_list:
+                if isinstance(anl, str) and anl.startswith("<"):
+                    # a repr() of a callable — fail driver-side with a clear
+                    # message instead of a KeyError deep inside executor tasks
+                    raise ValueError(
+                        f"field {fname!r} was built with a callable analyzer "
+                        f"({anl}) that cannot be restored from the committed "
+                        "meta — pass fields=((name, col, analyzer), ...) to "
+                        "append() explicitly"
+                    )
         else:
             field_list = self._resolve_fields(text_col or meta["text_col"], None)
         if [n for n, _, _ in field_list] != [

@@ -251,6 +251,11 @@ def consolidate(
 
     # ---- postings ----
     postings = reader.postings()
+    if "field" not in postings.columns:
+        # pre-multi-field index (committed before the `field` column landed):
+        # inject the default field so the (field, term) merge paths below work
+        # — IndexReader keeps the same legacy fallback on the query side
+        postings = postings.withColumn("field", F.lit(reader.default_field))
     passthrough = postings.where(~F.col("segment_id").isin(merge_ids))
     to_merge = postings.where(F.col("segment_id").isin(merge_ids))
 
@@ -381,6 +386,9 @@ def consolidate(
         if c in reader._table("norms").columns
     ]
     norms = reader._table("norms").select(*norm_cols)
+    if "field" not in norms.columns:
+        # legacy pre-multi-field norms: one default field (see postings above)
+        norms = norms.withColumn("field", F.lit(reader.default_field))
 
     def merge_norms(pdf: pd.DataFrame) -> pd.DataFrame:
         """Merge ONE field's norm rows across the merged segments (the group

@@ -472,8 +472,16 @@ def compile_plans(
                 "boost": node.boost,
                 "field": f,
             }
-        if isinstance(node, flt.Phrase):
-            return {"op": "phrase", "terms": list(node.terms), "boost": node.boost, "field": f}
+        if isinstance(node, (flt.Phrase, flt.SamePosition)):
+            # root-level Phrase/SamePosition never reaches this compiler
+            # (search() dispatches them to the two-pass positional path) —
+            # reaching here means the node is nested under And/Or, which the
+            # boolean kernels cannot evaluate; fail at compile time with a
+            # clear message instead of a kernel-time "bad plan op"
+            raise ValueError(
+                f"{type(node).__name__} cannot be nested under And/Or — "
+                "run it at the root via Searcher.search()"
+            )
         if isinstance(node, flt.And):
             incl, excl = [], []
             for p in node.parts:

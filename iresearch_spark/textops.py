@@ -227,12 +227,23 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     seed: int = 7,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates: band the signature, join on band hash.
 
     The scale path for near-dedup: candidate generation is |docs|×bands rows
     joined on banded-signature buckets (uniform by construction) instead of a
-    quadratic shingle join. Verify candidates with exact Jaccard downstream."""
+    quadratic shingle join. Verify candidates with exact Jaccard downstream.
+
+    ``max_bucket`` is the skew guard for the within-bucket self-join: a band
+    bucket of n members fans out n²/2 pair rows, and boilerplate/empty pages
+    share IDENTICAL banded signatures — one hot bucket at 100 TB is a
+    job-killer. Buckets larger than the cap are dropped from the pair join
+    (deterministic: a property of the bucket histogram, not sampling), so the
+    candidate set is a LOWER bound — same documented semantics as
+    :func:`iresearch_spark.vecops.lsh_bucket_candidates`. Pairs that also
+    share a small bucket in ANOTHER band still surface. Default None keeps
+    the exact semantics (verification scale only)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes, seed)
@@ -247,6 +258,16 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.explode(F.array(*[F.col(f"band{bi}") for bi in range(bands)])).alias("bucket"),
     )
+    if max_bucket is not None:
+        # the oversized set is small by construction (each member bucket costs
+        # > max_bucket docs) → broadcastable at any corpus size
+        oversized = (
+            stacked.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("bsize"))
+            .where(F.col("bsize") > max_bucket)
+            .select("bucket")
+        )
+        stacked = stacked.join(F.broadcast(oversized), "bucket", "left_anti")
     left = stacked.alias("l")
     right = stacked.alias("r")
     return (

@@ -167,12 +167,15 @@ def ivf_centroids(
 
     Each pass is one distributed job: assign (in-scan expression) →
     ``posexplode`` → per-(list, dim) mean — the collected result is
-    n_lists × dim rows (tiny). Centroids are rounded to ``round_to``
-    decimals so the oracle can replay the identical refinement in SQL
-    (float summation order differs across engines; rounding absorbs it).
-    Empty lists keep their previous centroid."""
+    n_lists × dim rows (tiny). The mean is computed as an EXACT fixed-point
+    integer sum (values scaled by 10^round_to, rounded to integers, summed
+    as BIGINT): integer addition is associative, so the centroid is
+    bit-stable across Spark partition orders AND across engines — the SQL
+    oracle replays the identical arithmetic, with no summation-order noise
+    left for rounding to absorb. Empty lists keep their previous centroid."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    scale = 10 ** round_to
     cents = [[round(v, round_to) for v in c] for c in hyperplanes(dim, n_lists, seed)]
     for _ in range(refine_iters):
         assigned = df.select(
@@ -181,12 +184,17 @@ def ivf_centroids(
         )
         rows = (
             assigned.groupBy("lid", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                F.sum(F.round(F.col("val") * scale).cast("bigint")).alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            )
             .collect()
         )
         new = [list(c) for c in cents]
         for r in rows:
-            new[int(r["lid"])][int(r["pos"])] = round(float(r["m"]), round_to)
+            new[int(r["lid"])][int(r["pos"])] = round(
+                int(r["s"]) / (int(r["c"]) * scale), round_to
+            )
         cents = new
     return cents
 
