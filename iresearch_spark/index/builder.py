@@ -66,6 +66,7 @@ from ..analysis.tokenizers import (
 )
 
 from .codec import encode_postings_batch_arrow, vbyte_encode
+from .termfeat import with_term_features
 
 POSTINGS_SCHEMA = (
     "field string, term string, segment_id int, docs_count int, total_freq long, "
@@ -90,7 +91,10 @@ FIELD_SEP = "\x1f"
 # cells, not one multi-hundred-MB cell every kernel must decode in full.
 NORMS_CHUNK_DOCS = 1 << 16
 
-TERM_DICT_SCHEMA = "field string, term string, df long, ttf long, max_freq int"
+# the layout kernel emits the base columns; tlen/charmask (the build-amortized
+# fuzzy-prefilter features, see index/termfeat.py) are appended declaratively
+TERM_DICT_BASE_SCHEMA = "field string, term string, df long, ttf long, max_freq int"
+TERM_DICT_SCHEMA = TERM_DICT_BASE_SCHEMA + ", tlen int, charmask int"
 
 OFFSETS_SCHEMA = (
     "term string, segment_id int, docs_count int, "
@@ -799,7 +803,8 @@ class IndexBuilder:
                 spark.read.parquet(raw_path)
                 .repartitionByRange(p_parts, "field", "term")
                 .sortWithinPartitions("field", "term", "segment_id")
-                .mapInArrow(_layout_and_aggregate(postings_path), TERM_DICT_SCHEMA)
+                .mapInArrow(_layout_and_aggregate(postings_path), TERM_DICT_BASE_SCHEMA)
+                .transform(with_term_features)
                 .write.mode("overwrite")
                 .parquet(agg_path)
             )
@@ -848,14 +853,19 @@ class IndexBuilder:
         if not self._stage_done(run_id, gen, "term_dict", term_dict_path):
             t0 = time.time()
             if term_sources:
-                agg = (
-                    spark.read.parquet(*term_sources)
-                    .groupBy("field", "term")
-                    .agg(
-                        F.sum("df").alias("df"),
-                        F.sum("ttf").alias("ttf"),
-                        F.max("max_freq").alias("max_freq"),
-                    )
+                # select the base columns only: a legacy source may lack
+                # tlen/charmask and the features are recomputed below anyway
+                srcs = [
+                    spark.read.parquet(p).select("field", "term", "df", "ttf", "max_freq")
+                    for p in term_sources
+                ]
+                unioned = srcs[0]
+                for s in srcs[1:]:
+                    unioned = unioned.unionByName(s)
+                agg = unioned.groupBy("field", "term").agg(
+                    F.sum("df").alias("df"),
+                    F.sum("ttf").alias("ttf"),
+                    F.max("max_freq").alias("max_freq"),
                 )
             else:
                 agg = (
@@ -868,7 +878,8 @@ class IndexBuilder:
                     )
                 )
             (
-                agg.repartitionByRange(max(8, p_parts // 4), "field", "term")
+                agg.transform(with_term_features)
+                .repartitionByRange(max(8, p_parts // 4), "field", "term")
                 .sortWithinPartitions("field", "term")
                 .write.mode("overwrite")
                 .parquet(term_dict_path)

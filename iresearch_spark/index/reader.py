@@ -29,6 +29,7 @@ class IndexReader:
             self.meta = json.load(f)
         self._field_stats: dict[str, dict] = {}
         self._tables: dict[str, DataFrame] = {}
+        self._vocab_cache: dict[str, tuple | None] = {}
 
     # ------------------------------------------------------------- fields
     @property
@@ -77,8 +78,51 @@ class IndexReader:
 
     def term_dict(self, field: str | None = None) -> DataFrame:
         td = self._table("term_dict")
+        if "charmask" not in td.columns:
+            # index committed before the fuzzy-prefilter feature columns
+            # landed: derive tlen/charmask on the fly (same expressions the
+            # build persists — see index/termfeat.py)
+            from .termfeat import with_term_features
+
+            td = with_term_features(td)
         clause = self._field_clause(field) if "field" in td.columns else None
         return td.where(clause) if clause is not None else td
+
+    # in-memory term-dictionary cap for the fuzzy fast path (rows per field).
+    # ~48 bytes/row → the default caps the driver cache at ~100 MB, far above
+    # any natural-language vocabulary (enwiki ≈ 10M distinct body terms).
+    FUZZY_VOCAB_MAX = int(os.environ.get("IRS_FUZZY_VOCAB_MAX", "2000000"))
+
+    def fuzzy_vocab(self, field: str | None = None):
+        """Driver-cached (terms, df, tlen, charmask) numpy columns for one
+        field — the in-memory term-dictionary role of the reference's FST
+        (formats_burst_trie.cpp:857-861: the prefix index lives in memory on
+        the searching node; fuzzy intersects the automaton with it locally,
+        levenshtein_filter.cpp:139-310). Expanding a fuzzy query against this
+        cache is pure numpy (micro-seconds) instead of a dedicated Spark job
+        whose scheduling floor dwarfs the actual work.
+
+        BOUNDED: collected once per reader per field, only when the field's
+        vocabulary has ≤ ``FUZZY_VOCAB_MAX`` rows; larger vocabularies return
+        None and the caller keeps the fully distributed expansion (pushed-down
+        tlen/charmask prefilter + pandas-UDF DP) — nothing unbounded ever
+        reaches the driver."""
+        fname = self._resolve_field(field)
+        if fname in self._vocab_cache:
+            return self._vocab_cache[fname]
+        cols = self.term_dict(fname).select("term", "df", "tlen", "charmask")
+        pdf = cols.limit(self.FUZZY_VOCAB_MAX + 1).toPandas()
+        if len(pdf) > self.FUZZY_VOCAB_MAX:
+            self._vocab_cache[fname] = None
+            return None
+        out = (
+            pdf["term"].to_numpy(dtype=object),
+            pdf["df"].to_numpy(np.int64),
+            pdf["tlen"].to_numpy(np.int64),
+            pdf["charmask"].to_numpy(np.int64),
+        )
+        self._vocab_cache[fname] = out
+        return out
 
     def deletes(self) -> DataFrame | None:
         """(segment_id, doc_id) delete pairs — the document_mask

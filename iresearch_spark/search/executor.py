@@ -289,9 +289,40 @@ def expand_multiterm(
     if isinstance(node, flt.Fuzzy):
         q, maxd, max_terms = node.term, node.max_distance, node.max_terms
         transpose = getattr(node, "with_transpositions", False)
-        cand = td.where(
-            (F.length("term") >= len(q) - maxd) & (F.length("term") <= len(q) + maxd)
-        )
+        from ..index.termfeat import fuzzy_prefilter_np, fuzzy_prefilter_pred
+
+        # FAST PATH — driver-cached term dictionary (reader.fuzzy_vocab, the
+        # reference's in-memory FST role): prefilter + DP + selection are pure
+        # numpy, so fuzzy costs ZERO extra Spark jobs beyond the postings scan.
+        # Selection parity: top max_terms by boost = 1 - d/min(|term|, |q|)
+        # (levenshtein_filter.cpp:48-55, 158-165), ties towards the LARGER
+        # term (top_terms_collector.hpp:64-69); NOT first-max_terms in term
+        # order.
+        vocab = reader.fuzzy_vocab(fname)
+        if vocab is not None:
+            terms_a, df_a, tlen_a, mask_a = vocab
+            sel = fuzzy_prefilter_np(tlen_a, mask_a, q, maxd)
+            idx = np.flatnonzero(sel)
+            if idx.size == 0:
+                return [], None
+            cand_terms = terms_a[idx]
+            d = _fuzzy_distances(list(cand_terms), q, maxd, transpose=transpose)
+            keep = d <= maxd
+            if not keep.any():
+                return [], None
+            kt, kd, kdf = cand_terms[keep], d[keep], df_a[idx][keep]
+            lens = np.minimum(np.fromiter((len(t) for t in kt), np.int64, len(kt)), len(q))
+            fboost = 1.0 - kd / lens.astype(np.float64)
+            # sort by (fboost desc, term desc): lexsort is stable, keys last-major
+            order = np.lexsort((kt.astype("U"), fboost))[::-1][:max_terms]
+            return sorted((str(kt[i]), int(kdf[i])) for i in order), None
+
+        # DISTRIBUTED PATH (vocabulary above the driver-cache cap): the
+        # build-amortized prefilter (index/termfeat.py) — length window + two
+        # bit_count set-arithmetic lower bounds — evaluates JVM-side over the
+        # PERSISTED tlen/charmask columns (whole-stage codegen over ints); only
+        # the survivor set reaches the exact-DP pandas UDF below.
+        cand = td.where(fuzzy_prefilter_pred(q, maxd))
 
         def dists(batch: pd.Series) -> pd.Series:
             d = _fuzzy_distances(batch.tolist(), q, maxd, transpose=transpose)
@@ -300,10 +331,6 @@ def expand_multiterm(
         from pyspark.sql.functions import pandas_udf
 
         dist_udf = pandas_udf(dists, "long")
-        # reference candidate selection: keep the top max_terms by boost
-        # = 1 - distance / min(|term|, |query|) (levenshtein_filter.cpp:48-55,
-        # 158-165), ties broken towards the LARGER term
-        # (top_terms_collector.hpp:64-69); NOT first-max_terms in term order
         matched = (
             cand.withColumn("dist", dist_udf(F.col("term")))
             .where(F.col("dist") <= maxd)
