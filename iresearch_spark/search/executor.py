@@ -198,6 +198,74 @@ def _levenshtein_leq(
     return result
 
 
+def _ngram_chain_lengths(
+    keys: np.ndarray,
+    doc_rank: np.ndarray,
+    tvals: np.ndarray,
+    slot_lists: list[list[int]],
+    n_total: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Longest in-order strictly-increasing-position ngram chain per doc
+    (ngram_similarity_query.cpp "search path"), fully vectorized ACROSS DOCS:
+    events are grouped by (doc, pos) key and all docs advance one
+    position-group per step in lockstep — a step is a masked running-max over
+    a (docs × n_total) dp matrix, so the Python iteration count is the LONGEST
+    single doc stream, not the total event count (the previous per-event
+    interpreted loop paid O(total_events) Python steps; a common-ngram query
+    over a big segment has millions of events).
+
+    Events in one (doc, pos) group all read the pre-group dp snapshot —
+    0-increment same-position tokens (synonym streams) cannot extend each
+    other and inflate L. ``keys`` must be sorted (doc-major, then position);
+    ``slot_lists[ti]`` = the query slots term index ti fills (a query may
+    repeat an ngram). Returns (doc ranks with ≥1 event, chain length L per
+    such doc), doc ranks ascending."""
+    new_grp = np.empty(keys.size, dtype=bool)
+    new_grp[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=new_grp[1:])
+    grp = np.cumsum(new_grp) - 1  # global (doc, pos) group id per event
+    docs_u, doc_local = np.unique(doc_rank, return_inverse=True)
+    grp_doc = doc_local[np.flatnonzero(new_grp)]  # doc per global group
+    fg_mask = np.empty(grp_doc.size, dtype=bool)
+    fg_mask[0] = True
+    np.not_equal(grp_doc[1:], grp_doc[:-1], out=fg_mask[1:])
+    first_grp = np.zeros(docs_u.size, np.int64)
+    first_grp[grp_doc[fg_mask]] = np.flatnonzero(fg_mask)
+    gseq = grp - first_grp[doc_local]  # per-doc group sequence number
+    # expand events to (doc, gseq, query-slot) triples
+    ed_l, eg_l, eq_l = [], [], []
+    for ti, slots in enumerate(slot_lists):
+        m = tvals == ti
+        if not m.any():
+            continue
+        for qi in slots:
+            ed_l.append(doc_local[m])
+            eg_l.append(gseq[m])
+            eq_l.append(np.full(int(m.sum()), qi, np.int64))
+    ed = np.concatenate(ed_l)
+    eg = np.concatenate(eg_l)
+    eq = np.concatenate(eq_l)
+    order = np.lexsort((ed, eg))
+    ed, eg, eq = ed[order], eg[order], eq[order]
+    n_steps = int(eg[-1]) + 1
+    bounds = np.searchsorted(eg, np.arange(n_steps + 1))
+    dp = np.zeros((docs_u.size, n_total), np.int64)
+    for s in range(n_steps):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        if lo == hi:
+            continue
+        rows, inv = np.unique(ed[lo:hi], return_inverse=True)
+        sub = dp[rows]
+        pm = np.maximum.accumulate(sub, axis=1)
+        cand = np.empty_like(sub)
+        cand[:, 0] = 1  # slot 0 extends the empty chain
+        cand[:, 1:] = pm[:, :-1] + 1
+        pres = np.zeros(sub.shape, dtype=bool)
+        pres[inv, eq[lo:hi]] = True
+        dp[rows] = np.where(pres & (cand > sub), cand, sub)
+    return docs_u, dp.max(axis=1)
+
+
 def _spec_of(node: flt.Filter) -> tuple | None:
     """Serializable term-predicate spec for a multiterm filter — the form the
     per-segment kernels re-evaluate when the expansion overflows
@@ -1909,41 +1977,16 @@ class Searcher:
             order = np.argsort(keys, kind="stable")
             keys, tvals = keys[order], tvals[order]
             doc_rank = (keys // PACK).astype(np.int64)
-            # per-candidate LCS DP (doc count already cut by the prefilter);
-            # stream per doc is short — the O(stream*N) DP runs in Python only
-            # over candidate docs, the gather above is fully vectorized
+            # lockstep-across-docs chain DP (no per-event Python; see
+            # _ngram_chain_lengths)
             term_list = list(per_term.keys())
-            out_ids, out_scores = [], []
-            bounds = np.flatnonzero(np.diff(doc_rank, prepend=-1))
-            bounds = np.append(bounds, doc_rank.size)
-            for bi in range(bounds.size - 1):
-                lo, hi = int(bounds[bi]), int(bounds[bi + 1])
-                dp = [0] * n_total
-                e = lo
-                while e < hi:
-                    # one (doc, pos) group at a time: chain extensions must use
-                    # STRICTLY smaller positions, so every event in the group
-                    # reads a snapshot taken before the group — 0-increment
-                    # same-position tokens (synonym streams) can't extend each
-                    # other and inflate L
-                    g = e
-                    while g < hi and keys[g] == keys[e]:
-                        g += 1
-                    snap = dp[:]
-                    for ev in range(e, g):
-                        for qi in slots_of[term_list[tvals[ev]]]:
-                            best_prev = max(snap[:qi], default=0)
-                            if best_prev + 1 > dp[qi]:
-                                dp[qi] = best_prev + 1
-                    e = g
-                L = max(dp)
-                if L >= min_match:
-                    out_ids.append(int(cand[doc_rank[lo]]))
-                    out_scores.append(boost * L / n_total)
-            if not out_ids:
+            slot_lists = [slots_of[t] for t in term_list]
+            docs_u, L = _ngram_chain_lengths(keys, doc_rank, tvals, slot_lists, n_total)
+            hit = L >= min_match
+            if not hit.any():
                 return empty
-            ids = np.asarray(out_ids, dtype=np.int64)
-            scores = np.asarray(out_scores, dtype=np.float64)
+            ids = cand[docs_u[hit]].astype(np.int64)
+            scores = (boost * L[hit] / n_total).astype(np.float64)
             ids_k, scores_k = _local_topk(ids, scores, k)
             return pd.DataFrame(
                 {

@@ -146,6 +146,97 @@ def test_fuzzy_end_to_end_unchanged(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# vectorized ngram chain DP: equality with the scalar per-event reference loop
+# on dense random streams, and a speed sanity check
+# --------------------------------------------------------------------------
+
+
+def _scalar_chain_dp(keys, doc_rank, tvals, slot_lists, n_total):
+    """The previous per-event interpreted DP, kept as the test reference."""
+    import numpy as np
+
+    out = {}
+    bounds = np.flatnonzero(np.diff(doc_rank, prepend=-1))
+    bounds = np.append(bounds, doc_rank.size)
+    for bi in range(bounds.size - 1):
+        lo, hi = int(bounds[bi]), int(bounds[bi + 1])
+        dp = [0] * n_total
+        e = lo
+        while e < hi:
+            g = e
+            while g < hi and keys[g] == keys[e]:
+                g += 1
+            snap = dp[:]
+            for ev in range(e, g):
+                for qi in slot_lists[tvals[ev]]:
+                    best_prev = max(snap[:qi], default=0)
+                    if best_prev + 1 > dp[qi]:
+                        dp[qi] = best_prev + 1
+            e = g
+        out[int(doc_rank[lo])] = max(dp)
+    return out
+
+
+def _rand_streams(rng, n_docs, max_events, n_terms, dup_pos_frac=0.2):
+    import numpy as np
+
+    keys_l, tvals_l = [], []
+    PACK = np.int64(1) << np.int64(32)
+    for d in range(n_docs):
+        n_ev = rng.randint(1, max_events)
+        pos = np.sort(rng.randint(0, max(2, n_ev * 2), size=n_ev))
+        if dup_pos_frac and n_ev > 3:  # force same-position groups
+            dup = rng.rand(n_ev) < dup_pos_frac
+            pos[dup] = pos[np.maximum(np.flatnonzero(dup) - 1, 0)]
+            pos = np.sort(pos)
+        keys_l.append(np.int64(d) * PACK + pos)
+        tvals_l.append(rng.randint(0, n_terms, size=n_ev).astype(np.int64))
+    keys = np.concatenate(keys_l)
+    tvals = np.concatenate(tvals_l)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], tvals[order], (keys[order] // PACK).astype(np.int64)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_ngram_chain_dp_matches_scalar(seed):
+    import numpy as np
+
+    from iresearch_spark.search.executor import _ngram_chain_lengths
+
+    rng = np.random.RandomState(seed)
+    n_total = 4
+    slot_lists = [[0, 2], [1], [3]]  # term 0 fills two query slots
+    keys, tvals, doc_rank = _rand_streams(rng, n_docs=120, max_events=40, n_terms=3)
+    docs_u, L = _ngram_chain_lengths(keys, doc_rank, tvals, slot_lists, n_total)
+    exp = _scalar_chain_dp(keys, doc_rank, tvals, slot_lists, n_total)
+    got = {int(d): int(v) for d, v in zip(docs_u, L)}
+    assert got == exp
+
+
+def test_ngram_chain_dp_faster_on_dense(benchmark=None):
+    import time
+
+    import numpy as np
+
+    from iresearch_spark.search.executor import _ngram_chain_lengths
+
+    rng = np.random.RandomState(7)
+    slot_lists = [[0], [1], [2]]
+    # dense: 3000 docs × ~80 events — the shape where the per-event Python
+    # loop pays ~240k interpreter steps
+    keys, tvals, doc_rank = _rand_streams(rng, n_docs=3000, max_events=80, n_terms=3)
+    t0 = time.time()
+    docs_u, L = _ngram_chain_lengths(keys, doc_rank, tvals, slot_lists, 3)
+    t_vec = time.time() - t0
+    t0 = time.time()
+    exp = _scalar_chain_dp(keys, doc_rank, tvals, slot_lists, 3)
+    t_scalar = time.time() - t0
+    assert {int(d): int(v) for d, v in zip(docs_u, L)} == exp
+    # generous margin — vectorized must beat the interpreted loop outright
+    assert t_vec < t_scalar, (t_vec, t_scalar)
+
+
+# --------------------------------------------------------------------------
 # compile-time errors instead of kernel-time failures
 # --------------------------------------------------------------------------
 
