@@ -199,6 +199,40 @@ def ivf_centroids(
     return cents
 
 
+def ivf_materialize(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Persist the corpus PARTITIONED BY its IVF list assignment and return
+    the partitioned table.
+
+    This is what makes IVF an actual ANN index at 100 TB: ``list_id`` becomes
+    a physical partition directory, so a probe (``list_id IN (...)``) is a
+    Catalyst partition filter — only ~nprobe/n_lists of the files are even
+    listed, instead of re-evaluating the assignment expression over every row
+    per query. The assignment expression itself is deterministic
+    (:func:`ivf_assign_col`), so the materialized table replays exactly."""
+    out = df.select(
+        F.col(id_col), F.col(vec_col), ivf_assign_col(vec_col, centroids).alias("list_id")
+    )
+    out.write.partitionBy("list_id").mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def ivf_probe_lists(query: list[float], centroids: list[list[float]], nprobe: int) -> list[int]:
+    """The ``nprobe`` list ids nearest the query (same rounded algebraic L2
+    as :func:`ivf_assign_col`, ties to the smaller id)."""
+    qq = sum(x * x for x in query)
+    dists = sorted(
+        (round(qq - 2.0 * sum(a * b for a, b in zip(query, c)) + sum(x * x for x in c), 6), i)
+        for i, c in enumerate(centroids)
+    )
+    return [i for _, i in dists[:nprobe]]
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],
@@ -213,20 +247,19 @@ def ivf_topk(
     """IVF approximate top-k: exact cosine restricted to the ``nprobe``
     inverted lists whose centroids are nearest the query.
 
-    The scale path next to sign-LSH: the coarse quantizer partitions the
-    corpus into n_lists cells (assignment is a pushed-down in-scan
-    expression; with the assignment persisted as a partition column the
-    probe prunes files), and only ~nprobe/n_lists of the corpus is scanned
-    per query."""
+    The scale path next to sign-LSH. When ``df`` carries a ``list_id``
+    column (a table written by :func:`ivf_materialize`), the probe is a
+    partition filter — Catalyst prunes the non-probed lists' files and only
+    ~nprobe/n_lists of the corpus is read. Otherwise the assignment
+    expression is evaluated in-scan (correct, but a full-corpus scan per
+    query — materialize for ANN-grade probe cost)."""
     if centroids is None:
         centroids = ivf_centroids(df, n_lists, seed, vec_col, dim=len(query))
-    qq = sum(x * x for x in query)
-    dists = sorted(
-        (round(qq - 2.0 * sum(a * b for a, b in zip(query, c)) + sum(x * x for x in c), 6), i)
-        for i, c in enumerate(centroids)
-    )
-    probe = [i for _, i in dists[:nprobe]]
-    cand = df.where(ivf_assign_col(vec_col, centroids).isin(probe))
+    probe = ivf_probe_lists(query, centroids, nprobe)
+    if "list_id" in df.columns:
+        cand = df.where(F.col("list_id").isin(probe))
+    else:
+        cand = df.where(ivf_assign_col(vec_col, centroids).isin(probe))
     return cosine_topk(cand, query, k, id_col, vec_col)
 
 

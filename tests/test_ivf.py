@@ -64,6 +64,36 @@ def test_ivf_topk_high_recall_on_clustered_data(emb):
     )
 
 
+def test_materialized_probe_prunes_partitions(emb, tmp_path):
+    cents = vecops.ivf_centroids(emb, n_lists=4, seed=23)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    mat = vecops.ivf_materialize(emb, cents, str(tmp_path / "ivf"))
+    assert "list_id" in mat.columns
+    # identical results materialized vs in-scan assignment
+    got = [
+        (r["vec_id"], round(r["cos_sim"], 4))
+        for r in vecops.ivf_topk(mat, qv, k=10, nprobe=2, centroids=cents).collect()
+    ]
+    exp = [
+        (r["vec_id"], round(r["cos_sim"], 4))
+        for r in vecops.ivf_topk(emb, qv, k=10, n_lists=4, nprobe=2, seed=23).collect()
+    ]
+    assert got == exp
+    # the probe must be a Catalyst PARTITION filter: the physical scan of the
+    # probed table lists only the probed list_id directories
+    probe = vecops.ivf_probe_lists(qv, cents, 2)
+    cand = mat.where(F.col("list_id").isin(probe))
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    # list_id must appear as a PARTITION filter (directory pruning), not a
+    # post-scan data filter
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "list_id" in pf, plan
+    # and the probe reads exactly the probed lists' rows
+    sizes = {int(r["list_id"]): int(r["count"]) for r in mat.groupBy("list_id").count().collect()}
+    assert cand.count() == sum(sizes.get(p, 0) for p in probe)
+
+
 def test_probe_scans_subset(emb):
     cents = vecops.ivf_centroids(emb, n_lists=4, seed=23)
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
