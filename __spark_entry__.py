@@ -153,6 +153,49 @@ def _fields_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     return _READERS[key]
 
 
+def _pay_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """PAY-stream index: every token of the corpus is rewritten as
+    ``token|payload`` with payload = (doc_id*7 + pos*13) % 1000 (pos 1-based),
+    analyzed with the delimited-payload analyzer and built with
+    ``with_payloads=True`` — the engine must parse, encode and round-trip the
+    per-occurrence payload stream; the oracle recomputes the payload formula
+    directly from (doc_id, pos)."""
+    key = (sf_dir, "pay")
+    if key in _READERS:
+        return _READERS[key]
+    h = hashlib.md5(f"{sf_dir}|pay".encode()).hexdigest()[:10]
+    path = os.path.join("/tmp", f"iresearch_entry_idx_v3_{h}")
+    os.makedirs(path, exist_ok=True)
+    builder = IndexBuilder(
+        spark, path, analyzer="payload:|", num_segments=4, with_payloads=True
+    )
+    if builder.read_meta() is None:
+        toks = F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
+        )
+        df = (
+            _docs(spark, sf_dir)
+            .withColumn("doc_key", F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+            .withColumn(
+                "ptext",
+                F.array_join(
+                    F.transform(
+                        toks,
+                        lambda x, i: F.concat(
+                            x,
+                            F.lit("|"),
+                            ((F.col("doc_id") * 7 + (i + 1) * 13) % 1000).cast("string"),
+                        ),
+                    ),
+                    " ",
+                ),
+            )
+        )
+        builder.build(df, key_col="doc_key", text_col="ptext")
+    _READERS[key] = IndexReader(spark, path)
+    return _READERS[key]
+
+
 def _append_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     """Index built as TWO generations (build half, append half): global BM25
     stats re-aggregate across appends, so every query must equal the
@@ -859,6 +902,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_highlight_offsets"] = highlight_offsets
 
+    def payloads_q(s, d):
+        # PAY stream: per-occurrence (pos, payload) of each query term in the
+        # BM25 top-k docs; payload = (doc_id*7 + pos*13) % 1000 by corpus
+        # construction, so the oracle recomputes it from first principles —
+        # any codec/stream-alignment bug breaks the value hash
+        reader = _pay_index(s, d)
+        res = Searcher(reader, k1=K1, b=B).payloads(
+            flt.Or((flt.Term("scan"), flt.Term("dup"))), k=TOPK
+        )
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.col("term"),
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("payload").cast("bigint").alias("payload"),
+        ).orderBy("doc_id", "term", "pos")
+
+    q["q_payloads"] = payloads_q
+
     # ---- text analysis / pipeline ops (declarative DataFrame plans) ----
     q["q_token_stats"] = lambda s, d: textops.token_stats(_docs(s, d)).select(
         "doc_id", F.col("n_tokens").cast("long"), F.col("n_unique").cast("long")
@@ -1082,6 +1143,38 @@ SELECT doc_id, term, CAST(start AS BIGINT) AS start,
        CAST(start + length(term) AS BIGINT) AS "end"
 FROM hl WHERE start >= 0
 ORDER BY doc_id, term"""
+
+    # PAY payloads: BM25 top-k of Or(scan, dup) (same legs as the highlight
+    # oracle), then one row per query-term occurrence in those docs with its
+    # 1-based token position and the corpus's payload formula
+    o["q_payloads"] = f"""{_BM25_CTE},
+q AS (SELECT term FROM dfreq WHERE term IN ('scan','dup')),
+leg AS (
+  SELECT tf.doc_id,
+         (2.2 * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))) * tf.tf
+           / ((1.2*(1-0.75)) + (1.2*0.75) * dl.dl / st.avgdl + tf.tf) AS s
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN dfreq d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st
+),
+topk AS (
+  SELECT doc_id FROM (
+    SELECT leg.doc_id, sum(leg.s) AS s_sum FROM leg GROUP BY leg.doc_id
+  ) ORDER BY s_sum DESC, doc_id LIMIT {TOPK}
+),
+pp AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), 1) AS pos
+  FROM documents
+)
+SELECT t.doc_id, pp.term, pp.pos::BIGINT AS pos,
+       ((t.doc_id * 7 + pp.pos * 13) % 1000)::BIGINT AS payload
+FROM topk t JOIN pp ON pp.doc_id = t.doc_id
+WHERE pp.term IN ('scan','dup')
+ORDER BY t.doc_id, pp.term, pp.pos"""
 
     o["q_term_title_field"] = f"""{_TWO_FIELD_CTE}
 SELECT doc_id, CAST(round(s, 4) AS DOUBLE) AS score

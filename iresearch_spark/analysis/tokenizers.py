@@ -151,6 +151,37 @@ def synonym_tokenizer(
     return _run
 
 
+def payload_tokenizer(sep: str = "|", base: Tokenizer | None = None) -> Tokenizer:
+    """Delimited-payload analyzer — the PAY stream producer
+    (token_attributes.hpp ``payload`` attribute; the reference persists
+    per-position payload bytes in the ``.pay`` stream,
+    formats_10.cpp:345-353; the delimited convention is the standard way
+    token streams attach payloads, cf. Lucene's DelimitedPayloadTokenFilter).
+
+    Input text is whitespace-split into ``token<sep>payload`` pieces: the
+    token part is lowercased, the payload part parsed as a non-negative
+    integer (0 when absent/invalid). Emits ``(tokens, payloads)`` pairs;
+    ``emits_payloads`` marks the contract for the invert kernel, which
+    persists one payload per occurrence in the ``payloads`` sidecar."""
+
+    def _run(texts: pd.Series) -> pd.Series:
+        def _one(s: str):
+            ts: list[str] = []
+            ps: list[int] = []
+            for piece in (s or "").split():
+                tok, _, pay = piece.rpartition(sep)
+                if not tok:  # no separator: bare token, payload 0
+                    tok, pay = piece, ""
+                ts.append(tok.lower())
+                ps.append(int(pay) if pay.isdigit() else 0)
+            return (ts, ps)
+
+        return texts.fillna("").map(_one)
+
+    _run.emits_payloads = True
+    return _run
+
+
 def pipeline(*stages: Callable[[pd.Series], pd.Series]) -> Tokenizer:
     """pipeline_token_stream.cpp: compose — first stage takes text, later
     stages take token lists (applied token-wise via re-tokenize of joins is NOT
@@ -350,6 +381,7 @@ def stem_tokenize(texts: pd.Series) -> pd.Series:
 
 _REGISTRY: dict[str, Tokenizer] = {
     "simple": simple_tokenize,
+    "payload": payload_tokenizer(),
     "segmentation": segmentation_tokenize,
     "text": text_tokenize,
     "text_en": text_en_tokenize,
@@ -442,6 +474,8 @@ def get_tokenizer(name: str) -> Tokenizer:
             loc = parts[0] or "en"
             words = tuple(w for w in parts[1:] if w) if len(parts) > 1 else None
             return lambda s, l=loc, w=words: text_tokenize(s, l, w)
+        if kind == "payload":  # payload:<sep> — delimited per-occurrence payloads
+            return payload_tokenizer(arg or "|")
         if kind == "simple+syn":  # simple+syn:word=alias,word2=alias2
             syn = dict(pair.split("=", 1) for pair in arg.split(",") if pair)
             return synonym_tokenizer(syn)

@@ -101,6 +101,16 @@ OFFSETS_SCHEMA = (
     "doc_ids_enc binary, freqs_enc binary, offs_enc binary"
 )
 
+# PAY stream sidecar (token_attributes.hpp payload; formats_10.cpp:345-353
+# `.pay`): one integer payload per occurrence, in the same (term, doc, pos)
+# stream order and codec as positions; pos_enc rides along so the table is
+# self-contained (per-occurrence (position, payload) pairs decode without a
+# join back to postings).
+PAYLOADS_SCHEMA = (
+    "term string, segment_id int, docs_count int, "
+    "doc_ids_enc binary, freqs_enc binary, pos_enc binary, pay_enc binary"
+)
+
 LINEAGE_SCHEMA = (
     "segment_id int, n_docs long, n_terms long, n_tokens long, "
     "seconds double, skipped boolean"
@@ -192,6 +202,7 @@ class IndexBuilder:
         num_segments: int | None = None,
         with_positions: bool = True,
         with_offsets: bool = False,
+        with_payloads: bool = False,
         postings_partitions: int | None = None,
     ):
         """``analyzer`` is a registry name/spec (resolved on executors) or a
@@ -214,6 +225,21 @@ class IndexBuilder:
                 "with_offsets=True requires the 'simple' analyzer (token "
                 "offsets are derived from the Arrow string buffers)"
             )
+        # PAY stream (payload attribute): persist one integer payload per
+        # occurrence in a `payloads` sidecar. Requires a payload-emitting
+        # analyzer (the delimited-payload `payload:<sep>` spec or a callable
+        # with emits_payloads=True) and positions (the sidecar pairs each
+        # payload with its position).
+        self.with_payloads = with_payloads
+        if with_payloads:
+            if not with_positions:
+                raise ValueError("with_payloads=True requires with_positions")
+            anl = get_tokenizer(analyzer) if isinstance(analyzer, str) else analyzer
+            if not getattr(anl, "emits_payloads", False):
+                raise ValueError(
+                    "with_payloads=True requires a payload-emitting analyzer "
+                    "(e.g. 'payload:|' — delimited per-occurrence payloads)"
+                )
         self.postings_partitions = postings_partitions
 
     def _resolve_fields(self, text_col, fields) -> list[tuple[str, str, object]]:
@@ -244,6 +270,8 @@ class IndexBuilder:
             raise ValueError(
                 "with_offsets=True supports a single 'simple'-analyzed field"
             )
+        if self.with_payloads and len(out) > 1:
+            raise ValueError("with_payloads=True supports a single field")
         return out
 
     # ---------------------------------------------------------------- build
@@ -291,6 +319,9 @@ class IndexBuilder:
             offsets_paths=(
                 [os.path.join(gen_dir, "offsets")] if self.with_offsets else None
             ),
+            payloads_paths=(
+                [os.path.join(gen_dir, "payloads")] if self.with_payloads else None
+            ),
         )
 
     def _invert_and_layout(
@@ -321,13 +352,17 @@ class IndexBuilder:
         fspecs = list(field_list)
         with_positions = self.with_positions
         with_offsets = self.with_offsets
+        with_payloads = self.with_payloads
 
         docs_path = os.path.join(gen_dir, "docs")
         norms_path = os.path.join(gen_dir, "norms")
         raw_path = os.path.join(gen_dir, "postings_raw")
         offsets_path = os.path.join(gen_dir, "offsets")
-        part_dirs = [docs_path, norms_path, raw_path] + (
-            [offsets_path] if with_offsets else []
+        payloads_path = os.path.join(gen_dir, "payloads")
+        part_dirs = (
+            [docs_path, norms_path, raw_path]
+            + ([offsets_path] if with_offsets else [])
+            + ([payloads_path] if with_payloads else [])
         )
         for p in part_dirs:
             os.makedirs(p, exist_ok=True)
@@ -404,6 +439,9 @@ class IndexBuilder:
             if with_offsets:
                 offsets_file = _os.path.join(offsets_path, f"part-{sid:05d}.parquet")
                 part_files.append(offsets_file)
+            if with_payloads:
+                payloads_file = _os.path.join(payloads_path, f"part-{sid:05d}.parquet")
+                part_files.append(payloads_file)
 
             def lineage(n_docs, n_terms, n_tokens, skipped):
                 return pa.RecordBatch.from_arrays(
@@ -447,9 +485,10 @@ class IndexBuilder:
                 """Tokenize + term-id encode ONE field's column: Arrow fast
                 path (tokens never become Python objects) or pandas fallback
                 for custom analyzers. Returns (codes, uniq_terms, lens,
-                tok_counts, explicit_pos, tok_start)."""
+                tok_counts, explicit_pos, tok_start, payloads)."""
                 explicit_pos = None  # set by positional analyzers (synonyms)
                 tok_start = None
+                payloads = None  # flat per-occurrence ints (PAY stream)
                 res = (
                     arrow_tokenize_encode(tbl.column(fcol), tokenizer_spec)
                     if isinstance(tokenizer_spec, str)
@@ -463,7 +502,7 @@ class IndexBuilder:
                         tok_start, _tok_len = arrow_simple_token_offsets(
                             tbl.column(fcol)
                         )
-                    return codes, uniq_terms, lens, tok_counts, explicit_pos, tok_start
+                    return codes, uniq_terms, lens, tok_counts, explicit_pos, tok_start, payloads
                 tokenizer = (
                     get_tokenizer(tokenizer_spec)
                     if isinstance(tokenizer_spec, str)
@@ -483,6 +522,17 @@ class IndexBuilder:
                     lens = np.fromiter(
                         (max(p) if p else 0 for p in pos_lists), count=n_docs, dtype=np.int64
                     )
+                elif getattr(tokenizer, "emits_payloads", False):
+                    # analyzer emits (tokens, payloads): one payload per
+                    # occurrence (payload attribute, token_attributes.hpp)
+                    tok_lists = [t for t, _ in tok_res]
+                    pay_lists = [p for _, p in tok_res]
+                    payloads = (
+                        np.concatenate([np.asarray(p, dtype=np.int64) for p in pay_lists])
+                        if tok_res
+                        else np.empty(0, np.int64)
+                    )
+                    lens = None
                 else:
                     tok_lists = tok_res
                     lens = None
@@ -497,7 +547,7 @@ class IndexBuilder:
                     flat[off : off + len(t)] = t
                     off += len(t)
                 codes, uniq_arr = pd.factorize(flat)
-                return codes, list(uniq_arr), lens, tok_counts, explicit_pos, tok_start
+                return codes, list(uniq_arr), lens, tok_counts, explicit_pos, tok_start, payloads
 
             per_field = [
                 (fname,) + tokenize_field(fcol, fspec) for fname, fcol, fspec in fspecs
@@ -531,7 +581,7 @@ class IndexBuilder:
                 )
             }
             chunk_bounds = list(range(0, int(n_docs), NORMS_CHUNK_DOCS)) + [int(n_docs)]
-            for fname, _codes, _uniq, lens, _tc, _ep, _ts in per_field:
+            for fname, _codes, _uniq, lens, _tc, _ep, _ts, _pay in per_field:
                 chunks = [
                     lens[lo:hi] for lo, hi in zip(chunk_bounds[:-1], chunk_bounds[1:])
                 ]
@@ -583,7 +633,7 @@ class IndexBuilder:
             raw_tables = []
             total_tokens = 0
             total_terms = 0
-            for fname, codes, uniq_terms, lens, tok_counts, explicit_pos, tok_start in per_field:
+            for fname, codes, uniq_terms, lens, tok_counts, explicit_pos, tok_start, payloads in per_field:
                 n_tokens = int(tok_counts.sum())
                 if n_tokens == 0:
                     continue
@@ -670,6 +720,37 @@ class IndexBuilder:
                         offsets_file,
                         attempt,
                     )
+
+                # ---- payloads sidecar (PAY stream): one integer payload per
+                # occurrence in the SAME (term, doc, pos) order as positions
+                # (formats_10.cpp:345-353 `.pay`); doc/freq/pos streams are
+                # shared with enc_cols so (position, payload) pairs decode
+                # without a postings join ----
+                if with_payloads:
+                    if payloads is None:
+                        raise ValueError(
+                            "with_payloads requires a payload-emitting analyzer"
+                        )
+                    from .codec import encode_value_stream_arrow
+
+                    pay_arr = encode_value_stream_arrow(
+                        payloads[order], s_counts, bounds
+                    )
+                    _atomic_write_parquet(
+                        pa.table(
+                            {
+                                "term": pa.array(list(uniq_terms), pa.string()),
+                                "segment_id": pa.array(np.full(T, sid, np.int32), pa.int32()),
+                                "docs_count": enc_cols["docs_count"],
+                                "doc_ids_enc": enc_cols["doc_ids_enc"],
+                                "freqs_enc": enc_cols["freqs_enc"],
+                                "pos_enc": enc_cols["pos_enc"],
+                                "pay_enc": pay_arr,
+                            }
+                        ),
+                        payloads_file,
+                        attempt,
+                    )
             if not raw_tables:
                 _atomic_write_parquet(raw_schema.empty_table(), raw_file, attempt)
                 yield lineage(n_docs, 0, 0, False)
@@ -715,11 +796,18 @@ class IndexBuilder:
         # (north-star manifest: segment_id, rows, tokens, seconds, skipped) —
         # writing it IS the job's action, no extra pass.
         lineage_path = os.path.join(gen_dir, "lineage")
-        segments_done = self._stage_done(run_id, gen, "segments", docs_path) and (
-            # a prior run under a different offsets mode must not satisfy
-            # resume: the sidecar parts would be missing
-            not with_offsets
-            or os.path.exists(os.path.join(offsets_path, "_SUCCESS"))
+        segments_done = (
+            self._stage_done(run_id, gen, "segments", docs_path)
+            and (
+                # a prior run under a different sidecar mode must not satisfy
+                # resume: the sidecar parts would be missing
+                not with_offsets
+                or os.path.exists(os.path.join(offsets_path, "_SUCCESS"))
+            )
+            and (
+                not with_payloads
+                or os.path.exists(os.path.join(payloads_path, "_SUCCESS"))
+            )
         )
         if not segments_done:
             t0 = time.time()
@@ -768,6 +856,10 @@ class IndexBuilder:
             if with_offsets:
                 spark.createDataFrame([], OFFSETS_SCHEMA).write.mode("overwrite").parquet(
                     offsets_path
+                )
+            if with_payloads:
+                spark.createDataFrame([], PAYLOADS_SCHEMA).write.mode("overwrite").parquet(
+                    payloads_path
                 )
             if fuse_term_dict:
                 self._manifest(run_id, gen, "term_dict", "done", 0.0)
@@ -839,6 +931,7 @@ class IndexBuilder:
         last_stream_batch: int | None = None,
         term_sources: list[str] | None = None,
         offsets_paths: list[str] | None = None,
+        payloads_paths: list[str] | None = None,
     ) -> dict:
         """term_dict aggregation + two-phase commit.
 
@@ -905,6 +998,10 @@ class IndexBuilder:
                 "norms": norms_paths if len(norms_paths) > 1 else norms_paths[0],
             }
         )
+        if payloads_paths:
+            tables["payloads"] = (
+                payloads_paths if len(payloads_paths) > 1 else payloads_paths[0]
+            )
         if offsets_paths:
             tables["offsets"] = (
                 offsets_paths if len(offsets_paths) > 1 else offsets_paths[0]
@@ -976,6 +1073,11 @@ class IndexBuilder:
                 "append with_offsets must match the existing index "
                 f"(index has offsets: {'offsets' in meta['tables']})"
             )
+        if self.with_payloads != ("payloads" in meta["tables"]):
+            raise ValueError(
+                "append with_payloads must match the existing index "
+                f"(index has payloads: {'payloads' in meta['tables']})"
+            )
         key_col = key_col or meta["key_col"]
         stored_cols = tuple(stored_cols if stored_cols is not None else meta["stored_cols"])
         if fields is not None:
@@ -1030,6 +1132,11 @@ class IndexBuilder:
             offsets_paths=(
                 paths_of(meta["tables"]["offsets"]) + [os.path.join(gen_dir, "offsets")]
                 if self.with_offsets
+                else None
+            ),
+            payloads_paths=(
+                paths_of(meta["tables"]["payloads"]) + [os.path.join(gen_dir, "payloads")]
+                if self.with_payloads
                 else None
             ),
         )

@@ -414,6 +414,44 @@ def decode_freqs(
     return vbyte_decode(sel).astype(np.int64)
 
 
+def encode_value_stream_arrow(
+    values: np.ndarray, freqs: np.ndarray, term_bounds: np.ndarray
+) -> "object":
+    """Per-term vbyte buffers of ABSOLUTE per-occurrence values — the PAY
+    payload stream codec (formats_10.cpp:345-353 `.pay`). Unlike positions,
+    payloads are arbitrary non-negative ints with no monotonicity, so no
+    delta step (a delta could be negative, which the unsigned varint cannot
+    carry). ``values`` is the flattened (term, doc, occurrence)-ordered
+    stream, ``freqs`` the per-(term, doc) occurrence counts, ``term_bounds``
+    the (len T+1) posting-row bounds per term. Returns a zero-copy Arrow
+    binary array of one buffer per term; decode with :func:`vbyte_decode`."""
+    import pyarrow as pa
+
+    values = np.asarray(values, dtype=np.int64)
+    if values.size and int(values.min()) < 0:
+        raise ValueError("payload values must be non-negative")
+    freqs = np.asarray(freqs, dtype=np.int64)
+    term_bounds = np.asarray(term_bounds, dtype=np.int64)
+    if values.size != int(freqs.sum()):
+        raise ValueError("values length must equal sum(freqs)")
+    T = term_bounds.size - 1
+    ppre = np.zeros(freqs.size + 1, dtype=np.int64)
+    np.cumsum(freqs, out=ppre[1:])
+    tok_bounds = ppre[term_bounds]
+    buf = vbyte_encode(values)
+    lpre = np.zeros(values.size + 1, dtype=np.int64)
+    np.cumsum(_vbyte_len(values), out=lpre[1:])
+    byte_bounds = lpre[tok_bounds]
+    if byte_bounds.size and int(byte_bounds[-1]) >= 2**31:
+        raise ValueError(
+            f"segment payload column exceeds 2 GiB ({int(byte_bounds[-1])} bytes): "
+            "increase num_segments"
+        )
+    data = pa.py_buffer(buf)
+    offsets = pa.py_buffer(byte_bounds.astype(np.int32))
+    return pa.Array.from_buffers(pa.binary(), T, [None, offsets, data])
+
+
 def decode_positions(pos_enc: bytes, freqs: np.ndarray) -> np.ndarray:
     """Decode the flattened per-doc delta positions back to absolute positions."""
     if not pos_enc:

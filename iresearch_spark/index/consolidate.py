@@ -207,6 +207,12 @@ def consolidate(
             "rebuild the index after consolidation or keep offsets indexes "
             "unconsolidated"
         )
+    if "payloads" in reader.meta.get("tables", {}):
+        raise NotImplementedError(
+            "consolidate() does not yet merge the PAY payloads sidecar; "
+            "rebuild the index after consolidation or keep payload indexes "
+            "unconsolidated"
+        )
     gen_dir = os.path.join(index_path, f"gen={gen}")
     os.makedirs(gen_dir, exist_ok=True)
 

@@ -2109,6 +2109,105 @@ class Searcher:
             .orderBy(F.desc("score"), "segment_id", "doc_id", "term")
         )
 
+    def payloads(self, f: flt.Filter, k: int = 10, dtype: str = "float64") -> DataFrame:
+        """Per-occurrence payloads of the query's terms in the top-k docs —
+        the PAY stream query surface (payload attribute,
+        token_attributes.hpp; `.pay` stream formats_10.cpp:345-353).
+
+        Requires an index built with ``IndexBuilder(..., with_payloads=True)``
+        and a payload-emitting analyzer (``payload:<sep>``). Returns one row
+        per (top-k doc, query-term occurrence): ``(doc_key, segment_id,
+        doc_id, score, term, pos, payload)``.
+
+        Scale shape mirrors :meth:`highlight`: top-k is the normal pruned
+        search; the payload decode is a mapInPandas over the term+segment-
+        pruned sidecar scan with the ≤k target docs broadcast."""
+        if "payloads" not in self.reader.meta.get("tables", {}):
+            raise ValueError(
+                "index has no payloads sidecar: build with "
+                "IndexBuilder(..., with_payloads=True)"
+            )
+
+        def terms_of(node: flt.Filter) -> set[str]:
+            if isinstance(node, flt.Term):
+                return {node.term}
+            if isinstance(node, flt.Terms):
+                return set(node.terms)
+            if isinstance(node, (flt.And, flt.Or)):
+                out: set[str] = set()
+                for p in node.parts:
+                    out |= terms_of(p)
+                return out
+            raise TypeError(
+                f"payloads() supports Term/Terms/And/Or filters, got {type(node).__name__}"
+            )
+
+        terms = sorted(terms_of(flt.normalize(f)))
+        top = self.search(f, k=k, dtype=dtype, with_keys=True)
+        hits = top.collect()  # ≤ k rows by construction
+        out_schema = (
+            "doc_key string, segment_id int, doc_id int, score double, "
+            "term string, pos long, payload long"
+        )
+        if not hits:
+            return self.reader.spark.createDataFrame([], out_schema)
+        targets: dict[int, np.ndarray] = {}
+        keys: dict[tuple[int, int], tuple[str, float]] = {}
+        for r in hits:
+            sid, did = int(r["segment_id"]), int(r["doc_id"])
+            targets.setdefault(sid, []).append(did)
+            keys[(sid, did)] = (r["doc_key"], float(r["score"]))
+        targets = {s: np.asarray(sorted(d), dtype=np.int64) for s, d in targets.items()}
+        spark = self.reader.spark
+        b_targets = spark.sparkContext.broadcast(targets)
+        b_keys = spark.sparkContext.broadcast(keys)
+
+        pay_scan = (
+            self.reader._table("payloads")
+            .where(F.col("term").isin(terms) & F.col("segment_id").isin(list(targets)))
+            .select("term", "segment_id", "doc_ids_enc", "freqs_enc", "pos_enc", "pay_enc")
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                cols = {c: [] for c in (
+                    "doc_key", "segment_id", "doc_id", "score", "term", "pos", "payload"
+                )}
+                for row in pdf.itertuples(index=False):
+                    tgt = b_targets.value.get(int(row.segment_id))
+                    if tgt is None:
+                        continue
+                    docs = np.cumsum(vbyte_decode(row.doc_ids_enc).astype(np.int64))
+                    freqs = vbyte_decode(row.freqs_enc).astype(np.int64)
+                    sel = np.flatnonzero(np.isin(docs, tgt))
+                    if sel.size == 0:
+                        continue
+                    poss = decode_positions(row.pos_enc, freqs)
+                    pays = vbyte_decode(row.pay_enc).astype(np.int64)
+                    occ_start = np.zeros(docs.size, dtype=np.int64)
+                    np.cumsum(freqs[:-1], out=occ_start[1:])
+                    for di in sel:
+                        d = int(docs[di])
+                        dk, sc = b_keys.value[(int(row.segment_id), d)]
+                        lo = int(occ_start[di])
+                        for j in range(lo, lo + int(freqs[di])):
+                            cols["doc_key"].append(dk)
+                            cols["segment_id"].append(int(row.segment_id))
+                            cols["doc_id"].append(d)
+                            cols["score"].append(sc)
+                            cols["term"].append(row.term)
+                            cols["pos"].append(int(poss[j]))
+                            cols["payload"].append(int(pays[j]))
+                yield pd.DataFrame(cols).astype(
+                    {"segment_id": "int32", "doc_id": "int32", "score": "float64",
+                     "pos": "int64", "payload": "int64"}
+                )
+
+        return (
+            pay_scan.mapInPandas(kernel, out_schema)
+            .orderBy(F.desc("score"), "segment_id", "doc_id", "term", "pos")
+        )
+
     def _expand_slots(self, terms: list, field: str | None = None) -> list[list[str]]:
         """Variadic slots: a str slot stays fixed; a multiterm filter slot
         (Prefix/Wildcard/Fuzzy/Range/Terms) expands against the term dict of

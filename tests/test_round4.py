@@ -282,6 +282,88 @@ def test_append_callable_analyzer_rejected(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# PAY payload stream: codec round-trip + end-to-end per-occurrence payloads
+# --------------------------------------------------------------------------
+
+
+def test_payload_value_stream_roundtrip():
+    import numpy as np
+
+    from iresearch_spark.index.codec import encode_value_stream_arrow, vbyte_decode
+
+    rng = np.random.RandomState(3)
+    # 3 terms with ragged (term, doc) posting rows and arbitrary payloads
+    freqs = np.array([2, 1, 3, 1, 4], dtype=np.int64)  # 5 posting rows
+    term_bounds = np.array([0, 2, 3, 5], dtype=np.int64)  # rows per term: 2,1,2
+    values = rng.randint(0, 10**9, size=int(freqs.sum())).astype(np.int64)
+    arr = encode_value_stream_arrow(values, freqs, term_bounds)
+    assert len(arr) == 3
+    ppre = np.zeros(freqs.size + 1, np.int64)
+    np.cumsum(freqs, out=ppre[1:])
+    tok_bounds = ppre[term_bounds]
+    for t in range(3):
+        got = vbyte_decode(arr[t].as_py()).astype(np.int64)
+        exp = values[tok_bounds[t] : tok_bounds[t + 1]]
+        assert (got == exp).all()
+    with pytest.raises(ValueError, match="non-negative"):
+        encode_value_stream_arrow(np.array([-1]), np.array([1]), np.array([0, 1]))
+
+
+def test_payload_tokenizer_plane():
+    import pandas as pd
+
+    from iresearch_spark.analysis.tokenizers import get_tokenizer
+
+    tok = get_tokenizer("payload:|")
+    assert getattr(tok, "emits_payloads", False)
+    out = tok(pd.Series(["Fast|12 scan|7 bare x|notnum", None])).tolist()
+    assert out[0] == (["fast", "scan", "bare", "x"], [12, 7, 0, 0])
+    assert out[1] == ([], [])
+
+
+def test_payloads_end_to_end(spark, tmp_path):
+    path = str(tmp_path / "r4pay")
+    rows = [
+        ("d1", "scan|100 merge|200 scan|300"),
+        ("d2", "merge|5 scan|6"),
+        ("d3", "pad|1 pad|2 pad|3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_key string, text string")
+    b = IndexBuilder(
+        spark, path, analyzer="payload:|", num_segments=1, with_payloads=True
+    )
+    b.build(df, key_col="doc_key", text_col="text")
+    reader = IndexReader(spark, path)
+    s = Searcher(reader)
+    got = [
+        (r["doc_key"], r["term"], r["pos"], r["payload"])
+        for r in s.payloads(flt.Term("scan"), k=5)
+        .orderBy("doc_key", "pos")
+        .collect()
+    ]
+    assert got == [
+        ("d1", "scan", 1, 100),
+        ("d1", "scan", 3, 300),
+        ("d2", "scan", 2, 6),
+    ]
+    # plain search over the payload index scores identically to the same
+    # corpus without payloads (token stream is the token parts)
+    plain = str(tmp_path / "r4plain")
+    df2 = spark.createDataFrame(
+        [(k, " ".join(p.split("|")[0] for p in t.split())) for k, t in rows],
+        "doc_key string, text string",
+    )
+    IndexBuilder(spark, plain, num_segments=1).build(df2, key_col="doc_key", text_col="text")
+    s2 = Searcher(IndexReader(spark, plain))
+    r1 = [(r["doc_key"], round(r["score"], 9)) for r in s.search(flt.Term("scan"), k=5).collect()]
+    r2 = [(r["doc_key"], round(r["score"], 9)) for r in s2.search(flt.Term("scan"), k=5).collect()]
+    assert r1 == r2
+    # with_payloads on a non-payload analyzer fails loudly at the driver
+    with pytest.raises(ValueError, match="payload-emitting"):
+        IndexBuilder(spark, str(tmp_path / "bad"), with_payloads=True)
+
+
+# --------------------------------------------------------------------------
 # consolidate over a legacy index whose postings/norms lack the field column
 # --------------------------------------------------------------------------
 
