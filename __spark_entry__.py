@@ -153,6 +153,38 @@ def _fields_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     return _READERS[key]
 
 
+# deterministic latin→Thai mapping for the th-segmentation driver check:
+# 26 consonants (U+0E01..U+0E1A) + 10 Thai digits (U+0E50..U+0E59)
+_THAI_SRC = "abcdefghijklmnopqrstuvwxyz0123456789"
+_THAI_DST = "".join(chr(0x0E01 + i) for i in range(26)) + "".join(
+    chr(0x0E50 + d) for d in range(10)
+)
+
+
+def _th_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Thai-segmentation index: the corpus is mapped onto Thai consonants +
+    Thai digits (deterministic translate), analyzed with ``text:th`` — the
+    grapheme-cluster segmentation emits one token per consonant and one per
+    digit RUN, which the oracle reproduces with
+    ``regexp_extract_all(t, '[ก-ฮ]|[๐-๙]+')``."""
+    key = (sf_dir, "th")
+    if key in _READERS:
+        return _READERS[key]
+    h = hashlib.md5(f"{sf_dir}|th".encode()).hexdigest()[:10]
+    path = os.path.join("/tmp", f"iresearch_entry_idx_v3_{h}")
+    os.makedirs(path, exist_ok=True)
+    builder = IndexBuilder(spark, path, analyzer="text:th", num_segments=4)
+    if builder.read_meta() is None:
+        df = (
+            _docs(spark, sf_dir)
+            .withColumn("doc_key", F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+            .withColumn("ttext", F.translate(F.lower(F.col("text")), _THAI_SRC, _THAI_DST))
+        )
+        builder.build(df, key_col="doc_key", text_col="ttext")
+    _READERS[key] = IndexReader(spark, path)
+    return _READERS[key]
+
+
 def _pay_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     """PAY-stream index: every token of the corpus is rewritten as
     ``token|payload`` with payload = (doc_id*7 + pos*13) % 1000 (pos 1-based),
@@ -920,6 +952,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_payloads"] = payloads_q
 
+    def term_th(s, d):
+        # Thai grapheme-cluster segmentation end-to-end: BM25 for the cluster
+        # that 's' maps to (a per-consonant token under the th approximation)
+        reader = _th_index(s, d)
+        res = Searcher(reader, k1=K1, b=B).search(flt.Term(_THAI_DST[18]), k=TOPK)
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.round(F.col("score"), 4).cast("double").alias("score"),
+        )
+
+    q["q_term_th"] = term_th
+
     # ---- text analysis / pipeline ops (declarative DataFrame plans) ----
     q["q_token_stats"] = lambda s, d: textops.token_stats(_docs(s, d)).select(
         "doc_id", F.col("n_tokens").cast("long"), F.col("n_unique").cast("long")
@@ -1031,7 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verdict; the tail is then queries green in r01+r02+r03.
     first = [
         "q_ivf_topk", "q_cosine_pairs", "q_ann_lsh_topk", "q_lsh_bucket_cand",
-        "q_payloads", "q_minhash_lsh_pairs", "q_ivf_materialized", "q_term_th",
+        "q_payloads", "q_term_th", "q_minhash_lsh_pairs",
     ]
     ordered = {k: q[k] for k in first if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -1175,6 +1219,23 @@ SELECT t.doc_id, pp.term, pp.pos::BIGINT AS pos,
 FROM topk t JOIN pp ON pp.doc_id = t.doc_id
 WHERE pp.term IN ('scan','dup')
 ORDER BY t.doc_id, pp.term, pp.pos"""
+
+    # Thai segmentation: same BM25 body over the translated-to-Thai token
+    # stream (one token per consonant, one per Thai-digit run — the grapheme
+    # cluster approximation of dictionary-less ICU segmentation)
+    th_cte = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(
+           translate(lower(text), '{_THAI_SRC}', '{_THAI_DST}'),
+           '[ก-ฮ]|[๐-๙]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n, sum(dl)/count(*) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+"""
+    o["q_term_th"] = _bm25_sql(f"term = '{_THAI_DST[18]}'", cte=th_cte)
 
     o["q_term_title_field"] = f"""{_TWO_FIELD_CTE}
 SELECT doc_id, CAST(round(s, 4) AS DOUBLE) AS score

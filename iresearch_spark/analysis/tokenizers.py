@@ -38,20 +38,42 @@ Tokenizer = Callable[[pd.Series], pd.Series]  # Series[str] -> Series[list[str]]
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
-# UAX#29-flavoured segmentation with CJK handling (approximation of ICU
-# UBRK_WORD, segmentation_token_stream.cpp): Han ideographs emit ONE TOKEN
-# PER CHARACTER (the unigram approximation of ICU's dictionary-based
+# UAX#29-flavoured segmentation with CJK + SE-Asian handling (approximation
+# of ICU UBRK_WORD, segmentation_token_stream.cpp): Han ideographs emit ONE
+# TOKEN PER CHARACTER (the unigram approximation of ICU's dictionary-based
 # zh/ja segmentation — the standard fallback when no dictionary is present),
-# kana and hangul runs stay whole, every other \w run is a word. The general
-# word class excludes the CJK ranges so they don't get swallowed by \w.
-_CJK_HAN = "一-鿿㐀-䶿豈-﫿"
-_KANA = "぀-ゟ゠-ヿㇰ-ㇿ"
-_HANGUL = "가-힯ᄀ-ᇿ"
+# kana and hangul runs stay whole, and the dictionary-less scripts with no
+# word spaces (Thai / Lao / Khmer) emit ONE TOKEN PER GRAPHEME CLUSTER
+# (optional pre-posed vowel + base consonant + dependent vowels / tone marks;
+# Khmer includes coeng-stacked subscripts). Every other \w run is a word; the
+# general word class excludes all special ranges so they aren't swallowed.
+#
+# Documented divergence classes vs ICU (segmentation_token_stream.cpp):
+#  * zh/ja Han: unigrams, not dictionary words — consistent between index and
+#    query, so recall is unchanged and phrases model adjacency at char grain;
+#  * th/lo/km: grapheme clusters, not dictionary words — same consistency
+#    argument; a multi-syllable word becomes a phrase of its clusters;
+#  * locale-tailored suppressions/abbreviation rules (en_US_POSIX etc.) are
+#    not modeled; \w follows Python's Unicode word classes, not ICU's.
+_CJK_HAN = "\u4e00-\u9fff\u3400-\u4dbf\uf900-\ufaff"
+_KANA = "\u3040-\u309f\u30a0-\u30ff\u31f0-\u31ff"
+_HANGUL = "\uac00-\ud7af\u1100-\u11ff"
+_THAI = "\u0e00-\u0e7f"
+_LAO = "\u0e80-\u0eff"
+_KHMER = "\u1780-\u17ff"
+_SEA = _THAI + _LAO + _KHMER
 _UNI_TOKEN_RE = re.compile(
     f"[{_CJK_HAN}]"           # one Han ideograph per token
     f"|[{_KANA}]+"            # kana run
     f"|[{_HANGUL}]+"          # hangul run
-    f"|(?:(?![{_CJK_HAN}{_KANA}{_HANGUL}])\\w)+",  # any other word run
+    "|[\u0e50-\u0e59]+|[\u0ed0-\u0ed9]+|[\u17e0-\u17e9]+"  # th/lo/km digit runs
+    # Thai cluster: pre-posed vowel? + consonant + dependent vowels/tones
+    "|[\u0e40-\u0e44]?[\u0e01-\u0e2e](?:[\u0e30-\u0e3a\u0e45-\u0e4e])*"
+    # Lao cluster
+    "|[\u0ec0-\u0ec4]?[\u0e81-\u0eaf](?:[\u0eb0-\u0ebf\u0ec6-\u0ecd])*"
+    # Khmer cluster: base (+ coeng-stacked subscripts) + dependents
+    "|[\u1780-\u17b3](?:\u17d2[\u1780-\u17a2]|[\u17b4-\u17d1\u17d3\u17dd])*"
+    f"|(?:(?![{_CJK_HAN}{_KANA}{_HANGUL}{_SEA}])\\w)+",  # any other word run
     re.UNICODE,
 )
 

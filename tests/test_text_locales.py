@@ -45,6 +45,44 @@ def test_text_zh_unigrams():
     assert out == ["倒", "排", "索", "引"]
 
 
+def test_thai_lao_khmer_grapheme_clusters():
+    # dictionary-less no-space scripts: one token per grapheme cluster
+    # (pre-posed vowel + base + dependents; see _UNI_TOKEN_RE divergence notes)
+    out = segmentation_tokenize(pd.Series(["สวัสดีครับ ภาษาไทย"]))[0]
+    assert out == ["ส", "วั", "ส", "ดี", "ค", "รั", "บ", "ภา", "ษา", "ไท", "ย"]
+    lao = segmentation_tokenize(pd.Series(["ພາສາລາວ"]))[0]
+    assert lao == ["ພາ", "ສາ", "ລາ", "ວ"]
+    km = segmentation_tokenize(pd.Series(["ភាសាខ្មែរ"]))[0]
+    assert km == ["ភា", "សា", "ខ្មែ", "រ"]  # coeng stack stays in one cluster
+    digits = segmentation_tokenize(pd.Series(["๑๒๓ abc"]))[0]
+    assert digits == ["๑๒๓", "abc"]
+
+
+def test_text_th_index_end_to_end(spark, tmp_path):
+    from iresearch_spark import IndexBuilder, IndexReader, Searcher
+    from iresearch_spark import filters as flt
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "ภาษาไทย สนุก"),
+            ("d2", "เรียน ภาษา spark"),
+            ("d3", "ไม่มี อะไร"),
+        ],
+        "doc_key string, text string",
+    )
+    path = str(tmp_path / "idx_th")
+    IndexBuilder(spark, path, analyzer="text:th", num_segments=2).build(
+        docs, key_col="doc_key", text_col="text"
+    )
+    s = Searcher(IndexReader(spark, path))
+    # cluster 'ภา' occurs in d1 (ภาษาไทย) and d2 (ภาษา)
+    got = s.search(flt.Term("ภา"), k=10).collect()
+    assert {r["doc_key"] for r in got} == {"d1", "d2"}
+    # phrase of consecutive clusters = the word ภาษา
+    ph = s.search(flt.Phrase(("ภา", "ษา")), k=10).collect()
+    assert {r["doc_key"] for r in ph} == {"d1", "d2"}
+
+
 def test_text_en_still_stems():
     out = text_tokenize(pd.Series(["the customers are running"]), locale="en")[0]
     assert out == ["custom", "run"]
