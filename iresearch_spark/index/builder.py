@@ -817,12 +817,23 @@ class IndexBuilder:
                 .parquet(lineage_path)
             )
             # prune part files left by an interrupted run whose range
-            # boundaries shifted (sids absent from this run's lineage)
-            live = {
-                int(r["segment_id"])
-                for r in spark.read.parquet(lineage_path).collect()
-                if r["skipped"] or r["n_docs"] > 0
-            }
+            # boundaries shifted (sids absent from this run's lineage);
+            # lineage is a few rows — read it driver-local, not as a Spark job
+            lin = self._read_parquet_local(
+                [lineage_path], ["segment_id", "n_docs", "skipped"]
+            )
+            if lin is not None:
+                live = {
+                    int(r.segment_id)
+                    for r in lin.itertuples(index=False)
+                    if r.skipped or r.n_docs > 0
+                }
+            else:
+                live = {
+                    int(r["segment_id"])
+                    for r in spark.read.parquet(lineage_path).collect()
+                    if r["skipped"] or r["n_docs"] > 0
+                }
             for d in part_dirs:
                 for fn in os.listdir(d):
                     if fn.startswith("part-") and fn.endswith(".parquet"):
@@ -981,14 +992,28 @@ class IndexBuilder:
 
         # docs_count for the meta from the tiny norms rows of the DEFAULT
         # field (every field covers the same docs; counting one avoids
-        # multi-field double counting)
+        # multi-field double counting); driver-local read — a Spark job for a
+        # few-KB stats table is pure serial time (Spark fallback for
+        # non-local index paths)
         default_field = field_list[0][0]
-        norm_rows = (
-            spark.read.parquet(*norms_paths)
-            .where(F.col("field") == default_field)
-            .select("segment_id", "docs_count")
-            .collect()
+        norm_pdf = self._read_parquet_local(
+            norms_paths, ["field", "segment_id", "docs_count"]
         )
+        if norm_pdf is not None:
+            if "field" in norm_pdf.columns:
+                # legacy part files lacking the column read as NaN = default
+                norm_pdf = norm_pdf[
+                    norm_pdf["field"].fillna(default_field) == default_field
+                ]
+            total_docs = int(norm_pdf["docs_count"].sum())
+        else:
+            total_docs = sum(
+                int(r["docs_count"])
+                for r in spark.read.parquet(*norms_paths)
+                .where(F.col("field") == default_field)
+                .select("segment_id", "docs_count")
+                .collect()
+            )
         tables = dict(carry_tables or {})
         tables.update(
             {
@@ -1013,7 +1038,7 @@ class IndexBuilder:
             "num_segments": num_segments,
             "next_segment_id": next_segment_id,
             "postings_partitions": p_parts,
-            "docs_count": sum(int(r["docs_count"]) for r in norm_rows),
+            "docs_count": total_docs,
             "doc_cols": doc_cols,
             "key_col": key_col,
             "text_col": field_list[0][1],
@@ -1173,12 +1198,17 @@ class IndexBuilder:
                 return json.load(f)
         bounds: list[str] = []
         if n > 1:
-            total = df.count()
-            mod = max(1, total // (n * 64))
+            # deterministic bottom-k-by-hash sample in ONE job (the previous
+            # count + modulo-filter pair cost two full passes — pure serial
+            # driver time): the 64·n keys with the smallest xxhash64 are a
+            # uniform fixed-size sample regardless of input size, and the
+            # ordering is input-deterministic (fixed-seed hash, key tiebreak)
             keys = sorted(
                 r["k"]
                 for r in df.select(F.col(key_col).cast("string").alias("k"))
-                .where(F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(mod)) == 0)
+                .withColumn("h", F.xxhash64(F.col("k")))
+                .orderBy("h", "k")
+                .limit(n * 64)
                 .collect()
             )
             if keys:
@@ -1190,6 +1220,37 @@ class IndexBuilder:
             json.dump(bounds, f)
         os.replace(tmp, path)
         return bounds
+
+    @staticmethod
+    def _read_parquet_local(paths: list[str], columns: list[str]):
+        """Driver-local pyarrow read of tiny metadata tables (lineage, norms
+        stats) — returns a pandas DataFrame, or None when any path is not a
+        local directory (object-store indexes keep the Spark-job path).
+
+        Submitting a whole Spark job to read a few-KB table is pure SERIAL
+        driver time (~0.3-0.5 s each on this box) that the N→4N scaling rule
+        charges in full; the local read is microseconds."""
+        import pyarrow.parquet as pq
+
+        frames = []
+        try:
+            for p in paths:
+                if not os.path.isdir(p):
+                    return None
+                for fn in sorted(os.listdir(p)):
+                    if fn.endswith(".parquet"):
+                        fp = os.path.join(p, fn)
+                        cols = [
+                            c
+                            for c in columns
+                            if c in pq.read_schema(fp).names
+                        ]
+                        frames.append(pq.read_table(fp, columns=cols).to_pandas())
+        except Exception:
+            return None
+        if not frames:
+            return None
+        return pd.concat(frames, ignore_index=True)
 
     def _manifest_path(self) -> str:
         return os.path.join(self.index_path, "manifest.jsonl")
