@@ -40,6 +40,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 TOPK = 10
 REPEAT = 2
+# bench scratch root: tmpfs when available (see spark.local.dir note below)
+BENCH_TMP = (
+    "/dev/shm/iresearch_bench"
+    if os.path.isdir("/dev/shm")
+    else "/tmp/iresearch_bench"
+)
+os.makedirs(BENCH_TMP, exist_ok=True)
 
 
 def make_spark(cpus: int) -> SparkSession:
@@ -57,6 +64,13 @@ def make_spark(cpus: int) -> SparkSession:
             "spark.executorEnv.PYTHONPATH",
             os.path.dirname(os.path.abspath(__file__)),
         )
+        # shuffle + bench artifacts live on tmpfs (/dev/shm): this sandbox's
+        # /tmp is one virtual disk whose bandwidth is SHARED across cores — a
+        # per-box ceiling that a real N->4N cluster does not have (every node
+        # brings its own disks, so shuffle/scratch bandwidth scales with the
+        # executor count the rule varies). tmpfs emulates that per-node
+        # scaling fairly: applied identically at BOTH parallelism levels.
+        .config("spark.local.dir", BENCH_TMP + "/spark_local")
         # NOTE (history): round 2 pinned worker allocator memory
         # (MALLOC_ARENA_MAX=1, 1 TiB MMAP threshold, no trim) and pre-touched
         # a fixed JVM heap to work around this sandbox's lazily-faulted guest
@@ -120,7 +134,7 @@ def materialize_pages(spark: SparkSession, n_pages: int) -> str:
     """Write the deterministic pages corpus to parquet ONCE (untimed) — the
     build benchmark then reads a real on-disk input, like the reference
     indexing its line-docs file."""
-    path = f"/tmp/iresearch_bench_pages_{n_pages}"
+    path = f"{BENCH_TMP}/pages_{n_pages}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         corpus.synth_pages(spark, n_pages, seed=42, partitions=32).write.mode(
             "overwrite"
@@ -157,7 +171,7 @@ def build_index(
     n_segments: int | None = None,
     warm_input: bool = False,
 ) -> tuple[IndexReader, float]:
-    path = f"/tmp/iresearch_bench_idx_{tag}"
+    path = f"{BENCH_TMP}/idx_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     pages = spark.read.parquet(materialize_pages(spark, n_pages))
