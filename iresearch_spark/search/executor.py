@@ -2248,10 +2248,8 @@ class Searcher:
 
         def kernel(batches):
             for pdf in batches:
-                cols = {c: [] for c in (
-                    "doc_key", "segment_id", "doc_id", "score", "term", "pos", "payload"
-                )}
-                for row in pdf.itertuples(index=False):
+                frames = []
+                for row in pdf.itertuples(index=False):  # one row per (term, segment)
                     tgt = b_targets.value.get(int(row.segment_id))
                     if tgt is None:
                         continue
@@ -2262,24 +2260,48 @@ class Searcher:
                         continue
                     poss = decode_positions(row.pos_enc, freqs)
                     pays = vbyte_decode(row.pay_enc).astype(np.int64)
+                    # vectorized per-occurrence gather for the ≤k target docs
                     occ_start = np.zeros(docs.size, dtype=np.int64)
                     np.cumsum(freqs[:-1], out=occ_start[1:])
-                    for di in sel:
-                        d = int(docs[di])
-                        dk, sc = b_keys.value[(int(row.segment_id), d)]
-                        lo = int(occ_start[di])
-                        for j in range(lo, lo + int(freqs[di])):
-                            cols["doc_key"].append(dk)
-                            cols["segment_id"].append(int(row.segment_id))
-                            cols["doc_id"].append(d)
-                            cols["score"].append(sc)
-                            cols["term"].append(row.term)
-                            cols["pos"].append(int(poss[j]))
-                            cols["payload"].append(int(pays[j]))
-                yield pd.DataFrame(cols).astype(
-                    {"segment_id": "int32", "doc_id": "int32", "score": "float64",
-                     "pos": "int64", "payload": "int64"}
+                    lens = freqs[sel]
+                    out_off = np.zeros(sel.size, np.int64)
+                    np.cumsum(lens[:-1], out=out_off[1:])
+                    rep = np.repeat(np.arange(sel.size), lens)
+                    occ_idx = (
+                        np.arange(int(lens.sum()), dtype=np.int64)
+                        - out_off[rep]
+                        + occ_start[sel][rep]
+                    )
+                    d_ids = docs[sel][rep]
+                    keymap = b_keys.value
+                    dks, scs = zip(
+                        *(keymap[(int(row.segment_id), int(d))] for d in docs[sel])
+                    )
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "doc_key": np.asarray(dks, dtype=object)[rep],
+                                "segment_id": np.full(d_ids.size, int(row.segment_id), np.int32),
+                                "doc_id": d_ids.astype(np.int32),
+                                "score": np.asarray(scs, np.float64)[rep],
+                                "term": row.term,
+                                "pos": poss[occ_idx],
+                                "payload": pays[occ_idx],
+                            }
+                        )
+                    )
+                empty = pd.DataFrame(
+                    {
+                        "doc_key": pd.Series([], dtype=object),
+                        "segment_id": pd.Series([], dtype="int32"),
+                        "doc_id": pd.Series([], dtype="int32"),
+                        "score": pd.Series([], dtype="float64"),
+                        "term": pd.Series([], dtype=object),
+                        "pos": pd.Series([], dtype="int64"),
+                        "payload": pd.Series([], dtype="int64"),
+                    }
                 )
+                yield pd.concat(frames, ignore_index=True) if frames else empty
 
         return (
             pay_scan.mapInPandas(kernel, out_schema)
