@@ -201,18 +201,8 @@ def consolidate(
     meta = dict(reader.meta)
     gen = meta["generation"] + 1
     index_path = reader.index_path
-    if "offsets" in reader.meta.get("tables", {}):
-        raise NotImplementedError(
-            "consolidate() does not yet merge the OFFS offsets sidecar; "
-            "rebuild the index after consolidation or keep offsets indexes "
-            "unconsolidated"
-        )
-    if "payloads" in reader.meta.get("tables", {}):
-        raise NotImplementedError(
-            "consolidate() does not yet merge the PAY payloads sidecar; "
-            "rebuild the index after consolidation or keep payload indexes "
-            "unconsolidated"
-        )
+    has_offsets = "offsets" in reader.meta.get("tables", {})
+    has_payloads = "payloads" in reader.meta.get("tables", {})
     gen_dir = os.path.join(index_path, f"gen={gen}")
     os.makedirs(gen_dir, exist_ok=True)
 
@@ -380,6 +370,146 @@ def consolidate(
     )
     builder._manifest(meta["run_id"], gen, "consolidate_postings", "done", time.time() - t_all)
 
+    # ---- OFFS / PAY sidecars (same doc-id remap as postings; the
+    # per-occurrence streams merge by byte-concat when nothing is deleted —
+    # offset/position deltas restart absolute at each doc and payload bytes
+    # are absolute values, both remap-invariant — and decode+filter+re-encode
+    # under a document_mask, exactly like the postings pos_enc path) ----
+    def merge_sidecar(pdf: pd.DataFrame, with_pos: bool, with_pay: bool) -> pd.DataFrame:
+        cols = ["term", "segment_id", "docs_count", "doc_ids_enc", "freqs_enc"]
+        val_col = "pos_enc" if with_pos else "offs_enc"
+        cols.append(val_col)
+        if with_pay:
+            cols.append("pay_enc")
+        if len(pdf) == 0:
+            return pd.DataFrame({k: pd.Series([], dtype="object") for k in cols})
+        offs_map = b_offsets.value
+        dmask_v = b_dmask.value
+        tgt = min(offs_map)
+        pdf = pdf.sort_values(["term", "segment_id"], kind="stable").reset_index(drop=True)
+        n_rows = len(pdf)
+        counts = pdf["docs_count"].to_numpy(np.int64)
+        n = int(counts.sum())
+        deltas = vbyte_decode(b"".join(pdf["doc_ids_enc"])).astype(np.int64)
+        row_starts = np.zeros(n_rows, np.int64)
+        np.cumsum(counts[:-1], out=row_starts[1:])
+        row_of = np.repeat(np.arange(n_rows), counts)
+        csum = np.cumsum(deltas)
+        carry = csum[row_starts] - deltas[row_starts]
+        ids_raw = csum - carry[row_of]
+        freqs = vbyte_decode(b"".join(pdf["freqs_enc"])).astype(np.int64)
+        seg_off = pdf["segment_id"].map(offs_map).to_numpy(np.int64)
+        codes, uniq_terms = pd.factorize(pdf["term"])
+        first_row = np.flatnonzero(np.diff(codes, prepend=-1))
+        val_bytes = [v if v is not None else b"" for v in pdf[val_col]]
+        pay_bytes = (
+            [v if v is not None else b"" for v in pdf["pay_enc"]] if with_pay else None
+        )
+
+        if any(ds.size for ds in dmask_v.values()):
+            keep = np.ones(n, dtype=bool)
+            shift = np.zeros(n, dtype=np.int64)
+            seg_ids = pdf["segment_id"].to_numpy(np.int64)
+            seg_el = seg_ids[row_of]
+            for s, ds in dmask_v.items():
+                if ds.size == 0:
+                    continue
+                m = seg_el == s
+                idv = ids_raw[m]
+                posq = np.searchsorted(ds, idv)
+                posc = np.minimum(posq, ds.size - 1)
+                keep[m] = ds[posc] != idv
+                shift[m] = np.searchsorted(ds, idv, side="right")
+            new_ids = ids_raw - shift + seg_off[row_of]
+            occ_keep = np.repeat(keep, freqs)
+            vals_abs = decode_positions(b"".join(val_bytes), freqs)[occ_keep]
+            pays_abs = (
+                vbyte_decode(b"".join(pay_bytes)).astype(np.int64)[occ_keep]
+                if with_pay
+                else None
+            )
+            t_el = codes[row_of]
+            ids_k, freqs_k, t_k = new_ids[keep], freqs[keep], t_el[keep]
+            if ids_k.size == 0:
+                return pd.DataFrame({k: pd.Series([], dtype="object") for k in cols})
+            firstk = np.flatnonzero(np.diff(t_k, prepend=-1))
+            tb = np.append(firstk, ids_k.size)
+            enc = encode_postings_batch(ids_k, freqs_k, tb, vals_abs)
+            out = {
+                "term": [uniq_terms[i] for i in t_k[firstk]],
+                "segment_id": np.full(firstk.size, tgt, np.int32),
+                "docs_count": enc["docs_count"],
+                "doc_ids_enc": enc["doc_ids_enc"],
+                "freqs_enc": enc["freqs_enc"],
+                val_col: enc["pos_enc"],
+            }
+            if with_pay:
+                opre = np.zeros(ids_k.size + 1, np.int64)
+                np.cumsum(freqs_k, out=opre[1:])
+                occ_b = opre[tb]
+                out["pay_enc"] = [
+                    vbyte_encode(pays_abs[occ_b[t] : occ_b[t + 1]])
+                    for t in range(firstk.size)
+                ]
+            return pd.DataFrame(out)[cols]
+
+        ids = ids_raw + seg_off[row_of]
+        tb = np.append(row_starts[first_row], n)
+        enc = encode_postings_batch(ids, freqs, tb, positions=None)
+        row_bounds = np.append(first_row, n_rows)
+        out = {
+            "term": list(uniq_terms),
+            "segment_id": np.full(uniq_terms.size, tgt, np.int32),
+            "docs_count": enc["docs_count"],
+            "doc_ids_enc": enc["doc_ids_enc"],
+            "freqs_enc": enc["freqs_enc"],
+            val_col: [
+                b"".join(val_bytes[row_bounds[t] : row_bounds[t + 1]])
+                for t in range(uniq_terms.size)
+            ],
+        }
+        if with_pay:
+            out["pay_enc"] = [
+                b"".join(pay_bytes[row_bounds[t] : row_bounds[t + 1]])
+                for t in range(uniq_terms.size)
+            ]
+        return pd.DataFrame(out)[cols]
+
+    from .builder import OFFSETS_SCHEMA, PAYLOADS_SCHEMA
+
+    sidecar_paths = {}
+    for tbl, schema, with_pos, with_pay, enabled in (
+        ("offsets", OFFSETS_SCHEMA, False, False, has_offsets),
+        ("payloads", PAYLOADS_SCHEMA, True, True, has_payloads),
+    ):
+        if not enabled:
+            continue
+        t0 = time.time()
+        sdf = reader._table(tbl)
+        s_pass = sdf.where(~F.col("segment_id").isin(merge_ids))
+        def make_kernel(wp: bool, wy: bool):
+            def _k(pdf: pd.DataFrame) -> pd.DataFrame:
+                return merge_sidecar(pdf.drop(columns=["mgrp"]), wp, wy)
+
+            return _k
+
+        s_merge = (
+            sdf.where(F.col("segment_id").isin(merge_ids))
+            .withColumn("mgrp", F.abs(F.hash("term")) % n_groups)
+            .groupBy("mgrp")
+            .applyInPandas(make_kernel(with_pos, with_pay), schema)
+        )
+        out_path = os.path.join(gen_dir, tbl)
+        (
+            s_pass.unionByName(s_merge)
+            .repartitionByRange(max(8, p_parts // 4), "term", "segment_id")
+            .sortWithinPartitions("term", "segment_id")
+            .write.mode("overwrite")
+            .parquet(out_path)
+        )
+        sidecar_paths[tbl] = out_path
+        builder._manifest(meta["run_id"], gen, f"consolidate_{tbl}", "done", time.time() - t0)
+
     # ---- norms ----
     t0 = time.time()
     # raw norms table (NOT reader.norms(), which joins the delete mask in)
@@ -517,6 +647,8 @@ def consolidate(
     meta["tables"]["postings"] = postings_path
     meta["tables"]["norms"] = norms_path
     meta["tables"]["docs"] = docs_path
+    for tbl, pth in sidecar_paths.items():
+        meta["tables"][tbl] = pth
     if any(ds.size for ds in dmask.values()):
         # purged docs change df/ttf: rebuild term_dict from the new postings
         # (the reference merge recomputes term stats the same way)

@@ -393,6 +393,90 @@ def test_payloads_end_to_end(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# consolidation now merges the OFFS / PAY sidecars (doc-id remap + purge)
+# --------------------------------------------------------------------------
+
+
+def _pay_rows():
+    return [
+        ("d1", "scan|100 merge|200 scan|300"),
+        ("d2", "merge|5 scan|6"),
+        ("d3", "pad|1 pad|2 pad|3"),
+        ("d4", "scan|44 pad|9"),
+    ]
+
+
+def test_consolidate_merges_payload_sidecar(spark, tmp_path):
+    from iresearch_spark.index.consolidate import consolidate
+
+    path = str(tmp_path / "r4paycons")
+    df = spark.createDataFrame(_pay_rows(), "doc_key string, text string")
+    IndexBuilder(
+        spark, path, analyzer="payload:|", num_segments=2, with_payloads=True
+    ).build(df, key_col="doc_key", text_col="text")
+    reader = IndexReader(spark, path)
+    before = sorted(
+        (r["doc_key"], r["term"], r["pos"], r["payload"])
+        for r in Searcher(reader).payloads(flt.Term("scan"), k=10).collect()
+    )
+    consolidate(reader)
+    reader2 = IndexReader(spark, path)
+    assert len(reader2.segment_docs_counts()) == 1
+    after = sorted(
+        (r["doc_key"], r["term"], r["pos"], r["payload"])
+        for r in Searcher(reader2).payloads(flt.Term("scan"), k=10).collect()
+    )
+    assert after == before
+
+
+def test_consolidate_purges_deleted_payloads(spark, tmp_path):
+    from iresearch_spark.index.consolidate import consolidate
+    from iresearch_spark.index.deletes import delete_docs
+
+    path = str(tmp_path / "r4paydel")
+    df = spark.createDataFrame(_pay_rows(), "doc_key string, text string")
+    IndexBuilder(
+        spark, path, analyzer="payload:|", num_segments=2, with_payloads=True
+    ).build(df, key_col="doc_key", text_col="text")
+    reader = IndexReader(spark, path)
+    delete_docs(reader, ["d1"])
+    reader = IndexReader(spark, path)
+    consolidate(reader)
+    reader2 = IndexReader(spark, path)
+    assert "deletes" not in reader2.meta["tables"]  # physically purged
+    got = sorted(
+        (r["doc_key"], r["term"], r["pos"], r["payload"])
+        for r in Searcher(reader2).payloads(flt.Term("scan"), k=10).collect()
+    )
+    assert got == [("d2", "scan", 2, 6), ("d4", "scan", 1, 44)]
+
+
+def test_consolidate_merges_offsets_sidecar(spark, tmp_path):
+    from iresearch_spark.index.consolidate import consolidate
+
+    path = str(tmp_path / "r4offcons")
+    df = spark.createDataFrame(
+        [("d1", "fast scan merge"), ("d2", "slow scan"), ("d3", "scan scan go")],
+        "doc_key string, text string",
+    )
+    IndexBuilder(spark, path, num_segments=2, with_offsets=True).build(
+        df, key_col="doc_key", text_col="text"
+    )
+    reader = IndexReader(spark, path)
+    before = sorted(
+        (r["doc_key"], r["term"], r["start"], r["end"])
+        for r in Searcher(reader).highlight(flt.Term("scan"), k=10).collect()
+    )
+    consolidate(reader)
+    reader2 = IndexReader(spark, path)
+    after = sorted(
+        (r["doc_key"], r["term"], r["start"], r["end"])
+        for r in Searcher(reader2).highlight(flt.Term("scan"), k=10).collect()
+    )
+    assert after == before
+
+
+# --------------------------------------------------------------------------
 # consolidate over a legacy index whose postings/norms lack the field column
 # --------------------------------------------------------------------------
 
