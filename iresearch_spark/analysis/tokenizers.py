@@ -173,7 +173,7 @@ def synonym_tokenizer(
     return _run
 
 
-def payload_tokenizer(sep: str = "|", base: Tokenizer | None = None) -> Tokenizer:
+def payload_tokenizer(sep: str = "|") -> Tokenizer:
     """Delimited-payload analyzer — the PAY stream producer
     (token_attributes.hpp ``payload`` attribute; the reference persists
     per-position payload bytes in the ``.pay`` stream,

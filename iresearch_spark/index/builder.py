@@ -231,15 +231,8 @@ class IndexBuilder:
         # with emits_payloads=True) and positions (the sidecar pairs each
         # payload with its position).
         self.with_payloads = with_payloads
-        if with_payloads:
-            if not with_positions:
-                raise ValueError("with_payloads=True requires with_positions")
-            anl = get_tokenizer(analyzer) if isinstance(analyzer, str) else analyzer
-            if not getattr(anl, "emits_payloads", False):
-                raise ValueError(
-                    "with_payloads=True requires a payload-emitting analyzer "
-                    "(e.g. 'payload:|' — delimited per-occurrence payloads)"
-                )
+        if with_payloads and not with_positions:
+            raise ValueError("with_payloads=True requires with_positions")
         self.postings_partitions = postings_partitions
 
     def _resolve_fields(self, text_col, fields) -> list[tuple[str, str, object]]:
@@ -251,27 +244,40 @@ class IndexBuilder:
         if fields is None:
             if text_col is None:
                 raise ValueError("either text_col or fields must be given")
-            return [(text_col, text_col, self.analyzer)]
-        out: list[tuple[str, str, object]] = []
-        for spec in fields:
-            if isinstance(spec, str):
-                name, col, an = spec, spec, self.analyzer
-            elif len(spec) == 2:
-                name, col = spec
-                an = self.analyzer
-            else:
-                name, col, an = spec
-            if FIELD_SEP in name:
-                raise ValueError(f"field name {name!r} contains the reserved separator")
-            out.append((name, col, an))
+            out: list[tuple[str, str, object]] = [(text_col, text_col, self.analyzer)]
+        else:
+            out = []
+            for spec in fields:
+                if isinstance(spec, str):
+                    name, col, an = spec, spec, self.analyzer
+                elif len(spec) == 2:
+                    name, col = spec
+                    an = self.analyzer
+                else:
+                    name, col, an = spec
+                if FIELD_SEP in name:
+                    raise ValueError(
+                        f"field name {name!r} contains the reserved separator"
+                    )
+                out.append((name, col, an))
         if len({n for n, _, _ in out}) != len(out):
             raise ValueError("duplicate field names")
         if self.with_offsets and (len(out) > 1 or out[0][2] != "simple"):
             raise ValueError(
                 "with_offsets=True supports a single 'simple'-analyzed field"
             )
-        if self.with_payloads and len(out) > 1:
-            raise ValueError("with_payloads=True supports a single field")
+        if self.with_payloads:
+            # Validated on the RESOLVED field list (not the constructor
+            # default) so `fields=(('body', 'text', 'payload:|'),)` works.
+            if len(out) > 1:
+                raise ValueError("with_payloads=True supports a single field")
+            an = out[0][2]
+            anl = get_tokenizer(an) if isinstance(an, str) else an
+            if not getattr(anl, "emits_payloads", False):
+                raise ValueError(
+                    "with_payloads=True requires a payload-emitting analyzer "
+                    "(e.g. 'payload:|' — delimited per-occurrence payloads)"
+                )
         return out
 
     # ---------------------------------------------------------------- build

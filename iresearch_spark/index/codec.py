@@ -297,6 +297,27 @@ def encode_postings_batch(
     }
 
 
+def _binary_arrow(buf, bounds: np.ndarray, n: int, what: str) -> "object":
+    """Zero-copy Arrow binary array over one shared byte buffer + per-row
+    offset bounds (len n+1). Shared by the postings and value-stream
+    encoders; guards the int32 offset limit of ``pa.binary()``."""
+    import pyarrow as pa
+
+    if bounds.size and int(bounds[-1]) >= 2**31:
+        # pa.binary() carries int32 offsets; silently wrapped offsets would
+        # write a corrupt index. Fail loud — the fix is more/smaller
+        # segments (num_segments / maxPartitionBytes), same as sizing the
+        # reference's segment-flush threshold.
+        raise ValueError(
+            f"segment {what} column exceeds 2 GiB ({int(bounds[-1])} bytes): "
+            "increase num_segments so each segment's encoded streams stay "
+            "under the Arrow binary 2 GiB offset limit"
+        )
+    data = pa.py_buffer(buf if isinstance(buf, bytes) else bytes(buf))
+    offsets = pa.py_buffer(bounds.astype(np.int32))
+    return pa.Array.from_buffers(pa.binary(), n, [None, offsets, data])
+
+
 def encode_postings_batch_arrow(
     doc_ids: np.ndarray,
     freqs: np.ndarray,
@@ -313,19 +334,7 @@ def encode_postings_batch_arrow(
     T = c["T"]
 
     def bin_arr(buf, bounds: np.ndarray) -> "pa.Array":
-        if bounds.size and int(bounds[-1]) >= 2**31:
-            # pa.binary() carries int32 offsets; silently wrapped offsets would
-            # write a corrupt index. Fail loud — the fix is more/smaller
-            # segments (num_segments / maxPartitionBytes), same as sizing the
-            # reference's segment-flush threshold.
-            raise ValueError(
-                f"segment postings column exceeds 2 GiB ({int(bounds[-1])} bytes): "
-                "increase num_segments so each segment's encoded postings stay "
-                "under the Arrow binary 2 GiB offset limit"
-            )
-        data = pa.py_buffer(buf if isinstance(buf, bytes) else bytes(buf))
-        offsets = pa.py_buffer(bounds.astype(np.int32))
-        return pa.Array.from_buffers(pa.binary(), T, [None, offsets, data])
+        return _binary_arrow(buf, bounds, T, "postings")
 
     def list_arr(values: np.ndarray, offsets: np.ndarray) -> "pa.Array":
         return pa.ListArray.from_arrays(
@@ -425,8 +434,6 @@ def encode_value_stream_arrow(
     stream, ``freqs`` the per-(term, doc) occurrence counts, ``term_bounds``
     the (len T+1) posting-row bounds per term. Returns a zero-copy Arrow
     binary array of one buffer per term; decode with :func:`vbyte_decode`."""
-    import pyarrow as pa
-
     values = np.asarray(values, dtype=np.int64)
     if values.size and int(values.min()) < 0:
         raise ValueError("payload values must be non-negative")
@@ -442,14 +449,7 @@ def encode_value_stream_arrow(
     lpre = np.zeros(values.size + 1, dtype=np.int64)
     np.cumsum(_vbyte_len(values), out=lpre[1:])
     byte_bounds = lpre[tok_bounds]
-    if byte_bounds.size and int(byte_bounds[-1]) >= 2**31:
-        raise ValueError(
-            f"segment payload column exceeds 2 GiB ({int(byte_bounds[-1])} bytes): "
-            "increase num_segments"
-        )
-    data = pa.py_buffer(buf)
-    offsets = pa.py_buffer(byte_bounds.astype(np.int32))
-    return pa.Array.from_buffers(pa.binary(), T, [None, offsets, data])
+    return _binary_arrow(buf, byte_bounds, T, "payload")
 
 
 def decode_positions(pos_enc: bytes, freqs: np.ndarray) -> np.ndarray:

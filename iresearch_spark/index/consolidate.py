@@ -47,6 +47,42 @@ from .reader import IndexReader
 # ---------------------------------------------------------------- policies
 
 
+def _decode_group_ids(pdf: pd.DataFrame, counts: np.ndarray):
+    """Shared postings/sidecar merge decode: one global vbyte pass over the
+    concatenated doc-id delta streams (self-delimiting) + per-row cumsum
+    reset. Returns ``(ids_raw, row_starts, row_of, freqs)`` where ``ids_raw``
+    are per-segment 1-based doc ids, element-aligned with ``freqs``."""
+    n_rows = len(pdf)
+    deltas = vbyte_decode(b"".join(pdf["doc_ids_enc"])).astype(np.int64)
+    row_starts = np.zeros(n_rows, np.int64)
+    np.cumsum(counts[:-1], out=row_starts[1:])
+    row_of = np.repeat(np.arange(n_rows), counts)
+    csum = np.cumsum(deltas)
+    carry = csum[row_starts] - deltas[row_starts]
+    ids_raw = csum - carry[row_of]
+    freqs = vbyte_decode(b"".join(pdf["freqs_enc"])).astype(np.int64)
+    return ids_raw, row_starts, row_of, freqs
+
+
+def _mask_keep_shift(ids_raw: np.ndarray, seg_el: np.ndarray, dmask_v: dict):
+    """Shared document_mask purge math: per element, ``keep`` = the doc id is
+    not in its segment's sorted deleted-ids array, ``shift`` = how many
+    deleted ids fall below it (the doc_map renumbering of
+    merge_writer.cpp's compacting remap)."""
+    keep = np.ones(ids_raw.size, dtype=bool)
+    shift = np.zeros(ids_raw.size, np.int64)
+    for s, ds in dmask_v.items():
+        if ds.size == 0:
+            continue
+        m = seg_el == s
+        idv = ids_raw[m]
+        pos = np.searchsorted(ds, idv)
+        posc = np.minimum(pos, ds.size - 1)
+        keep[m] = ds[posc] != idv
+        shift[m] = np.searchsorted(ds, idv, side="right")
+    return keep, shift
+
+
 def _longest_contiguous(ids: list[int]) -> list[int]:
     """Longest run of consecutive segment ids (≥2) — merging a NON-contiguous
     subset would fold later segments' docs below untouched middle segments,
@@ -276,18 +312,9 @@ def consolidate(
         n_rows = len(pdf)
         counts = pdf["docs_count"].to_numpy(np.int64)
         n = int(counts.sum())
-        # doc ids: delta streams are absolute at each row start → one global
-        # decode + per-row cumsum reset + per-row segment offset
-        deltas = vbyte_decode(b"".join(pdf["doc_ids_enc"])).astype(np.int64)
-        row_starts = np.zeros(n_rows, np.int64)
-        np.cumsum(counts[:-1], out=row_starts[1:])
-        row_of = np.repeat(np.arange(n_rows), counts)
-        csum = np.cumsum(deltas)
-        carry = csum[row_starts] - deltas[row_starts]
-        ids_raw = csum - carry[row_of]  # per-segment 1-based ids
+        ids_raw, row_starts, row_of, freqs = _decode_group_ids(pdf, counts)
         seg_ids = pdf["segment_id"].to_numpy(np.int64)
         seg_off = pdf["segment_id"].map(offs).to_numpy(np.int64)
-        freqs = vbyte_decode(b"".join(pdf["freqs_enc"])).astype(np.int64)
         # factorize on the (field, term) composite — per-field term namespaces
         # never merge across fields
         composite = pdf["field"] + "\x1f" + pdf["term"]
@@ -307,18 +334,7 @@ def consolidate(
             # purge + renumber: drop masked docs, shift survivors down by the
             # number of deleted ids below them (doc_map_f), re-encode incl.
             # positions (per-doc position streams of dropped docs must go)
-            keep = np.ones(n, dtype=bool)
-            shift = np.zeros(n, dtype=np.int64)
-            seg_el = seg_ids[row_of]
-            for s, ds in dmask_v.items():
-                if ds.size == 0:
-                    continue
-                m = seg_el == s
-                idv = ids_raw[m]
-                pos = np.searchsorted(ds, idv)
-                posc = np.minimum(pos, ds.size - 1)
-                keep[m] = ds[posc] != idv
-                shift[m] = np.searchsorted(ds, idv, side="right")
+            keep, shift = _mask_keep_shift(ids_raw, seg_ids[row_of], dmask_v)
             new_ids = ids_raw - shift + seg_off[row_of]
             pos_vals = [v if v is not None else b"" for v in pdf["pos_enc"]]
             has_pos = any(len(v) for v in pos_vals)
@@ -390,14 +406,7 @@ def consolidate(
         n_rows = len(pdf)
         counts = pdf["docs_count"].to_numpy(np.int64)
         n = int(counts.sum())
-        deltas = vbyte_decode(b"".join(pdf["doc_ids_enc"])).astype(np.int64)
-        row_starts = np.zeros(n_rows, np.int64)
-        np.cumsum(counts[:-1], out=row_starts[1:])
-        row_of = np.repeat(np.arange(n_rows), counts)
-        csum = np.cumsum(deltas)
-        carry = csum[row_starts] - deltas[row_starts]
-        ids_raw = csum - carry[row_of]
-        freqs = vbyte_decode(b"".join(pdf["freqs_enc"])).astype(np.int64)
+        ids_raw, row_starts, row_of, freqs = _decode_group_ids(pdf, counts)
         seg_off = pdf["segment_id"].map(offs_map).to_numpy(np.int64)
         codes, uniq_terms = pd.factorize(pdf["term"])
         first_row = np.flatnonzero(np.diff(codes, prepend=-1))
@@ -407,19 +416,8 @@ def consolidate(
         )
 
         if any(ds.size for ds in dmask_v.values()):
-            keep = np.ones(n, dtype=bool)
-            shift = np.zeros(n, dtype=np.int64)
             seg_ids = pdf["segment_id"].to_numpy(np.int64)
-            seg_el = seg_ids[row_of]
-            for s, ds in dmask_v.items():
-                if ds.size == 0:
-                    continue
-                m = seg_el == s
-                idv = ids_raw[m]
-                posq = np.searchsorted(ds, idv)
-                posc = np.minimum(posq, ds.size - 1)
-                keep[m] = ds[posc] != idv
-                shift[m] = np.searchsorted(ds, idv, side="right")
+            keep, shift = _mask_keep_shift(ids_raw, seg_ids[row_of], dmask_v)
             new_ids = ids_raw - shift + seg_off[row_of]
             occ_keep = np.repeat(keep, freqs)
             vals_abs = decode_positions(b"".join(val_bytes), freqs)[occ_keep]

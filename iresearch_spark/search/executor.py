@@ -219,17 +219,47 @@ def _ngram_chain_lengths(
     other and inflate L. ``keys`` must be sorted (doc-major, then position);
     ``slot_lists[ti]`` = the query slots term index ti fills (a query may
     repeat an ngram). Returns (doc ranks with ≥1 event, chain length L per
-    such doc), doc ranks ascending."""
+    such doc), doc ranks ascending.
+
+    Docs are processed in chunks bounding the dp matrix at ~2M cells
+    (~16 MB): per-doc chains are independent, so a common-ngram query whose
+    candidate set is a whole multi-million-doc segment costs bounded memory
+    per kernel task, not O(candidates × n_total)."""
+    docs_u, doc_local = np.unique(doc_rank, return_inverse=True)
+    L = np.empty(docs_u.size, np.int64)
+    chunk = max(1, (1 << 21) // max(1, n_total))
+    for dlo in range(0, docs_u.size, chunk):
+        dhi = min(docs_u.size, dlo + chunk)
+        # doc_local is non-decreasing (keys sorted doc-major)
+        elo = int(np.searchsorted(doc_local, dlo, side="left"))
+        ehi = int(np.searchsorted(doc_local, dhi, side="left"))
+        L[dlo:dhi] = _ngram_chain_chunk(
+            keys[elo:ehi], doc_local[elo:ehi] - dlo, tvals[elo:ehi],
+            slot_lists, n_total, dhi - dlo,
+        )
+    return docs_u, L
+
+
+def _ngram_chain_chunk(
+    keys: np.ndarray,
+    doc_local: np.ndarray,
+    tvals: np.ndarray,
+    slot_lists: list[list[int]],
+    n_total: int,
+    n_docs: int,
+) -> np.ndarray:
+    """One doc-chunk of :func:`_ngram_chain_lengths`: the lockstep masked
+    running-max DP over a (n_docs × n_total) matrix. ``doc_local`` is the
+    0-based doc index within the chunk."""
     new_grp = np.empty(keys.size, dtype=bool)
     new_grp[0] = True
     np.not_equal(keys[1:], keys[:-1], out=new_grp[1:])
-    grp = np.cumsum(new_grp) - 1  # global (doc, pos) group id per event
-    docs_u, doc_local = np.unique(doc_rank, return_inverse=True)
-    grp_doc = doc_local[np.flatnonzero(new_grp)]  # doc per global group
+    grp = np.cumsum(new_grp) - 1  # (doc, pos) group id per event
+    grp_doc = doc_local[np.flatnonzero(new_grp)]  # doc per group
     fg_mask = np.empty(grp_doc.size, dtype=bool)
     fg_mask[0] = True
     np.not_equal(grp_doc[1:], grp_doc[:-1], out=fg_mask[1:])
-    first_grp = np.zeros(docs_u.size, np.int64)
+    first_grp = np.zeros(n_docs, np.int64)
     first_grp[grp_doc[fg_mask]] = np.flatnonzero(fg_mask)
     gseq = grp - first_grp[doc_local]  # per-doc group sequence number
     # expand events to (doc, gseq, query-slot) triples
@@ -249,7 +279,7 @@ def _ngram_chain_lengths(
     ed, eg, eq = ed[order], eg[order], eq[order]
     n_steps = int(eg[-1]) + 1
     bounds = np.searchsorted(eg, np.arange(n_steps + 1))
-    dp = np.zeros((docs_u.size, n_total), np.int64)
+    dp = np.zeros((n_docs, n_total), np.int64)
     for s in range(n_steps):
         lo, hi = int(bounds[s]), int(bounds[s + 1])
         if lo == hi:
@@ -263,7 +293,7 @@ def _ngram_chain_lengths(
         pres = np.zeros(sub.shape, dtype=bool)
         pres[inv, eq[lo:hi]] = True
         dp[rows] = np.where(pres & (cand > sub), cand, sub)
-    return docs_u, dp.max(axis=1)
+    return dp.max(axis=1)
 
 
 def _spec_of(node: flt.Filter) -> tuple | None:
@@ -1339,15 +1369,17 @@ class Searcher:
         (range partitioning samples rows and merges small segments
         nondeterministically) and no extra jobs."""
         if self._part_n is None:
-            n_ids = max(
-                1,
-                int(
-                    self.reader.meta.get(
-                        "next_segment_id", self.reader.meta.get("num_segments", 1)
-                    )
-                ),
-            )
-            ids = range(n_ids)  # superset of every live segment id
+            nsi = self.reader.meta.get("next_segment_id")
+            if nsi is not None:
+                ids = list(range(max(1, int(nsi))))  # superset of live ids
+            else:
+                # Legacy meta (pre-next_segment_id): a consolidated index can
+                # hold live ids ≥ num_segments (e.g. {0, 4} with
+                # num_segments=2), so range(num_segments) would NOT prove
+                # collision-freedom. Read the real live ids once (tiny norms
+                # collect, cached for the Searcher's lifetime).
+                ids = sorted(self.reader.segment_docs_counts()) or [0]
+            n_ids = len(ids)
             hs = [_spark_murmur3_int32(i) for i in ids]
             n = n_ids
             for cand in range(n_ids, 8 * n_ids + 1):
@@ -2085,6 +2117,62 @@ class Searcher:
             return topk
         return self._attach_keys(topk, k)
 
+    def _sidecar_targets(
+        self,
+        f: flt.Filter,
+        k: int,
+        dtype: str,
+        table: str,
+        cols: tuple[str, ...],
+        surface: str,
+        build_flag: str,
+    ):
+        """Shared :meth:`highlight` / :meth:`payloads` scaffolding: extract
+        the query's term set from the normalized filter (Term/Terms/And/Or),
+        run the normal pruned top-k search, broadcast the ≤k target docs and
+        their (doc_key, score), and return the term+segment-pruned sidecar
+        scan. Returns None when the search matches nothing; raises if the
+        index lacks the sidecar table."""
+        if table not in self.reader.meta.get("tables", {}):
+            raise ValueError(
+                f"index has no {table} sidecar: build with "
+                f"IndexBuilder(..., {build_flag}=True)"
+            )
+
+        def terms_of(node: flt.Filter) -> set[str]:
+            if isinstance(node, flt.Term):
+                return {node.term}
+            if isinstance(node, flt.Terms):
+                return set(node.terms)
+            if isinstance(node, (flt.And, flt.Or)):
+                out: set[str] = set()
+                for p in node.parts:
+                    out |= terms_of(p)
+                return out
+            raise TypeError(
+                f"{surface}() supports Term/Terms/And/Or filters, "
+                f"got {type(node).__name__}"
+            )
+
+        terms = sorted(terms_of(flt.normalize(f)))
+        hits = self.search(f, k=k, dtype=dtype, with_keys=True).collect()  # ≤ k
+        if not hits:
+            return None
+        targets: dict[int, list] = {}
+        keys: dict[tuple[int, int], tuple[str, float]] = {}
+        for r in hits:
+            sid, did = int(r["segment_id"]), int(r["doc_id"])
+            targets.setdefault(sid, []).append(did)
+            keys[(sid, did)] = (r["doc_key"], float(r["score"]))
+        tgt = {s: np.asarray(sorted(d), dtype=np.int64) for s, d in targets.items()}
+        sc = self.reader.spark.sparkContext
+        scan = (
+            self.reader._table(table)
+            .where(F.col("term").isin(terms) & F.col("segment_id").isin(list(tgt)))
+            .select(*cols)
+        )
+        return sc.broadcast(tgt), sc.broadcast(keys), scan
+
     def highlight(self, f: flt.Filter, k: int = 10, dtype: str = "float64") -> DataFrame:
         """First-occurrence token offsets of the query's terms in the top-k
         docs (the OFFS highlighting surface; offset attribute
@@ -2103,52 +2191,18 @@ class Searcher:
         target docs broadcast — per-occurrence work only for the touched
         (term, segment) rows, nothing unbounded at the driver.
         """
-        meta_tables = self.reader.meta.get("tables", {})
-        if "offsets" not in meta_tables:
-            raise ValueError(
-                "index has no offsets sidecar: build with "
-                "IndexBuilder(..., with_offsets=True)"
-            )
-
-        def terms_of(node: flt.Filter) -> set[str]:
-            if isinstance(node, flt.Term):
-                return {node.term}
-            if isinstance(node, flt.Terms):
-                return set(node.terms)
-            if isinstance(node, (flt.And, flt.Or)):
-                out: set[str] = set()
-                for p in node.parts:
-                    out |= terms_of(p)
-                return out
-            raise TypeError(
-                f"highlight() supports Term/Terms/And/Or filters, got {type(node).__name__}"
-            )
-
-        terms = sorted(terms_of(flt.normalize(f)))
-        top = self.search(f, k=k, dtype=dtype, with_keys=True)
-        hits = top.collect()  # ≤ k rows by construction
         out_schema = (
             "doc_key string, segment_id int, doc_id int, score double, "
             "term string, start long, end long"
         )
-        if not hits:
-            return self.reader.spark.createDataFrame([], out_schema)
-        targets: dict[int, np.ndarray] = {}
-        keys: dict[tuple[int, int], tuple[str, float]] = {}
-        for r in hits:
-            sid, did = int(r["segment_id"]), int(r["doc_id"])
-            targets.setdefault(sid, []).append(did)
-            keys[(sid, did)] = (r["doc_key"], float(r["score"]))
-        targets = {s: np.asarray(sorted(d), dtype=np.int64) for s, d in targets.items()}
-        spark = self.reader.spark
-        b_targets = spark.sparkContext.broadcast(targets)
-        b_keys = spark.sparkContext.broadcast(keys)
-
-        offs_scan = (
-            self.reader._table("offsets")
-            .where(F.col("term").isin(terms) & F.col("segment_id").isin(list(targets)))
-            .select("term", "segment_id", "doc_ids_enc", "freqs_enc", "offs_enc")
+        prep = self._sidecar_targets(
+            f, k, dtype, "offsets",
+            ("term", "segment_id", "doc_ids_enc", "freqs_enc", "offs_enc"),
+            "highlight", "with_offsets",
         )
+        if prep is None:
+            return self.reader.spark.createDataFrame([], out_schema)
+        b_targets, b_keys, offs_scan = prep
 
         def kernel(batches):
             for pdf in batches:
@@ -2200,51 +2254,18 @@ class Searcher:
         Scale shape mirrors :meth:`highlight`: top-k is the normal pruned
         search; the payload decode is a mapInPandas over the term+segment-
         pruned sidecar scan with the ≤k target docs broadcast."""
-        if "payloads" not in self.reader.meta.get("tables", {}):
-            raise ValueError(
-                "index has no payloads sidecar: build with "
-                "IndexBuilder(..., with_payloads=True)"
-            )
-
-        def terms_of(node: flt.Filter) -> set[str]:
-            if isinstance(node, flt.Term):
-                return {node.term}
-            if isinstance(node, flt.Terms):
-                return set(node.terms)
-            if isinstance(node, (flt.And, flt.Or)):
-                out: set[str] = set()
-                for p in node.parts:
-                    out |= terms_of(p)
-                return out
-            raise TypeError(
-                f"payloads() supports Term/Terms/And/Or filters, got {type(node).__name__}"
-            )
-
-        terms = sorted(terms_of(flt.normalize(f)))
-        top = self.search(f, k=k, dtype=dtype, with_keys=True)
-        hits = top.collect()  # ≤ k rows by construction
         out_schema = (
             "doc_key string, segment_id int, doc_id int, score double, "
             "term string, pos long, payload long"
         )
-        if not hits:
-            return self.reader.spark.createDataFrame([], out_schema)
-        targets: dict[int, np.ndarray] = {}
-        keys: dict[tuple[int, int], tuple[str, float]] = {}
-        for r in hits:
-            sid, did = int(r["segment_id"]), int(r["doc_id"])
-            targets.setdefault(sid, []).append(did)
-            keys[(sid, did)] = (r["doc_key"], float(r["score"]))
-        targets = {s: np.asarray(sorted(d), dtype=np.int64) for s, d in targets.items()}
-        spark = self.reader.spark
-        b_targets = spark.sparkContext.broadcast(targets)
-        b_keys = spark.sparkContext.broadcast(keys)
-
-        pay_scan = (
-            self.reader._table("payloads")
-            .where(F.col("term").isin(terms) & F.col("segment_id").isin(list(targets)))
-            .select("term", "segment_id", "doc_ids_enc", "freqs_enc", "pos_enc", "pay_enc")
+        prep = self._sidecar_targets(
+            f, k, dtype, "payloads",
+            ("term", "segment_id", "doc_ids_enc", "freqs_enc", "pos_enc", "pay_enc"),
+            "payloads", "with_payloads",
         )
+        if prep is None:
+            return self.reader.spark.createDataFrame([], out_schema)
+        b_targets, b_keys, pay_scan = prep
 
         def kernel(batches):
             for pdf in batches:

@@ -519,16 +519,6 @@ def test_offsets_require_simple_analyzer_and_matching_append(spark, tmp_path_fac
     assert "d9" in got and got["d9"]["start"] == 8 and got["d9"]["end"] == 12
 
 
-def test_consolidate_rejects_offsets_sidecar(spark, tmp_path_factory):
-    import pytest as _pytest
-
-    from iresearch_spark.index.consolidate import consolidate
-
-    path, _ = _offs_fixture(spark, tmp_path_factory)
-    with _pytest.raises(NotImplementedError, match="offsets"):
-        consolidate(IndexReader(spark, path))
-
-
 def test_highlight_requires_offsets_index(spark, tmp_path_factory):
     import pytest as _pytest
 

@@ -387,9 +387,32 @@ def test_payloads_end_to_end(spark, tmp_path):
     r1 = [(r["doc_key"], round(r["score"], 9)) for r in s.search(flt.Term("scan"), k=5).collect()]
     r2 = [(r["doc_key"], round(r["score"], 9)) for r in s2.search(flt.Term("scan"), k=5).collect()]
     assert r1 == r2
-    # with_payloads on a non-payload analyzer fails loudly at the driver
+    # with_payloads on a non-payload analyzer fails loudly at the driver —
+    # validated on the RESOLVED field list at build time, so the per-field
+    # `fields=` surface works even with the default constructor analyzer
     with pytest.raises(ValueError, match="payload-emitting"):
-        IndexBuilder(spark, str(tmp_path / "bad"), with_payloads=True)
+        IndexBuilder(spark, str(tmp_path / "bad"), with_payloads=True).build(
+            df, key_col="doc_key", text_col="text"
+        )
+
+
+def test_payloads_via_fields_spec(spark, tmp_path):
+    """with_payloads=True with a per-field analyzer spec (constructor keeps
+    the default 'simple' analyzer — validation must use the field's)."""
+    path = str(tmp_path / "r4payfields")
+    df = spark.createDataFrame(
+        [("d1", "scan|7 merge|8"), ("d2", "scan|9")],
+        "doc_key string, text string",
+    )
+    IndexBuilder(spark, path, num_segments=1, with_payloads=True).build(
+        df, key_col="doc_key", fields=(("text", "text", "payload:|"),)
+    )
+    s = Searcher(IndexReader(spark, path))
+    got = sorted(
+        (r["doc_key"], r["pos"], r["payload"])
+        for r in s.payloads(flt.Term("scan"), k=5).collect()
+    )
+    assert got == [("d1", 1, 7), ("d2", 1, 9)]
 
 
 # --------------------------------------------------------------------------
