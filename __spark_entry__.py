@@ -966,8 +966,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- text analysis / pipeline ops (declarative DataFrame plans) ----
     q["q_token_stats"] = lambda s, d: textops.token_stats(_docs(s, d)).select(
-        "doc_id", F.col("n_tokens").cast("long"), F.col("n_unique").cast("long")
+        "doc_id", F.col("n_tokens").cast("long"), F.col("n_unique").cast("long"),
+        F.col("n_subtokens").cast("long"),
     )
+    q["q_winnow_fp"] = lambda s, d: textops.winnow_fingerprints(
+        _docs(s, d), k=5, window=4
+    ).select("doc_id", F.col("fp").cast("long"))
     q["q_quality"] = lambda s, d: textops.quality_score(_docs(s, d)).select(
         "doc_id", F.col("n_tokens").cast("long"), "mean_token_len", "alnum_ratio",
         F.col("len_ok").cast("long"),
@@ -1042,6 +1046,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_lsh_bucket_cand"] = lsh_bucket_cand
 
+    def cosine_near_dup(s, d):
+        emb = s.read.parquet(os.path.join(d, "embeddings.parquet")).withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        return vecops.cosine_near_dup_pairs(
+            emb, threshold=0.3, n_planes=6, seed=11, max_bucket=32
+        ).select(F.col("a").cast("long"), F.col("b").cast("long"), "cos_sim")
+
+    q["q_cosine_near_dup"] = cosine_near_dup
+
     _ivf_cache: dict[str, tuple] = {}
 
     def ivf_topk_q(s, d):
@@ -1075,7 +1089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verdict; the tail is then queries green in r01+r02+r03.
     first = [
         "q_ivf_topk", "q_cosine_pairs", "q_ann_lsh_topk", "q_lsh_bucket_cand",
-        "q_payloads", "q_term_th", "q_minhash_lsh_pairs",
+        "q_payloads", "q_term_th", "q_winnow_fp", "q_cosine_near_dup",
+        "q_token_stats", "q_minhash_lsh_pairs",
     ]
     ordered = {k: q[k] for k in first if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -1254,7 +1269,29 @@ ORDER BY s_sum DESC, doc_id
 LIMIT {TOPK}"""
 
     o["q_token_stats"] = f"""{_TOKS_CTE}
-SELECT doc_id, len(toks)::BIGINT AS n_tokens, len(list_distinct(toks))::BIGINT AS n_unique FROM t"""
+SELECT doc_id, len(toks)::BIGINT AS n_tokens, len(list_distinct(toks))::BIGINT AS n_unique,
+       len(regexp_extract_all(text, '{textops.BPE_ISH}'))::BIGINT AS n_subtokens
+FROM t JOIN documents USING (doc_id)"""
+    # winnowing (Schleimer et al.): k=5 token grams, window=4 minima —
+    # same md5-derived 32-bit hash as the Spark plan (_hash32_col)
+    o["q_winnow_fp"] = f"""{_TOKS_CTE},
+g AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, greatest(len(toks) - 5, 0)),
+           i -> CAST('0x' || substr(md5(array_to_string(toks[i+1:i+5], ' ')), 1, 8) AS BIGINT)
+         ) AS hs
+  FROM t
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, greatest(len(hs) - 4, 0)),
+           j -> list_min(hs[j+1:j+4])
+         )) AS fps
+  FROM g
+)
+SELECT doc_id, unnest(fps)::BIGINT AS fp FROM w"""
     o["q_quality"] = f"""{_TOKS_CTE}
 SELECT doc_id,
        len(toks)::BIGINT AS n_tokens,
@@ -1478,4 +1515,21 @@ sz AS (SELECT bucket, count(*) AS c FROM b GROUP BY 1),
 kept AS (SELECT vec_id, b.bucket FROM b JOIN sz USING (bucket) WHERE c <= 32)
 SELECT l.vec_id::BIGINT AS a, r.vec_id::BIGINT AS b, l.bucket AS bucket
 FROM kept l JOIN kept r ON l.bucket = r.bucket AND l.vec_id < r.vec_id"""
+    # embedding-cosine near-dup: same planes/cap as q_lsh_bucket_cand,
+    # exact cosine rerank over the DISTINCT candidate pairs, keep >= 0.3
+    o["q_cosine_near_dup"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, {_bucket_expr('v', planes6)} AS bucket FROM e),
+sz AS (SELECT bucket, count(*) AS c FROM b GROUP BY 1),
+kept AS (SELECT vec_id, b.bucket FROM b JOIN sz USING (bucket) WHERE c <= 32),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM kept l JOIN kept r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT a::BIGINT AS a, b::BIGINT AS b,
+       CAST(round(list_dot_product(va.v, vb.v)
+            / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 4) AS DOUBLE) AS cos_sim
+FROM cand JOIN e va ON va.vec_id = cand.a JOIN e vb ON vb.vec_id = cand.b
+WHERE round(list_dot_product(va.v, vb.v)
+      / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 4) >= 0.3"""
     return o

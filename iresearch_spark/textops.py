@@ -32,13 +32,26 @@ def norm_text_col(text_col="text"):
 # ------------------------------------------------------------------ analysis
 
 
+# BPE-ish subtoken pattern: letter chunks capped at 4 chars (the ~4-chars-
+# per-subword heuristic of byte-pair vocabularies), single digits (BPE
+# tokenizers split numbers), and each punctuation mark — a deterministic,
+# dialect-portable regex (same semantics in Java regex and RE2/DuckDB)
+# standing in for a real learned BPE vocab, which needs model files.
+BPE_ISH = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"
+
+
 def token_stats(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
-    """Token counting: total + unique tokens per doc. One narrow map, no shuffle."""
+    """Token counting: whitespace-word total + unique, plus a BPE-ish
+    subtoken count (``BPE_ISH`` chunks — the LLM-pipeline "how many tokens
+    is this corpus" estimator). One narrow map, no shuffle."""
     toks = tokens_col(text_col)
     return df.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), F.lit(0))
+        ).alias("n_subtokens"),
     )
 
 
@@ -83,6 +96,35 @@ def fingerprint(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     Content-defined identity that survives whitespace/punct/case noise; the
     join key for exact dedup. Narrow map only."""
     return df.select(F.col(id_col), F.md5(norm_text_col(text_col)).alias("fp"))
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col="doc_id", text_col="text", k: int = 5, window: int = 4
+) -> DataFrame:
+    """Rolling-hash document fingerprints by WINNOWING (Schleimer et al.,
+    SIGMOD 2003 — the MOSS scheme): hash every k-token gram, slide a
+    ``window``-wide window over the hash sequence, keep each window's
+    minimum, emit the distinct selected hashes as ``(id, fp)`` rows.
+
+    Two docs sharing any sufficiently long token run share fingerprints
+    (winnowing guarantees detection of matches ≥ window+k-1 tokens), so a
+    groupBy/self-join on ``fp`` finds copied passages that md5-exact
+    fingerprinting misses. Simplification vs the paper: ties keep the min
+    VALUE (not the rightmost position) — fingerprint SETS are identical.
+
+    Scale shape: one narrow map per doc (gram hashing + window minima are
+    JVM higher-order functions over arrays, no UDF, no shuffle); the
+    downstream join on ``fp`` is the standard high-cardinality hash shuffle.
+    Hashes are :func:`_hash32_col` (md5-derived) so the whole plan replays
+    in the DuckDB oracle."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    gi = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(gi, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    hashes = F.transform(grams, lambda g: _hash32_col(g))
+    wi = F.sequence(F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0)))
+    mins = F.transform(wi, lambda j: F.array_min(F.slice(hashes, j + 1, window)))
+    return df.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
 
 
 # --------------------------------------------------------------------- dedup

@@ -134,6 +134,44 @@ def lsh_bucket_candidates(
     return l.join(r, "bucket").where(F.col("a") < F.col("b")).select("a", "b", "bucket")
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    max_bucket: int | None = 512,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs AT SCALE: sign-LSH bucketed
+    candidate generation (:func:`lsh_bucket_candidates` — vectors within
+    cosine θ of each other agree on a random hyperplane with probability
+    1−θ/π, so near-dups collide in few-plane buckets) followed by an exact
+    cosine rerank over candidates only, keeping pairs ≥ ``threshold``.
+
+    The shuffle is |docs| rows keyed by bucket + the capped within-bucket
+    join — never the |docs|² crossJoin of :func:`cosine_pairs`. Recall is
+    the LSH collision probability (1−θ/π)^n_planes per pair (candidate-
+    generation trade, same contract as the capped MinHash-LSH path);
+    deterministic planes → the whole plan replays in the SQL oracle."""
+    cand = lsh_bucket_candidates(
+        df, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col,
+        dim=dim, max_bucket=max_bucket,
+    ).select("a", "b").distinct()
+    l = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    r = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    if round_to is not None:
+        sim = F.round(sim, round_to).cast("double")
+    return (
+        cand.join(l, "a").join(r, "b")
+        .select("a", "b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_assign_col(vec_col: str, centroids: list[list[float]]):
     """Index of the nearest centroid by L2 distance (ties → smallest index).
 

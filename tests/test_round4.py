@@ -540,3 +540,69 @@ def test_consolidate_legacy_no_field_column(spark, tmp_path):
         for r in Searcher(reader2).search(flt.Term("scan"), k=10).collect()
     ]
     assert after == before
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline additions: winnowing fingerprints, BPE-ish token count,
+# embedding-cosine near-dup (LSH candidates + exact rerank)
+# --------------------------------------------------------------------------
+
+
+def test_winnow_detects_shared_passage(spark):
+    # winnowing guarantee: token runs >= window+k-1 (= 8 here) shared between
+    # docs produce at least one common selected fingerprint
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "intro text before " + shared + " trailing words here"),
+            (2, "totally different opening " + shared + " and another ending"),
+            (3, "no overlap with anything else at all in this document"),
+        ],
+        "doc_id int, text string",
+    )
+    fps = textops.winnow_fingerprints(df, k=5, window=4)
+    a = {r["fp"] for r in fps.where(F.col("doc_id") == 1).collect()}
+    b = {r["fp"] for r in fps.where(F.col("doc_id") == 2).collect()}
+    c = {r["fp"] for r in fps.where(F.col("doc_id") == 3).collect()}
+    assert a & b, "docs sharing an 8-token run must share a fingerprint"
+    assert not (a & c) and not (b & c)
+
+
+def test_winnow_whitespace_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "One two, THREE four five six seven eight nine ten"),
+         (2, "one  two three\tfour five SIX seven eight nine ten")],
+        "doc_id int, text string",
+    )
+    fps = textops.winnow_fingerprints(df)
+    a = sorted(r["fp"] for r in fps.where(F.col("doc_id") == 1).collect())
+    b = sorted(r["fp"] for r in fps.where(F.col("doc_id") == 2).collect())
+    assert a == b  # case/punct/whitespace-normalized identity
+
+
+def test_token_stats_bpe_ish(spark):
+    df = spark.createDataFrame(
+        [(1, "hello, world 42")],
+        "doc_id int, text string",
+    )
+    r = textops.token_stats(df).collect()[0]
+    # words: hello world 42 -> 3; subtokens: hell|o|,|worl|d|4|2 -> 7
+    assert r["n_tokens"] == 3
+    assert r["n_subtokens"] == 7
+
+
+def test_cosine_near_dup_pairs(spark):
+    import math
+    # planted near-dup pair (0,1) plus orthogonal-ish distractors
+    base = [1.0, 0.2, 0.1, 0.05] + [0.0] * 4
+    near = [0.98, 0.22, 0.09, 0.06] + [0.0] * 4
+    rows = [(0, base), (1, near)] + [
+        (i, [0.0] * (i % 8) + [1.0] + [0.0] * (7 - i % 8)) for i in range(2, 10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = vecops.cosine_near_dup_pairs(df, threshold=0.95, n_planes=4, dim=8)
+    pairs = {(r["a"], r["b"]) for r in got.collect()}
+    assert (0, 1) in pairs
+    # exact rerank: no pair below the threshold sneaks through
+    for r in got.collect():
+        assert r["cos_sim"] >= 0.95
