@@ -1516,14 +1516,14 @@ kept AS (SELECT vec_id, b.bucket FROM b JOIN sz USING (bucket) WHERE c <= 32)
 SELECT l.vec_id::BIGINT AS a, r.vec_id::BIGINT AS b, l.bucket AS bucket
 FROM kept l JOIN kept r ON l.bucket = r.bucket AND l.vec_id < r.vec_id"""
     # embedding-cosine near-dup: same planes/cap as q_lsh_bucket_cand,
-    # exact cosine rerank over the DISTINCT candidate pairs, keep >= 0.3
+    # exact cosine rerank over the candidate pairs, keep >= 0.3
     o["q_cosine_near_dup"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (SELECT vec_id, {_bucket_expr('v', planes6)} AS bucket FROM e),
 sz AS (SELECT bucket, count(*) AS c FROM b GROUP BY 1),
 kept AS (SELECT vec_id, b.bucket FROM b JOIN sz USING (bucket) WHERE c <= 32),
 cand AS (
-  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  SELECT l.vec_id AS a, r.vec_id AS b
   FROM kept l JOIN kept r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
 )
 SELECT a::BIGINT AS a, b::BIGINT AS b,

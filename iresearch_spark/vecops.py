@@ -156,10 +156,12 @@ def cosine_near_dup_pairs(
     the LSH collision probability (1−θ/π)^n_planes per pair (candidate-
     generation trade, same contract as the capped MinHash-LSH path);
     deterministic planes → the whole plan replays in the SQL oracle."""
+    # each vector lands in exactly ONE bucket (a single n_planes-bit
+    # signature), so (a, b) pairs are already unique — no dedup shuffle
     cand = lsh_bucket_candidates(
         df, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col,
         dim=dim, max_bucket=max_bucket,
-    ).select("a", "b").distinct()
+    ).select("a", "b")
     l = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     r = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
