@@ -753,6 +753,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_phrase_sumidf"] = phrase_sumidf
 
+    def and_phrase_term(s, d):
+        # Phrase NESTED under And (in-kernel scored leaf, aggregated
+        # sum-of-member-idf stats) conjoined with a term leg, kSum merge
+        reader = _index(s, d)
+        res = Searcher(reader, k1=K1, b=B, phrase_scoring="sum_of_terms").search(
+            flt.And((flt.Phrase(("fast", "scan")), flt.Term("merge"))), k=TOPK
+        )
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.round(F.col("score"), 4).cast("double").alias("score"),
+        )
+
+    q["q_and_phrase_term"] = and_phrase_term
+
     def append_term(s, d):
         # two-generation index (build half + append half): BM25 equals the
         # single-build oracle because term_dict/field stats re-aggregate
@@ -1090,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         "q_ivf_topk", "q_cosine_pairs", "q_ann_lsh_topk", "q_lsh_bucket_cand",
         "q_payloads", "q_term_th", "q_winnow_fp", "q_cosine_near_dup",
+        "q_and_phrase_term",
         "q_token_stats", "q_minhash_lsh_pairs",
     ]
     ordered = {k: q[k] for k in first if k in q}
@@ -1129,6 +1144,53 @@ LIMIT {TOPK}"""
     o["q_fuzzy"] = _bm25_sql("levenshtein(term, 'scam') <= 1")
     o["q_phrase"] = _phrase_sql(("fast", "scan"))
     o["q_phrase_sumidf"] = _phrase_sum_sql(("fast", "scan"))
+    # Phrase nested under And: phrase leg (sum-of-member-idf stats) + term
+    # leg, conjunction with kSum score merge
+    _ph = " fast  scan "
+    o["q_and_phrase_term"] = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, ' ' || array_to_string(toks, '  ') || ' ' AS s,
+         len(toks)::DOUBLE AS dl
+  FROM base
+),
+st AS (SELECT count(*)::DOUBLE AS n, sum(dl)/count(*) AS avgdl FROM norm WHERE dl > 0),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY 1),
+q AS (SELECT unnest(['fast', 'scan']) AS term),
+idfs AS (
+  SELECT sum(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))) AS idf_sum
+  FROM q JOIN dfreq d USING (term) CROSS JOIN st
+),
+pm AS (
+  SELECT doc_id, dl,
+         ((length(s) - length(replace(s, '{_ph}', ''))) / length('{_ph}'))::DOUBLE AS tf
+  FROM norm WHERE s LIKE '%{_ph}%'
+),
+ps AS (
+  SELECT pm.doc_id,
+         2.2 * idfs.idf_sum * pm.tf
+           / ((1.2*(1-0.75)) + (1.2*0.75) * pm.dl / st.avgdl + pm.tf) AS s_p
+  FROM pm CROSS JOIN st CROSS JOIN idfs
+),
+tfm AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'merge' GROUP BY 1),
+ts AS (
+  SELECT tfm.doc_id,
+         (2.2 * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))) * tfm.tf
+           / ((1.2*(1-0.75)) + (1.2*0.75) * norm.dl / st.avgdl + tfm.tf) AS s_t
+  FROM tfm
+  JOIN dfreq d ON d.term = 'merge'
+  JOIN norm ON norm.doc_id = tfm.doc_id
+  CROSS JOIN st
+)
+SELECT ps.doc_id, CAST(round(s_p + s_t, 4) AS DOUBLE) AS score
+FROM ps JOIN ts ON ts.doc_id = ps.doc_id
+ORDER BY s_p + s_t DESC, ps.doc_id
+LIMIT {TOPK}"""
     # lifecycle invariants: an appended (two-generation) index and a
     # consolidated (merged-segment) index must both score EXACTLY like the
     # single-build engine — the oracle is the plain single-corpus BM25

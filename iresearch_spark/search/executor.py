@@ -91,6 +91,9 @@ class ScanSpec:
 
     field_terms: dict[str, list[str]] = _dc_field(default_factory=dict)
     field_specs: dict[str, list[tuple]] = _dc_field(default_factory=dict)
+    # a nested Phrase/SamePosition compiled into the batch needs pos_enc in
+    # the postings scan (positions stay unread for purely boolean batches)
+    need_positions: bool = False
 
     @property
     def fields(self) -> list[str]:
@@ -525,9 +528,13 @@ def compile_plans(
         elif isinstance(node, flt.Terms):
             if f in known:
                 terms_by_field[f].update(node.terms)
-        elif isinstance(node, flt.Phrase):
+        elif isinstance(node, (flt.Phrase, flt.SamePosition)):
             if f in known:
-                terms_by_field[f].update(t for t in node.terms if isinstance(t, str))
+                for t in node.terms:
+                    if isinstance(t, str):
+                        terms_by_field[f].add(t)
+                    elif isinstance(t, flt.Terms):
+                        terms_by_field[f].update(t.terms)
         elif isinstance(node, (flt.And, flt.Or)):
             for p in node.parts:
                 collect_terms(p)
@@ -598,15 +605,51 @@ def compile_plans(
                 "field": f,
             }
         if isinstance(node, (flt.Phrase, flt.SamePosition)):
-            # root-level Phrase/SamePosition never reaches this compiler
-            # (search() dispatches them to the two-pass positional path) —
-            # reaching here means the node is nested under And/Or, which the
-            # boolean kernels cannot evaluate; fail at compile time with a
-            # clear message instead of a kernel-time "bad plan op"
-            raise ValueError(
-                f"{type(node).__name__} cannot be nested under And/Or — "
-                "run it at the root via Searcher.search()"
+            # Phrase/SamePosition NESTED under And/Or (root-level nodes go to
+            # search()'s two-pass path before this compiler runs): evaluated
+            # in-kernel as a scored leaf whose tf is the phrase frequency and
+            # whose idf is the SUM of the member terms' idfs — exactly the
+            # reference's aggregated phrase stats (phrase_filter.cpp:231-318
+            # term_stats.finish per slot; bm25.cpp:495-497 `stats.idf +=`),
+            # i.e. nested phrases always score in `sum_of_terms` mode.
+            if f not in known:
+                return {"op": "empty"}
+            slots: list[list[str]] = []
+            idf_sum = 0.0
+            for t in node.terms:
+                if isinstance(t, str):
+                    slot_terms = [t]
+                    idf_sum += idf_of(f, t)
+                elif isinstance(t, flt.Terms):
+                    slot_terms = sorted(set(t.terms))
+                    idf_sum += sum(idf_of(f, w) for w in slot_terms)
+                else:  # variadic multiterm slot (phrase_filter.cpp variadic)
+                    ckey = repr(t) + FIELD_SEP + f + "#slot"
+                    if ckey not in expansion_cache:
+                        expansion_cache[ckey] = expand_multiterm(t, reader, field=f)
+                    expanded, _tail = expansion_cache[ckey]
+                    slot_terms = [w for w, _ in expanded]
+                    idf_sum += sum(
+                        model.term_const(df, n_by_field[f], dt) for _, df in expanded
+                    )
+                if not slot_terms:
+                    return {"op": "empty"}  # unexpandable slot matches nothing
+                scan.field_terms[f].extend(slot_terms)
+                slots.append(slot_terms)
+            scan.need_positions = True
+            shifts = (
+                [0] * len(slots)
+                if isinstance(node, flt.SamePosition)
+                else list(range(len(slots)))
             )
+            return {
+                "op": "phrase",
+                "slots": [[scan.key(f, w) for w in slot] for slot in slots],
+                "shifts": shifts,
+                "idf": idf_sum,
+                "boost": node.boost,
+                "field": f,
+            }
         if isinstance(node, flt.And):
             incl, excl = [], []
             for p in node.parts:
@@ -1091,6 +1134,93 @@ def _norms_views(norm_pdf: pd.DataFrame, mixed: bool):
     return next(iter(dl_map.values())), dl_map
 
 
+def _phrase_seg_tfs(
+    sv: "_SegmentViews",
+    slot_list: list[list[str]],
+    shift_list: list[int],
+    dels: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One segment's (possibly variadic) phrase evaluation → (sorted doc
+    ids, phrase frequency per doc). FULLY vectorized, zero per-doc Python:
+    per slot, candidate docs' positions gather into one flat array, pack as
+    ``doc_rank * 2^32 + (pos - shift)`` keys, and the slots' key sets
+    intersect with ``np.intersect1d`` (phrase_iterator's position
+    conjunction, collapsed to the flattened-stream trick). Shared by
+    :meth:`Searcher.phrase_matches` (the root two-pass path) and the
+    in-kernel ``{"op": "phrase"}`` leaf for Phrase nested under And/Or."""
+    PACK = np.int64(1) << np.int64(32)
+    max_shift = max(shift_list) if shift_list else 0
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    slot_views = []
+    for slot in slot_list:
+        views = [sv.view(t) for t in slot]
+        views = [v for v in views if v is not None]
+        if not views:
+            return empty  # some slot matches nothing in this segment
+        slot_views.append(views)
+    # conjunction of per-slot doc-id unions
+    cand = None
+    for views in slot_views:
+        slot_ids = (
+            views[0].decode_all()[0]
+            if len(views) == 1
+            else np.unique(np.concatenate([v.decode_all()[0] for v in views]))
+        )
+        cand = slot_ids if cand is None else np.intersect1d(cand, slot_ids, assume_unique=True)
+        if cand.size == 0:
+            return empty
+    cand, _ = _mask_deleted(cand, cand, dels)  # document_mask
+    if cand.size == 0:
+        return empty
+    # rank of each candidate doc (dense 0..m-1) for key packing
+    n_cand = cand.size
+    cur_keys = None
+    for j, views in enumerate(slot_views):
+        parts = []
+        for v in views:
+            t_ids, t_tfs = v.decode_all()
+            t_pos = v.positions()
+            # rows of this term present among candidates
+            row = np.searchsorted(t_ids, cand)
+            row_c = np.minimum(row, t_ids.size - 1)
+            present = t_ids[row_c] == cand
+            rows_sel = row_c[present]
+            ranks_sel = np.flatnonzero(present).astype(np.int64)
+            if rows_sel.size == 0:
+                continue
+            starts = np.zeros(t_ids.size + 1, dtype=np.int64)
+            np.cumsum(t_tfs, out=starts[1:])
+            lens = t_tfs[rows_sel]
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            # flat gather of each selected row's position run
+            out_off = np.zeros(rows_sel.size, np.int64)
+            np.cumsum(lens[:-1], out=out_off[1:])
+            rep = np.repeat(np.arange(rows_sel.size), lens)
+            flat_idx = np.arange(total, dtype=np.int64) - out_off[rep] + starts[rows_sel][rep]
+            pos = t_pos[flat_idx]
+            ranks = ranks_sel[rep]
+            keys = ranks * PACK + (pos - np.int64(shift_list[j]) + np.int64(max_shift))
+            parts.append(keys)
+        if not parts:
+            return empty
+        # single-term keys are already sorted+unique (ranks asc, pos asc
+        # within rank); unions go through np.unique
+        slot_keys = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+        cur_keys = (
+            slot_keys
+            if cur_keys is None
+            else np.intersect1d(cur_keys, slot_keys, assume_unique=True)
+        )
+        if cur_keys.size == 0:
+            return empty
+    doc_rank = (cur_keys // PACK).astype(np.int64)
+    tf = np.bincount(doc_rank, minlength=n_cand)
+    hit = np.flatnonzero(tf)
+    return cand[hit], tf[hit].astype(np.int64)
+
+
 def _eval_plan(
     plan: dict,
     decoded: dict[str, Any],
@@ -1138,6 +1268,20 @@ def _eval_plan(
             if hit is not None:
                 legs.append((hit[0], np.zeros(hit[0].size, dtype=dt)))
         return _union(legs, plan.get("min_match", 1), dt)
+    if op == "phrase":
+        # nested Phrase/SamePosition leaf: tf = phrase frequency (packed-key
+        # position intersect, _phrase_seg_tfs), idf = the compile-time sum of
+        # member-term idfs (aggregated stats, phrase_filter.cpp:231-318)
+        if not hasattr(decoded, "view"):
+            raise ValueError(
+                "nested phrase evaluation needs positional segment views"
+            )
+        dl_l, avgdl_l = leaf_norms(plan)
+        ids, tfs = _phrase_seg_tfs(decoded, plan["slots"], plan["shifts"])
+        if ids.size == 0:
+            return empty
+        scores = model.score(tfs, dl_l[ids - 1], plan["idf"], avgdl_l, plan["boost"], dt)
+        return ids, scores
     if op == "and":
         merge = plan.get("merge", "sum")
         parts = [_eval_plan(p, decoded, dl, avgdl, model, dt, nctx) for p in plan["parts"]]
@@ -1438,8 +1582,9 @@ class Searcher:
             schema = "doc_key string, segment_id int, doc_id int, score double"
             return spark.createDataFrame([], schema if with_keys else schema.split(", ", 1)[1])
 
-        # no pos_enc: non-positional queries never read position bytes
-        pq = self._batch_postings(scan)
+        # pos_enc only when a nested phrase needs it: purely boolean
+        # queries never read position bytes
+        pq = self._batch_postings(scan, with_pos=scan.need_positions)
         norms, mixed, avgdl, avg_map = self._norms_ctx(scan)
 
         def kernel(post_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1553,7 +1698,7 @@ class Searcher:
             return spark.createDataFrame([], KERNEL_OUT_SCHEMA)
         model = self.model
         dt = np.float32 if dtype == "float32" else np.float64
-        pq = self._batch_postings(scan)
+        pq = self._batch_postings(scan, with_pos=scan.need_positions)
         norms, mixed, avgdl, avg_map = self._norms_ctx(scan)
 
         def kernel(post_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1698,7 +1843,9 @@ class Searcher:
             )
 
         if pq is None:
-            pq = self._seg_partitioned(self._batch_postings(scan))
+            pq = self._seg_partitioned(
+                self._batch_postings(scan, with_pos=scan.need_positions)
+            )
         if norms_ctx is None:
             norms, mixed, avgdl, avg_map = self._norms_ctx(scan)
             norms = self._seg_partitioned(norms)
@@ -2393,8 +2540,6 @@ class Searcher:
         norms = self.reader.norms(field=field)
         slot_list = [list(s) for s in slots]
         shift_list = list(shifts)
-        PACK = np.int64(1) << np.int64(32)  # doc_rank * 2^32 + shifted pos
-        max_shift = max(shift_list) if shift_list else 0
         out_schema = MATCH_OUT_SCHEMA + (", seg_matches long" if local_k is not None else "")
 
         def kernel(post_pdf: pd.DataFrame, norm_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2410,77 +2555,11 @@ class Searcher:
             dl = _SegmentNorms(norm_pdf)
             dels = _deleted_of(norm_pdf)
             sv = _SegmentViews(post_pdf)
-            slot_views = []
-            for slot in slot_list:
-                views = [sv.view(t) for t in slot]
-                views = [v for v in views if v is not None]
-                if not views:
-                    return empty  # some slot matches nothing in this segment
-                slot_views.append(views)
-            # conjunction of per-slot doc-id unions
-            cand = None
-            for views in slot_views:
-                slot_ids = (
-                    views[0].decode_all()[0]
-                    if len(views) == 1
-                    else np.unique(np.concatenate([v.decode_all()[0] for v in views]))
-                )
-                cand = slot_ids if cand is None else np.intersect1d(cand, slot_ids, assume_unique=True)
-                if cand.size == 0:
-                    return empty
-            cand, _ = _mask_deleted(cand, cand, dels)  # document_mask
-            if cand.size == 0:
+            out_ids, tf_v = _phrase_seg_tfs(sv, slot_list, shift_list, dels)
+            if out_ids.size == 0:
                 return empty
-            # rank of each candidate doc (dense 0..m-1) for key packing
-            n_cand = cand.size
-            cur_keys = None
-            for j, views in enumerate(slot_views):
-                parts = []
-                for v in views:
-                    t_ids, t_tfs = v.decode_all()
-                    t_pos = v.positions()
-                    # rows of this term present among candidates
-                    row = np.searchsorted(t_ids, cand)
-                    row_c = np.minimum(row, t_ids.size - 1)
-                    present = t_ids[row_c] == cand
-                    rows_sel = row_c[present]
-                    ranks_sel = np.flatnonzero(present).astype(np.int64)
-                    if rows_sel.size == 0:
-                        continue
-                    starts = np.zeros(t_ids.size + 1, dtype=np.int64)
-                    np.cumsum(t_tfs, out=starts[1:])
-                    lens = t_tfs[rows_sel]
-                    total = int(lens.sum())
-                    if total == 0:
-                        continue
-                    # flat gather of each selected row's position run
-                    out_off = np.zeros(rows_sel.size, np.int64)
-                    np.cumsum(lens[:-1], out=out_off[1:])
-                    rep = np.repeat(np.arange(rows_sel.size), lens)
-                    flat_idx = np.arange(total, dtype=np.int64) - out_off[rep] + starts[rows_sel][rep]
-                    pos = t_pos[flat_idx]
-                    ranks = ranks_sel[rep]
-                    keys = ranks * PACK + (pos - np.int64(shift_list[j]) + np.int64(max_shift))
-                    parts.append(keys)
-                if not parts:
-                    return empty
-                # single-term keys are already sorted+unique (ranks asc, pos
-                # asc within rank); unions go through np.unique
-                slot_keys = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
-                cur_keys = (
-                    slot_keys
-                    if cur_keys is None
-                    else np.intersect1d(cur_keys, slot_keys, assume_unique=True)
-                )
-                if cur_keys.size == 0:
-                    return empty
-            doc_rank = (cur_keys // PACK).astype(np.int64)
-            tf = np.bincount(doc_rank, minlength=n_cand)
-            hit = np.flatnonzero(tf)
-            out_ids = cand[hit]
-            tf_v = tf[hit].astype(np.int64)
             dl_v = dl[out_ids - 1]
-            seg_n = int(hit.size)
+            seg_n = int(out_ids.size)
             if local_k is not None and out_ids.size > local_k:
                 mode, A, Bc = rank_params
                 if mode == "bm25":
@@ -2542,7 +2621,9 @@ class PreparedBatch:
         broadcast once, not re-pickled per execute."""
         s = self._searcher
         if self._pq is None and not self.scan.is_empty():
-            self._pq = s._seg_partitioned(s._batch_postings(self.scan)).persist()
+            self._pq = s._seg_partitioned(
+                s._batch_postings(self.scan, with_pos=self.scan.need_positions)
+            ).persist()
         if self._norms_ctx is None:
             norms, mixed, avgdl, avg_map = s._norms_ctx(self.scan)
             self._norms_ctx = (

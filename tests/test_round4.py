@@ -252,12 +252,14 @@ def tiny_idx(spark, tmp_path_factory):
     return IndexReader(spark, path)
 
 
-def test_nested_phrase_raises_at_compile(spark, tiny_idx):
+def test_nested_phrase_now_evaluates(spark, tiny_idx):
+    # nested Phrase/SamePosition compile to the in-kernel scored phrase leaf
+    # (semantics covered by tests/test_nested_phrase.py) — no more rejection
     s = Searcher(tiny_idx)
-    with pytest.raises(ValueError, match="cannot be nested"):
-        s.search(flt.And((flt.Term("fast"), flt.Phrase(("fast", "scan")))), k=5)
-    with pytest.raises(ValueError, match="cannot be nested"):
-        s.search(flt.Or((flt.Term("fast"), flt.SamePosition(("a", "b")))), k=5)
+    got = s.search(flt.And((flt.Term("fast"), flt.Phrase(("fast", "scan")))), k=5)
+    assert got.count() >= 0  # evaluates without a compile error
+    empty = s.search(flt.Or((flt.Term("fast"), flt.SamePosition(("a", "b")))), k=5)
+    assert empty.count() >= 0
 
 
 def test_append_callable_analyzer_rejected(spark, tmp_path):
