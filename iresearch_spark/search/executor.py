@@ -92,8 +92,12 @@ class ScanSpec:
     field_terms: dict[str, list[str]] = _dc_field(default_factory=dict)
     field_specs: dict[str, list[tuple]] = _dc_field(default_factory=dict)
     # a nested Phrase/SamePosition compiled into the batch needs pos_enc in
-    # the postings scan (positions stay unread for purely boolean batches)
+    # the postings scan (positions stay unread for purely boolean batches);
+    # pos_terms tracks WHICH terms per field, so the scan splits and only
+    # the phrase slots' rows read position bytes — one phrase in a large
+    # batch must not drag every other term's (typically largest) stream
     need_positions: bool = False
+    pos_terms: dict[str, list[str]] = _dc_field(default_factory=dict)
 
     @property
     def fields(self) -> list[str]:
@@ -635,6 +639,7 @@ def compile_plans(
                 if not slot_terms:
                     return {"op": "empty"}  # unexpandable slot matches nothing
                 scan.field_terms[f].extend(slot_terms)
+                scan.pos_terms.setdefault(f, []).extend(slot_terms)
                 slots.append(slot_terms)
             scan.need_positions = True
             shifts = (
@@ -756,7 +761,8 @@ class PostingsView:
         self.block_maxf = np.asarray(row.block_max_freq, dtype=np.int64)
         self.doc_enc = row.doc_ids_enc
         self.freq_enc = row.freqs_enc
-        self.pos_enc = getattr(row, "pos_enc", b"")
+        # None from the split batch scan (non-positional rows) → b""
+        self.pos_enc = getattr(row, "pos_enc", b"") or b""
         self._full: tuple[np.ndarray, np.ndarray] | None = None
         self._pos: np.ndarray | None = None
         self._block_cache: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
@@ -1803,26 +1809,56 @@ class Searcher:
             if clause is not None:
                 p = clause & p
             pred = p if pred is None else (pred | p)
-        scan_df = reader.postings().where(pred if pred is not None else F.lit(False))
         term_col = (
             F.concat_ws(FIELD_SEP, F.col("field"), F.col("term")).alias("term")
             if scan.mixed
             else F.col("term")
         )
-        cols = [
-            F.col("segment_id"),
-            term_col,
-            F.col("doc_ids_enc"),
-            F.col("freqs_enc"),
-            *([F.col("pos_enc")] if with_pos else []),
-            F.col("block_last_doc"),
-            F.col("block_doc_off"),
-            F.col("block_freq_off"),
-            F.col("block_max_freq"),
-            F.col("docs_count"),
-            F.col("max_freq"),
-        ]
-        return scan_df.select(*cols)
+
+        def select_cols(df: DataFrame, pos_col):
+            return df.select(
+                F.col("segment_id"),
+                term_col,
+                F.col("doc_ids_enc"),
+                F.col("freqs_enc"),
+                *([pos_col.alias("pos_enc")] if pos_col is not None else []),
+                F.col("block_last_doc"),
+                F.col("block_doc_off"),
+                F.col("block_freq_off"),
+                F.col("block_max_freq"),
+                F.col("docs_count"),
+                F.col("max_freq"),
+            )
+
+        base = reader.postings()
+        full = base.where(pred if pred is not None else F.lit(False))
+        if not with_pos:
+            return select_cols(full, None)
+        # positional-subset predicate: only the phrase slots' terms
+        pos_pred = None
+        split = False
+        for f in scan.fields:
+            pos_set = set(scan.pos_terms.get(f, []))
+            if pos_set != set(scan.field_terms.get(f, [])) or scan.field_specs.get(f):
+                split = True  # some non-positional rows exist in this field
+            if not pos_set:
+                continue
+            p = IndexReader._bare_term_pred(sorted(pos_set))
+            clause = reader._field_clause(f)
+            if clause is not None:
+                p = clause & p
+            pos_pred = p if pos_pred is None else (pos_pred | p)
+        if pos_pred is None:  # positions requested but no positional terms
+            return select_cols(full, None)
+        if not split:  # every scanned term is positional: one scan
+            return select_cols(full, F.col("pos_enc"))
+        # split scan: position bytes ONLY for the phrase slots' rows — the
+        # rest of the batch's (typically largest) stream stays unread
+        scan_pos = select_cols(base.where(pos_pred), F.col("pos_enc"))
+        scan_rest = select_cols(
+            full.where(~pos_pred), F.lit(None).cast("binary")
+        )
+        return scan_pos.unionByName(scan_rest)
 
     def _execute_batch(
         self,
