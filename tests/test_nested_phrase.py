@@ -148,3 +148,42 @@ def test_root_phrase_unchanged_default_mode(idx):
     s = Searcher(idx)  # default exact_df
     root = s.search(PH, k=5).collect()
     assert root  # two-pass path unaffected by the compiler change
+
+
+NEST_CHILDREN = {
+    "c01": ("p1", "spark scan fast scan here"),
+    "c02": ("p1", "fast scan merge"),
+    "c03": ("p2", "fast scan fast scan"),
+    "c04": ("p2", "table sort"),
+    "c05": ("p3", "window batch fast"),
+    "c06": ("p3", "stream merge scan"),
+}
+
+
+def test_phrase_inside_nested_child(spark, tmp_path_factory):
+    # ByNestedFilter child = And(Phrase, Term): the matches() composition
+    # path compiles the nested phrase leaf too
+    path = str(tmp_path_factory.mktemp("nestphrase"))
+    rows = [(k, t, pk) for k, (pk, t) in NEST_CHILDREN.items()]
+    rows += [(p, "", None) for p in ("p1", "p2", "p3")]
+    df = spark.createDataFrame(rows, "doc_key string, text string, parent_key string")
+    IndexBuilder(spark, path, num_segments=2).build(
+        df, key_col="doc_key", text_col="text", stored_cols=("parent_key",)
+    )
+    s = Searcher(IndexReader(spark, path), phrase_scoring="sum_of_terms")
+    child = flt.And((flt.Phrase(("fast", "scan")), flt.Term("merge")))
+    child_scores = {
+        r["doc_key"]: r["score"] for r in s.search(child, k=100).collect()
+    }
+    assert child_scores, "child filter must match someone (c02)"
+    exp = {}
+    for ck, sc in child_scores.items():
+        pk = NEST_CHILDREN[ck][0]
+        exp[pk] = exp.get(pk, 0.0) + sc
+    got = {
+        r["doc_key"]: r["score"]
+        for r in s.search(flt.Nested(child), k=10).collect()
+    }
+    assert got.keys() == exp.keys()
+    for p in exp:
+        assert got[p] == pytest.approx(exp[p], rel=1e-9)
