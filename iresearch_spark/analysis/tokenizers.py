@@ -238,36 +238,48 @@ def accent_fold(texts: pd.Series) -> pd.Series:
     return texts.map(_fold)
 
 
+def _fold_one(t: str) -> str:
+    """Per-token accent fold (NFD → drop combining marks → NFC)."""
+    d = unicodedata.normalize("NFD", t)
+    return unicodedata.normalize(
+        "NFC", "".join(c for c in d if not unicodedata.combining(c))
+    )
+
+
 def text_en_tokenize(
     texts: pd.Series, stopwords: Iterable[str] = DEFAULT_STOPWORDS
 ) -> pd.Series:
-    """Reference ``text`` analyzer pipeline, pure Python
-    (text_token_stream.cpp:373-437): normalize → word segmentation → lower →
-    accent removal → stopword filter → Snowball(Porter2) stem.
+    """Reference ``text`` analyzer pipeline, pure Python — the reference's
+    PER-TOKEN order (text_token_stream.cpp next_word + process_term:
+    segment on the raw text → normalize/case → accent removal → stopword
+    check on the folded form → Snowball stem). Accent folding runs AFTER
+    segmentation (per token) so mark-dependent token boundaries — the
+    th/lo/km grapheme clusters — are decided before the marks are stripped,
+    exactly as ICU's transliterator sees one break-iterator word at a time.
 
-    Differences vs the reference, documented: segmentation is ``\\w+`` over
-    the casefolded text (an approximation of ICU UBRK_WORD — identical on
-    alphanumeric ASCII corpora), and the stemmer is the published Porter2
-    algorithm re-implemented in :mod:`.stemmer` (the reference links
+    Differences vs the reference, documented: segmentation is the
+    ``_UNI_TOKEN_RE`` approximation of ICU UBRK_WORD over casefolded text
+    (identical on alphanumeric ASCII corpora; divergence classes pinned in
+    tests/fixtures/icu_divergence.json), and the stemmer is the published
+    Porter2 algorithm re-implemented in :mod:`.stemmer` (the reference links
     libstemmer's generated code for the same algorithm)."""
     from .stemmer import stem_english
 
     sw = frozenset(stopwords)
-    folded = accent_fold(texts.fillna("").str.casefold())
-    tok_lists = folded.str.findall(_UNI_TOKEN_RE)
-    # stem via a per-batch vocab cache: stem once per unique token, not per
+    tok_lists = texts.fillna("").str.casefold().str.findall(_UNI_TOKEN_RE)
+    # fold+stem via a per-batch vocab cache: once per unique token, not per
     # occurrence (vocab << corpus)
-    cache: dict[str, str] = {}
+    cache: dict[str, str | None] = {}
 
     def _one(toks: list[str]) -> list[str]:
         out = []
         for t in toks:
-            if t in sw:
-                continue
-            s = cache.get(t)
-            if s is None:
-                s = cache[t] = stem_english(t)
-            out.append(s)
+            s = cache.get(t, "")
+            if s == "":
+                f = _fold_one(t) if not t.isascii() else t
+                cache[t] = s = None if f in sw else stem_english(f)
+            if s is not None:
+                out.append(s)
         return out
 
     return tok_lists.map(_one)
@@ -314,11 +326,24 @@ def text_tokenize(
     sw = frozenset(
         stopwords if stopwords is not None else LOCALE_STOPWORDS.get(lang, ())
     )
-    folded = accent_fold(texts.fillna("").str.casefold())
-    tok_lists = folded.str.findall(_UNI_TOKEN_RE)
-    if not sw:
-        return tok_lists
-    return tok_lists.map(lambda ts: [t for t in ts if t not in sw])
+    # reference per-token order (process_term): segment FIRST, then fold each
+    # token, then the stopword check on the folded form — mark-dependent
+    # boundaries (th/lo/km clusters) are decided before marks are stripped
+    tok_lists = texts.fillna("").str.casefold().str.findall(_UNI_TOKEN_RE)
+    cache: dict[str, str | None] = {}
+
+    def _one(toks: list[str]) -> list[str]:
+        out = []
+        for t in toks:
+            s = cache.get(t, "")
+            if s == "":
+                f = _fold_one(t) if not t.isascii() else t
+                cache[t] = s = None if f in sw else f
+            if s is not None:
+                out.append(s)
+        return out
+
+    return tok_lists.map(_one)
 
 
 def text_edge_tokenize(
