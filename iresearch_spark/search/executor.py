@@ -57,6 +57,7 @@ bounds need one norm space).
 from __future__ import annotations
 
 import functools as _functools
+import os
 from dataclasses import dataclass, field as _dc_field
 from typing import Any
 
@@ -1474,6 +1475,14 @@ def _spark_murmur3_int32(x: int, seed: int = 42) -> int:
 
 
 class Searcher:
+    # batch-merge gate: candidate rows reaching the driver merge are bounded
+    # by n_segments × n_plans × k (each segment kernel pre-top-k's to ≤k rows
+    # per (segment, query) via _local_topk); at or under this many rows the
+    # driver heap-merge (reference index-search.cpp:676-748) is one stage,
+    # above it the distributed Window-per-query fallback runs instead.
+    # Instance-overridable for tests / unusual deployments.
+    BATCH_MERGE_MAX = int(os.environ.get("IRS_BATCH_MERGE_MAX", "2000000"))
+
     def __init__(
         self,
         reader: IndexReader,
@@ -1945,7 +1954,7 @@ class Searcher:
             .applyInPandas(kernel, "query string, " + KERNEL_OUT_SCHEMA)
         )
         n_segments = int(self.reader.meta.get("num_segments", 1))
-        if n_segments * len(plans) * k <= 2_000_000:
+        if n_segments * len(plans) * k <= self.BATCH_MERGE_MAX:
             # driver-side merge — the reference's own top-k heap loop
             # (index-search.cpp:676-748): candidate rows are tiny
             # (#segments × #queries × k), one Spark stage total; the windowed
