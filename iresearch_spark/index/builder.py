@@ -117,6 +117,42 @@ LINEAGE_SCHEMA = (
 )
 
 
+def _direct_scan_files(df: DataFrame) -> list[str] | None:
+    """The input's parquet files, iff the DataFrame is a BARE parquet scan
+    (a single Relation node — no filter/projection/join whose semantics a
+    direct file read would drop) over locally-readable files. Conservative by
+    design: anything else returns None and the caller takes the shuffle path.
+    On a real cluster the same decision comes from the table format's
+    metadata layer (an Iceberg scan's file list + column bounds); the local
+    check here covers the sandbox's plain-parquet inputs."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    if (
+        len(lines) != 1
+        or not lines[0].startswith("Relation")
+        or "parquet" not in lines[0]
+    ):
+        return None
+    out: list[str] = []
+    try:
+        in_files = df.inputFiles()
+    except Exception:
+        return None
+    for f in in_files:
+        if f.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            out.append(unquote(urlparse(f).path))
+        elif f.startswith("/"):
+            out.append(f)
+        else:
+            return None  # remote store: would need a task-side FileIO; not wired
+    return sorted(out) or None
+
+
 def _atomic_write_parquet(tbl, final_path: str, task_attempt: int) -> None:
     """Write an Arrow table as a parquet part file, atomic-rename publish —
     idempotent under task retries and job re-runs (FileOutputCommitter v2
@@ -372,7 +408,18 @@ class IndexBuilder:
         )
         for p in part_dirs:
             os.makedirs(p, exist_ok=True)
-        boundaries = self._segment_boundaries(df, key_col, num_segments, gen_dir)
+        in_cols = list(
+            dict.fromkeys([key_col, *(fc for _, fc, _ in fspecs), *stored_cols])
+        )
+        # zero-shuffle fast path: segment membership decided driver-local from
+        # parquet footer stats (see _footer_segment_groups); legacy
+        # sample+range-shuffle path otherwise
+        seg_groups = self._footer_segment_groups(df, key_col, num_segments, gen_dir)
+        boundaries = (
+            None
+            if seg_groups is not None
+            else self._segment_boundaries(df, key_col, num_segments, gen_dir)
+        )
 
         def invert_partition(arrow_batches):
             """Tokenize + invert + encode ONE whole segment (= input partition).
@@ -777,26 +824,80 @@ class IndexBuilder:
         # 3). The bucket is computed from the PERSISTED deterministic
         # boundaries (searchsorted in an Arrow-batched UDF), so membership is
         # restart-stable; the range shuffle on `_b` merely places buckets.
-        barr = np.array(boundaries, dtype=object)
+        if seg_groups is not None:
+            # ---- footer-stats fast path: NO full-corpus motion at all ----
+            # One job of len(seg_groups) tasks; each task reads ONLY its own
+            # row groups (pyarrow), sorts its segment in memory (footer
+            # disjointness guarantees the segment IS a contiguous key range;
+            # per-row-group order is not assumed) and runs the same
+            # process_segment kernel. Collision-free hash placement (shared
+            # with the Searcher's kernel partitioning) puts exactly one
+            # segment on one task — no wave-doubling hash collisions.
+            def invert_groups(arrow_batches):
+                import json as _json
 
-        from pyspark.sql.functions import pandas_udf
+                import pyarrow as pa
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+                from pyspark import TaskContext
 
-        @pandas_udf("int")
-        def _bucket(keys: pd.Series) -> pd.Series:
-            if barr.size == 0:
-                return pd.Series(np.zeros(len(keys), np.int32), index=keys.index)
-            b = np.searchsorted(barr, keys.astype(str).to_numpy(), side="right")
-            return pd.Series(b.astype(np.int32), index=keys.index)
+                attempt = TaskContext.get().taskAttemptId()
+                for batch in arrow_batches:
+                    bi = batch.schema.get_field_index("_b")
+                    ui = batch.schema.get_field_index("_units")
+                    for b, uj in zip(
+                        batch.column(bi).to_pylist(), batch.column(ui).to_pylist()
+                    ):
+                        units = _json.loads(uj)
+                        parts = [
+                            pq.ParquetFile(f).read_row_group(rg, columns=in_cols)
+                            for f, rg in units
+                        ]
+                        tbl = (
+                            pa.concat_tables(parts, promote_options="default")
+                            if len(parts) > 1
+                            else parts[0]
+                        )
+                        order = pc.sort_indices(
+                            tbl, sort_keys=[(key_col, "ascending")]
+                        )
+                        yield from process_segment(
+                            tbl.take(order), sid_base + int(b), attempt
+                        )
 
-        in_cols = list(
-            dict.fromkeys([key_col, *(fc for _, fc, _ in fspecs), *stored_cols])
-        )
-        partitioned = (
-            df.select(*in_cols)
-            .withColumn("_b", _bucket(F.col(key_col).cast("string")))
-            .repartitionByRange(num_segments, "_b")
-            .sortWithinPartitions("_b", key_col)
-        )
+            from ..partition import collision_free_partition_count
+
+            sids = [int(g["sid"]) for g in seg_groups]
+            desc = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "_b": np.array(sids, dtype=np.int32),
+                        "_units": [json.dumps(g["units"]) for g in seg_groups],
+                    }
+                )
+            )
+            inverted = desc.repartition(
+                collision_free_partition_count(sids), "_b"
+            ).mapInArrow(invert_groups, LINEAGE_SCHEMA)
+        else:
+            barr = np.array(boundaries, dtype=object)
+
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("int")
+            def _bucket(keys: pd.Series) -> pd.Series:
+                if barr.size == 0:
+                    return pd.Series(np.zeros(len(keys), np.int32), index=keys.index)
+                b = np.searchsorted(barr, keys.astype(str).to_numpy(), side="right")
+                return pd.Series(b.astype(np.int32), index=keys.index)
+
+            partitioned = (
+                df.select(*in_cols)
+                .withColumn("_b", _bucket(F.col(key_col).cast("string")))
+                .repartitionByRange(num_segments, "_b")
+                .sortWithinPartitions("_b", key_col)
+            )
+            inverted = partitioned.mapInArrow(invert_partition, LINEAGE_SCHEMA)
         # segments stage: one job; tasks direct-write docs/norms/raw part
         # files and the job's Spark OUTPUT is the per-partition lineage table
         # (north-star manifest: segment_id, rows, tokens, seconds, skipped) —
@@ -817,11 +918,7 @@ class IndexBuilder:
         )
         if not segments_done:
             t0 = time.time()
-            (
-                partitioned.mapInArrow(invert_partition, LINEAGE_SCHEMA)
-                .write.mode("overwrite")
-                .parquet(lineage_path)
-            )
+            inverted.write.mode("overwrite").parquet(lineage_path)
             # prune part files left by an interrupted run whose range
             # boundaries shifted (sids absent from this run's lineage);
             # lineage is a few rows — read it driver-local, not as a Spark job
@@ -1183,6 +1280,104 @@ class IndexBuilder:
     def _next_generation(self) -> int:
         meta = self.read_meta()
         return (meta["generation"] + 1) if meta else 1
+
+    def _footer_segment_groups(
+        self, df: DataFrame, key_col: str, n: int, gen_dir: str
+    ) -> list[dict] | None:
+        """Driver-local segment planning from parquet FOOTER statistics — the
+        zero-shuffle build fast path.
+
+        When the input is a BARE parquet scan whose row groups are pairwise
+        DISJOINT in the key column (the normal layout for a corpus table
+        written sorted/range-partitioned by key — and exactly the per-file
+        column bounds an Iceberg manifest records at cluster scale, so on a
+        real cluster this same plan comes from manifest metadata without
+        touching footers), segment membership can be decided on the driver
+        from metadata alone: sort row groups by key min, split into ≤n
+        contiguous groups balanced by row count. The segments job then needs
+        NO boundary-sample pass and NO full-corpus range shuffle — the two
+        serial/wide stages that capped build-side N→4N scaling. Parquet
+        min/max stats may be truncated, but truncation is conservative
+        (stored min ≤ true min, stored max ≥ true max), so the strict
+        stored-max < next-stored-min check proves true disjointness; any
+        overlap falls back to the sampled-boundary range-shuffle path.
+
+        Segment ids are assigned in key order (groups sorted by min key), so
+        the (segment_id, doc_id) tie-break still equals the global doc_key
+        order — rank identity on equal scores is preserved (SURVEY §7.3).
+
+        Returns ``[{"sid", "units": [[file, row_group], ...], "rows"}, ...]``
+        or None when the fast path does not apply. The plan is persisted to
+        ``gen_dir/filegroups.json`` BEFORE the job, so a resumed build reuses
+        the exact same segment membership (restart-stable, the same contract
+        as boundaries.json); an interrupted legacy-path build (boundaries.json
+        already present) keeps resuming on the legacy path."""
+        path = os.path.join(gen_dir, "filegroups.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        if os.path.exists(os.path.join(gen_dir, "boundaries.json")):
+            return None
+        files = _direct_scan_files(df)
+        if not files:
+            return None
+        import pyarrow.parquet as pq
+
+        units: list[tuple[str, str, str, int, int]] = []
+        try:
+            for fp in files:
+                md = pq.ParquetFile(fp).metadata
+                try:
+                    ki = md.schema.to_arrow_schema().names.index(key_col)
+                except ValueError:
+                    return None
+                for rg in range(md.num_row_groups):
+                    rgm = md.row_group(rg)
+                    if rgm.num_rows == 0:
+                        continue
+                    st = rgm.column(ki).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        mn = mn.decode("utf-8", "surrogateescape")
+                    if isinstance(mx, bytes):
+                        mx = mx.decode("utf-8", "surrogateescape")
+                    if not isinstance(mn, str) or not isinstance(mx, str):
+                        return None  # string keys only; else legacy path
+                    units.append((mn, mx, fp, rg, rgm.num_rows))
+        except Exception:
+            return None
+        if not units:
+            return None
+        units.sort()
+        for a, b in zip(units, units[1:]):
+            if not a[1] < b[0]:
+                return None  # overlapping key ranges → must shuffle
+        total = sum(u[4] for u in units)
+        n_eff = max(1, min(n, len(units)))
+        groups: list[dict] = []
+        cur: list[list] = []
+        rows_acc = done = 0
+        for i, u in enumerate(units):
+            cur.append([u[2], u[3]])
+            rows_acc += u[4]
+            remaining_units = len(units) - i - 1
+            remaining_groups = n_eff - len(groups) - 1
+            if remaining_groups > 0 and (
+                done + rows_acc >= total * (len(groups) + 1) / n_eff
+                or remaining_units <= remaining_groups
+            ):
+                groups.append({"sid": len(groups), "units": cur, "rows": rows_acc})
+                done += rows_acc
+                cur, rows_acc = [], 0
+        if cur:
+            groups.append({"sid": len(groups), "units": cur, "rows": rows_acc})
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(groups, f)
+        os.replace(tmp, path)
+        return groups
 
     def _segment_boundaries(self, df: DataFrame, key_col: str, n: int, gen_dir: str) -> list[str]:
         """Deterministic segment key boundaries (≤ n-1 cut points), persisted.

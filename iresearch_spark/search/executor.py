@@ -1452,26 +1452,13 @@ def _local_topk(ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray
 # --------------------------------------------------------------------------
 
 
-def _spark_murmur3_int32(x: int, seed: int = 42) -> int:
-    """Spark's ``F.hash()`` / HashPartitioning hash of one INT column value:
-    Murmur3_x86_32 hashInt with seed 42 (pytest asserts parity). Used to pick
-    a collision-free segment partition count WITHOUT running a job."""
-    c1, c2 = 0xCC9E2D51, 0x1B873593
-    k1 = x & 0xFFFFFFFF
-    k1 = (k1 * c1) & 0xFFFFFFFF
-    k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
-    k1 = (k1 * c2) & 0xFFFFFFFF
-    h1 = seed & 0xFFFFFFFF
-    h1 ^= k1
-    h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
-    h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
-    h1 ^= 4  # fmix: total byte length (one int)
-    h1 ^= h1 >> 16
-    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
-    h1 ^= h1 >> 13
-    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
-    h1 ^= h1 >> 16
-    return h1 - 2**32 if h1 >= 2**31 else h1
+# Spark HashPartitioning hash replica + collision-free partition-count scan
+# (pytest asserts parity with F.hash) — shared with the index builder's
+# segment invert job, which has the same one-kernel-per-task placement need.
+from ..partition import (  # noqa: E402
+    collision_free_partition_count as _collision_free_partition_count,
+    spark_murmur3_int32 as _spark_murmur3_int32,
+)
 
 
 class Searcher:
@@ -1538,16 +1525,7 @@ class Searcher:
                 # collision-freedom. Read the real live ids once (tiny norms
                 # collect, cached for the Searcher's lifetime).
                 ids = sorted(self.reader.segment_docs_counts()) or [0]
-            n_ids = len(ids)
-            hs = [_spark_murmur3_int32(i) for i in ids]
-            n = n_ids
-            for cand in range(n_ids, 8 * n_ids + 1):
-                if len({h % cand for h in hs}) == n_ids:
-                    n = cand
-                    break
-            else:
-                n = 4 * n_ids  # no collision-free count found: old behavior
-            self._part_n = n
+            self._part_n = _collision_free_partition_count(ids)
         return self._part_n
 
     def _seg_partitioned(self, df: DataFrame) -> DataFrame:
