@@ -83,16 +83,25 @@ def _mask_keep_shift(ids_raw: np.ndarray, seg_el: np.ndarray, dmask_v: dict):
     return keep, shift
 
 
-def _longest_contiguous(ids: list[int]) -> list[int]:
-    """Longest run of consecutive segment ids (≥2) — merging a NON-contiguous
-    subset would fold later segments' docs below untouched middle segments,
-    reordering the global (segment_id, doc_id) tie-break on equal scores.
-    Restricting policies to contiguous runs keeps rank identity exact."""
+def _longest_contiguous(ids: list[int], live_ids: list[int] | None = None) -> list[int]:
+    """Longest run of segments consecutive IN THE LIVE ORDER (≥2) — merging a
+    subset with an untouched LIVE segment in the middle would fold later
+    segments' docs below it, reordering the global (segment_id, doc_id)
+    tie-break on equal scores. Adjacency is therefore defined on the sorted
+    live-id list, not on raw integers: id gaps with no live segment between
+    (a build that created fewer segments than requested, or a previous
+    consolidation — merging [0,1]→0 leaves live ids [0,2,3]) do not break a
+    run. Without ``live_ids`` (legacy callers) numeric adjacency applies."""
     ids = sorted(ids)
+    if live_ids is not None:
+        pos = {s: i for i, s in enumerate(sorted(live_ids))}
+        adjacent = lambda a, b: pos[b] == pos[a] + 1  # noqa: E731
+    else:
+        adjacent = lambda a, b: b == a + 1  # noqa: E731
     best: list[int] = []
     cur: list[int] = []
     for s in ids:
-        if cur and s == cur[-1] + 1:
+        if cur and adjacent(cur[-1], s):
             cur.append(s)
         else:
             cur = [s]
@@ -107,7 +116,7 @@ def pick_small_segments(reader: IndexReader, max_docs: int) -> list[int]:
     to the longest contiguous id run (tie-break identity, see above)."""
     counts = reader.segment_docs_counts()
     out = sorted(s for s, n in counts.items() if n < max_docs)
-    return _longest_contiguous(out)
+    return _longest_contiguous(out, live_ids=sorted(counts))
 
 
 def _segment_bytes(reader: IndexReader) -> dict[int, int]:
@@ -138,7 +147,7 @@ def pick_bytes(reader: IndexReader, threshold: float = 0.3) -> list[int]:
         return []
     avg = sum(sizes.values()) / len(sizes)
     out = sorted(s for s, b in sizes.items() if b <= threshold * avg or len(sizes) == 2)
-    return _longest_contiguous(out)
+    return _longest_contiguous(out, live_ids=sorted(sizes))
 
 
 def pick_bytes_accum(reader: IndexReader, max_bytes: int) -> list[int]:
@@ -151,9 +160,8 @@ def pick_bytes_accum(reader: IndexReader, max_bytes: int) -> list[int]:
     i = 0
     acc = 0
     j = 0
-    while j < len(ids):  # sliding window over contiguous id runs
-        if j > i and ids[j] != ids[j - 1] + 1:
-            i, acc = j, 0
+    while j < len(ids):  # sliding window over the live order (ids IS the
+        # full live list, so every consecutive pair is adjacent in live order)
         acc += sizes[ids[j]]
         j += 1
         while acc > max_bytes and i < j:
@@ -177,7 +185,7 @@ def pick_docs_fill(reader: IndexReader, min_fill: float = 0.85) -> list[int]:
     out = sorted(
         s for s, n in totals.items() if n and (n - deleted.get(s, 0)) / n < min_fill
     )
-    return _longest_contiguous(out)
+    return _longest_contiguous(out, live_ids=sorted(totals))
 
 
 def pick_tier(
@@ -196,8 +204,8 @@ def pick_tier(
     for i in range(len(ids)):
         run: list[int] = []
         for j in range(i, min(i + max_merge_segments, len(ids))):
-            if run and ids[j] != run[-1] + 1:
-                break
+            # ids is the full live list: consecutive entries are adjacent in
+            # live order by construction, so every window is a valid run
             run.append(ids[j])
             if len(run) < 2:
                 continue
@@ -222,7 +230,7 @@ def pick_count(reader: IndexReader, target_segments: int) -> list[int]:
     n_merge = len(ids) - target_segments + 1
     if n_merge < 2:
         return []
-    return _longest_contiguous(ids[:n_merge])
+    return _longest_contiguous(ids[:n_merge], live_ids=ids)
 
 
 # ------------------------------------------------------------------ merge
@@ -247,11 +255,13 @@ def consolidate(
     merge_ids = sorted(segment_ids) if segment_ids is not None else all_ids
     if len(merge_ids) < 2:
         return meta  # nothing to merge
-    if merge_ids != list(range(merge_ids[0], merge_ids[-1] + 1)):
+    live_between = [s for s in all_ids if merge_ids[0] <= s <= merge_ids[-1]]
+    if merge_ids != live_between:
         raise ValueError(
-            f"consolidate requires a contiguous segment-id run, got {merge_ids}: "
-            "merging a gapped subset reorders the global (segment_id, doc_id) "
-            "tie-break on equal scores"
+            f"consolidate requires a run contiguous in the LIVE segment order, "
+            f"got {merge_ids} with live segments {live_between} in that id "
+            "range: merging around an untouched live segment reorders the "
+            "global (segment_id, doc_id) tie-break on equal scores"
         )
     docs_count = dict(seg_rows)
     target = merge_ids[0]

@@ -147,3 +147,96 @@ def test_batch_kernel_per_segment_topk_bound(spark, batch_index):
     assert all(r["count"] <= k for r in counts)
     for q in ("qa", "qb"):
         assert sum(r["count"] for r in counts if r["query"] == q) <= k
+
+
+# --------------------------------------------------------------------------
+# Gapped live segment ids (round-5 fix): a build can create FEWER segments
+# than requested (footer fast path with few row groups; legacy path with
+# empty range buckets), so an append starts at next_segment_id and leaves an
+# id gap — e.g. live {0, 4}. A previous consolidation does the same (merging
+# [0,1]→0 leaves {0, 2, 3}). The tie-break invariant only needs runs
+# contiguous in the LIVE order: consolidate merges into the LOWEST id, so a
+# run with no untouched live segment inside preserves the global
+# (segment_id, doc_id) order exactly.
+# --------------------------------------------------------------------------
+
+
+def test_longest_contiguous_live_order():
+    from iresearch_spark.index.consolidate import _longest_contiguous
+
+    # numeric semantics unchanged for legacy callers
+    assert _longest_contiguous([0, 2, 3, 4, 7]) == [2, 3, 4]
+    # live-order semantics: {0, 4} adjacent when nothing lives between
+    assert _longest_contiguous([0, 4], live_ids=[0, 4]) == [0, 4]
+    # a live segment in the gap breaks the run
+    assert _longest_contiguous([0, 4], live_ids=[0, 2, 4]) == []
+    # post-consolidation shape: live {0, 2, 3}, all mergeable
+    assert _longest_contiguous([0, 2, 3], live_ids=[0, 2, 3]) == [0, 2, 3]
+
+
+def test_gapped_consolidate_equals_fresh_build(spark, tmp_path_factory):
+    """Fast-path build (1 row group → 1 segment despite num_segments=4) +
+    append → live ids {0, 4}; consolidating the gapped pair must equal a
+    fresh single-segment build of the union (doc ids, keys AND scores)."""
+    import pyspark.sql.functions as F
+
+    from iresearch_spark import IndexBuilder, IndexReader, Searcher, consolidate
+    from iresearch_spark import filters as flt
+    from tests.test_build_and_query import make_corpus
+
+    docs = make_corpus(120)
+    base = str(tmp_path_factory.mktemp("gapc"))
+    df = spark.createDataFrame(
+        sorted(docs.items()), "doc_key string, text string"
+    )
+    p1, p2, pu = f"{base}/h1", f"{base}/h2", f"{base}/union"
+    items = sorted(docs)
+    df.where(F.col("doc_key") <= items[59]).coalesce(1).write.parquet(p1)
+    df.where(F.col("doc_key") > items[59]).coalesce(1).write.parquet(p2)
+    df.coalesce(1).write.parquet(pu)
+
+    idx = f"{base}/idx"
+    b = IndexBuilder(spark, idx, analyzer="simple", num_segments=4)
+    b.build(spark.read.parquet(p1), key_col="doc_key", text_col="text")
+    import os
+
+    assert os.path.exists(f"{idx}/gen=1/filegroups.json")  # fast path ran
+    b.append(spark.read.parquet(p2))
+    r = IndexReader(spark, idx)
+    live = sorted(r.segment_docs_counts())
+    assert len(live) == 2 and live[1] > live[0] + 1  # the id gap is real
+
+    consolidate(r)  # pre-fix: ValueError("contiguous segment-id run")
+    r2 = IndexReader(spark, idx)
+    assert sorted(r2.segment_docs_counts()) == [live[0]]
+
+    fresh = f"{base}/fresh"
+    IndexBuilder(spark, fresh, analyzer="simple", num_segments=1).build(
+        spark.read.parquet(pu), key_col="doc_key", text_col="text"
+    )
+    for q in (flt.Term("spark"), flt.Or((flt.Term("scan"), flt.Term("hash")))):
+        a = [
+            (h["doc_key"], h["doc_id"], round(h["score"], 10))
+            for h in Searcher(r2).search(q, k=10).collect()
+        ]
+        bb = [
+            (h["doc_key"], h["doc_id"], round(h["score"], 10))
+            for h in Searcher(IndexReader(spark, fresh)).search(q, k=10).collect()
+        ]
+        assert a == bb
+
+
+def test_consolidate_rejects_run_around_live_segment(spark, tmp_path_factory):
+    from iresearch_spark import IndexBuilder, IndexReader, consolidate
+    from tests.test_build_and_query import make_corpus
+
+    docs = make_corpus(90)
+    path = str(tmp_path_factory.mktemp("gapr"))
+    df = spark.createDataFrame(sorted(docs.items()), "doc_key string, text string")
+    IndexBuilder(spark, path, analyzer="simple", num_segments=3).build(
+        df, key_col="doc_key", text_col="text"
+    )
+    r = IndexReader(spark, path)
+    assert sorted(r.segment_docs_counts()) == [0, 1, 2]
+    with pytest.raises(ValueError, match="contiguous in the LIVE"):
+        consolidate(r, [0, 2])  # segment 1 is live and untouched
