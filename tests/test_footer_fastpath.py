@@ -144,3 +144,46 @@ def test_filegroups_resume_stability(spark, pages_parquet, tmp_path):
         json.dump(mutated, f)
     again = b._footer_segment_groups(df, "url", 3, gen_dir)
     assert again[0]["rows"] == -1
+
+
+def test_fastpath_multifield_matches_legacy(spark, tmp_path):
+    """Multi-field + fast path: footer-planned segments must be
+    score-identical to the legacy range-shuffle path on both fields
+    (the per-(field, term) stats and layout are shared code, but the
+    segment membership planner is not — this pins their equivalence)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from iresearch_spark import IndexBuilder, IndexReader, Searcher
+    from iresearch_spark import filters as flt
+    from tests.test_build_and_query import make_corpus
+
+    docs = make_corpus(150)
+    src = spark.createDataFrame(
+        sorted(docs.items()), "doc_key string, text string"
+    ).withColumn("title", F.substring("text", 1, 30))
+    p = str(tmp_path / "mf_sorted")
+    src.coalesce(2).write.parquet(p)
+    bare = spark.read.parquet(p)
+    fields = (("body", "text", "simple"), ("title", "title", "simple"))
+
+    fast = str(tmp_path / "mf_fast")
+    IndexBuilder(spark, fast, num_segments=4).build(bare, key_col="doc_key", fields=fields)
+    assert os.path.exists(f"{fast}/gen=1/filegroups.json")
+
+    legacy = str(tmp_path / "mf_legacy")
+    IndexBuilder(spark, legacy, num_segments=4).build(
+        bare.withColumn("_x", F.lit(1)).drop("_x"), key_col="doc_key", fields=fields
+    )
+    assert not os.path.exists(f"{legacy}/gen=1/filegroups.json")
+
+    sf, sl = Searcher(IndexReader(spark, fast)), Searcher(IndexReader(spark, legacy))
+    for q in (
+        flt.Term("spark"),
+        flt.Term("spark", field="title"),
+        flt.Or((flt.Term("scan"), flt.Term("hash", field="title"))),
+    ):
+        a = [(h["doc_key"], round(h["score"], 10)) for h in sf.search(q, k=10).collect()]
+        b = [(h["doc_key"], round(h["score"], 10)) for h in sl.search(q, k=10).collect()]
+        assert a == b
