@@ -448,7 +448,34 @@ def minhash_tokenize(
     return texts.fillna("").map(one)
 
 
-def collation_tokenize(texts: pd.Series, strength: str = "primary") -> pd.Series:
+# Locale collation tailorings (CLDR rules, public knowledge). Each maps a
+# tailored character to a SORT SURROGATE whose byte order places it where the
+# locale's collation does; applied BEFORE the NFKD fold so the generic
+# strength machinery (which would decompose å → a + ring) never sees the
+# tailored letter. "\x7f" (DEL) sorts after every ASCII letter, so
+# "z\x7f<digit>" keys land after all plain z-words — the CLDR Swedish order.
+# Surrogates are ordered among themselves by their digit suffix.
+_COLLATION_TAILORING: dict[str, dict[str, str]] = {
+    # Swedish (CLDR sv): å, ä, ö are distinct letters AFTER z, in that order.
+    "sv": {
+        "å": "z\x7f1", "Å": "Z\x7f1",
+        "ä": "z\x7f2", "Ä": "Z\x7f2",
+        "ö": "z\x7f3", "Ö": "Z\x7f3",
+    },
+    # German phonebook (DIN 5007-2 / CLDR de-u-co-phonebk): umlauts expand
+    # to base+e at PRIMARY strength (ä=ae), ß=ss as in standard German.
+    "de_phonebook": {
+        "ä": "ae", "Ä": "Ae",
+        "ö": "oe", "Ö": "Oe",
+        "ü": "ue", "Ü": "Ue",
+        "ß": "ss",
+    },
+}
+
+
+def collation_tokenize(
+    texts: pd.Series, strength: str = "primary", locale: str | None = None
+) -> pd.Series:
     """``collation`` analyzer approximation (collation_token_stream.cpp):
     the reference emits ONE token per input — the ICU collation sort key for
     a locale — so term ORDER (and therefore by_range/by_prefix semantics)
@@ -458,11 +485,27 @@ def collation_tokenize(texts: pd.Series, strength: str = "primary") -> pd.Series
     primary-strength key: NFKD normalize → strip combining marks → casefold
     ('café', 'CAFE', 'Cafe' all collate equal, like ICU primary strength).
     ``strength="secondary"`` keeps accents (NFKD + casefold only);
-    ``strength="tertiary"`` keeps case too (NFKD only). Locale-specific
-    tailoring (e.g. sv 'ä' after 'z') needs real ICU and is documented out
-    of scope."""
+    ``strength="tertiary"`` keeps case too (NFKD only).
+
+    ``locale`` applies a CLDR tailoring table (_COLLATION_TAILORING) before
+    the fold: ``sv`` places å < ä < ö after z as distinct primary letters
+    (standard German needs NO table — CLDR sorts ä as a+secondary-diff,
+    which is exactly what NFKD+strip produces, and casefold already maps
+    ß→ss at primary/secondary); ``de_phonebook`` expands umlauts to base+e
+    (DIN 5007-2). Full ICU tailoring (contractions, script reordering)
+    remains out of scope; unknown locales raise."""
+    table = None
+    if locale:
+        table = _COLLATION_TAILORING.get(locale)
+        if table is None:
+            raise ValueError(
+                f"no collation tailoring for locale {locale!r}; "
+                f"available: {sorted(_COLLATION_TAILORING)} (default untailored)"
+            )
 
     def key(s: str) -> list[str]:
+        if table:
+            s = "".join(table.get(c, c) for c in s)
         d = unicodedata.normalize("NFKD", s)
         if strength == "primary":
             d = "".join(c for c in d if not unicodedata.combining(c)).casefold()
@@ -571,8 +614,13 @@ def get_tokenizer(name: str) -> Tokenizer:
             sk = parts[1] if len(parts) > 1 else 3
             sd = parts[2] if len(parts) > 2 else 7
             return lambda s, a=nh, b=sk, c=sd: minhash_tokenize(s, a, b, c)
-        if kind == "collation":  # collation:<strength> (primary|secondary|tertiary)
-            return lambda s, st=arg: collation_tokenize(s, st or "primary")
+        if kind == "collation":
+            # collation:<strength>[,<locale>] — strength primary|secondary|
+            # tertiary; locale applies a CLDR tailoring (sv, de_phonebook)
+            parts = arg.split(",")
+            st = parts[0] or "primary"
+            loc = parts[1] if len(parts) > 1 and parts[1] else None
+            return lambda s, st=st, loc=loc: collation_tokenize(s, st, loc)
         if kind == "text":
             # text:<locale>[,edge:<min>-<max>[-p]][,stopword,...]
             # ('' after locale = empty stopword list); the optional edge part
