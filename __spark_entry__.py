@@ -195,6 +195,32 @@ def _th_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     return _READERS[key]
 
 
+def _sv_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Swedish-collation index: a/e/o are mapped onto å/ä/ö (deterministic
+    translate) and every doc's FULL text is keyed by the sv-tailored
+    collation analyzer (one sort-key token per doc, collation_token_stream
+    semantics). The CLDR sv tailoring places å<ä<ö AFTER z as distinct
+    primary letters (sort surrogates 'z'+chr(127)+'1..3'), so a Range
+    filter over the keys follows the Swedish order — the oracle reproduces
+    the key with the same replace chain in SQL."""
+    key = (sf_dir, "sv")
+    if key in _READERS:
+        return _READERS[key]
+    h = hashlib.md5(f"{sf_dir}|sv".encode()).hexdigest()[:10]
+    path = os.path.join("/tmp", f"iresearch_entry_idx_v3_{h}")
+    os.makedirs(path, exist_ok=True)
+    builder = IndexBuilder(spark, path, analyzer="collation:primary,sv", num_segments=4)
+    if builder.read_meta() is None:
+        df = (
+            _docs(spark, sf_dir)
+            .withColumn("doc_key", F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+            .withColumn("svtext", F.translate(F.lower(F.col("text")), "aeo", "åäö"))
+        )
+        builder.build(df, key_col="doc_key", text_col="svtext")
+    _READERS[key] = IndexReader(spark, path)
+    return _READERS[key]
+
+
 def _pay_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     """PAY-stream index: every token of the corpus is rewritten as
     ``token|payload`` with payload = (doc_id*7 + pos*13) % 1000 (pos 1-based),
@@ -1051,6 +1077,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_term_th"] = term_th
 
+    def collation_sv(s, d):
+        # Swedish collation tailoring end-to-end: Range(> 'z') over the
+        # per-doc collation keys returns exactly the docs whose (translated)
+        # text starts with å/ä/ö — letters the CLDR sv order puts AFTER z,
+        # which the untailored fold would place back at a/e/o instead
+        reader = _sv_index(s, d)
+        res = Searcher(reader, k1=K1, b=B).search(
+            flt.Range(low="z", include_low=False), k=TOPK
+        )
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.round(F.col("score"), 4).cast("double").alias("score"),
+        )
+
+    q["q_collation_sv"] = collation_sv
+
     # ---- text analysis / pipeline ops (declarative DataFrame plans) ----
     q["q_token_stats"] = lambda s, d: textops.token_stats(_docs(s, d)).select(
         "doc_id", F.col("n_tokens").cast("long"), F.col("n_unique").cast("long"),
@@ -1178,7 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in the MOST RECENT driver window, so nothing is ever >1 round stale.
     first = [
         # (1) new in r5
-        "q_text_edge_ngram", "q_fuzzy_dist",
+        "q_text_edge_ngram", "q_fuzzy_dist", "q_collation_sv",
         # (2) green in r03, rotated out of r04's 50-entry window
         "q_lang_id", "q_fingerprint", "q_exact_dups", "q_jaccard_pairs",
         "q_minhash_sig", "q_simhash", "q_column_exists", "q_binary_meta",
@@ -1390,6 +1432,27 @@ st AS (SELECT count(*)::DOUBLE AS n, sum(dl)/count(*) AS avgdl FROM dl),
 dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
 """
     o["q_term_th"] = _bm25_sql(f"term = '{_THAI_DST[18]}'", cte=th_cte)
+
+    # one collation-key token per doc: the tailored key replaces å/ä/ö
+    # (themselves translate()d from a/e/o) with the post-z sort surrogates
+    # 'z'+chr(127)+'1..3' — for the all-ASCII corpus the NFKD/casefold steps
+    # of the analyzer are identity, so the SQL replace chain IS the key
+    sv_cte = """
+WITH tok AS (
+  SELECT doc_id,
+         replace(replace(replace(
+           translate(lower(text), 'aeo', 'åäö'),
+           'å', 'z' || chr(127) || '1'),
+           'ä', 'z' || chr(127) || '2'),
+           'ö', 'z' || chr(127) || '3') AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n, sum(dl)/count(*) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+"""
+    o["q_collation_sv"] = _bm25_sql("term > 'z'", cte=sv_cte)
 
     o["q_term_title_field"] = f"""{_TWO_FIELD_CTE}
 SELECT doc_id, CAST(round(s, 4) AS DOUBLE) AS score
