@@ -30,6 +30,7 @@ class IndexReader:
         self._field_stats: dict[str, dict] = {}
         self._tables: dict[str, DataFrame] = {}
         self._vocab_cache: dict[str, tuple | None] = {}
+        self._vocab_sorted_cache: dict[str, tuple | None] = {}
 
     # ------------------------------------------------------------- fields
     @property
@@ -122,6 +123,30 @@ class IndexReader:
             pdf["charmask"].to_numpy(np.int64),
         )
         self._vocab_cache[fname] = out
+        return out
+
+    def fuzzy_vocab_sorted(self, field: str | None = None):
+        """:meth:`fuzzy_vocab` permuted into ASCENDING term order — the
+        FST-role sorted view the Levenshtein-automaton intersect walk
+        (search/lev_automaton.py) seeks over.  The collect order of the
+        term_dict scan is not guaranteed (df-ranked / task order), so the
+        permutation is computed once per (reader, field) and cached; the
+        prefilter fast path keeps the unsorted arrays (its selection is
+        order-independent) and never pays the sort."""
+        fname = self._resolve_field(field)
+        if fname in self._vocab_sorted_cache:
+            return self._vocab_sorted_cache[fname]
+        vocab = self.fuzzy_vocab(fname)
+        if vocab is None:
+            self._vocab_sorted_cache[fname] = None
+            return None
+        terms, dfc, tlen, mask = vocab
+        if len(terms) > 1 and not bool(np.all(terms[:-1] <= terms[1:])):
+            perm = np.argsort(terms, kind="stable")
+            out = (terms[perm], dfc[perm], tlen[perm], mask[perm])
+        else:
+            out = vocab
+        self._vocab_sorted_cache[fname] = out
         return out
 
     def deletes(self) -> DataFrame | None:

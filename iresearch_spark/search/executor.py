@@ -398,17 +398,35 @@ def expand_multiterm(
         from ..index.termfeat import fuzzy_prefilter_np, fuzzy_prefilter_pred
 
         # FAST PATH — driver-cached term dictionary (reader.fuzzy_vocab, the
-        # reference's in-memory FST role): prefilter + DP + selection are pure
-        # numpy, so fuzzy costs ZERO extra Spark jobs beyond the postings scan.
+        # reference's in-memory FST role): candidate enumeration + DP +
+        # selection are pure Python/numpy, so fuzzy costs ZERO extra Spark
+        # jobs beyond the postings scan.  Candidate enumeration is the
+        # Levenshtein-automaton intersect walk over the SORTED vocabulary
+        # (search/lev_automaton.py — the automaton×FST arc walk of
+        # levenshtein_filter.cpp:139-310, sublinear in |vocab|) for
+        # max_distance <= 2 (the reference's common parametric tables); the
+        # linear tlen/charmask prefilter scan remains for larger distances
+        # and as the IRS_FUZZY_AUTOMATON=0 escape hatch.  Both enumerators
+        # feed the SAME exact-DP + selection code, so the expansion is
+        # candidate-set- and selection-identical either way.
         # Selection parity: top max_terms by boost = 1 - d/min(|term|, |q|)
         # (levenshtein_filter.cpp:48-55, 158-165), ties towards the LARGER
         # term (top_terms_collector.hpp:64-69); NOT first-max_terms in term
         # order.
-        vocab = reader.fuzzy_vocab(fname)
+        use_automaton = maxd <= 2 and os.environ.get("IRS_FUZZY_AUTOMATON", "1") != "0"
+        vocab = (
+            reader.fuzzy_vocab_sorted(fname) if use_automaton
+            else reader.fuzzy_vocab(fname)
+        )
         if vocab is not None:
             terms_a, df_a, tlen_a, mask_a = vocab
-            sel = fuzzy_prefilter_np(tlen_a, mask_a, q, maxd)
-            idx = np.flatnonzero(sel)
+            if use_automaton:
+                from .lev_automaton import LevAutomaton
+
+                idx = LevAutomaton(q, maxd, transpose=transpose).intersect(terms_a)
+            else:
+                sel = fuzzy_prefilter_np(tlen_a, mask_a, q, maxd)
+                idx = np.flatnonzero(sel)
             if idx.size == 0:
                 return [], None
             cand_terms = terms_a[idx]
