@@ -111,7 +111,7 @@ class IndexReader:
         fname = self._resolve_field(field)
         if fname in self._vocab_cache:
             return self._vocab_cache[fname]
-        cols = self.term_dict(fname).select("term", "df", "tlen", "charmask")
+        cols = self.term_dict(fname).select("term", "df", "ttf", "tlen", "charmask")
         pdf = cols.limit(self.FUZZY_VOCAB_MAX + 1).toPandas()
         if len(pdf) > self.FUZZY_VOCAB_MAX:
             self._vocab_cache[fname] = None
@@ -119,6 +119,7 @@ class IndexReader:
         out = (
             pdf["term"].to_numpy(dtype=object),
             pdf["df"].to_numpy(np.int64),
+            pdf["ttf"].to_numpy(np.int64),
             pdf["tlen"].to_numpy(np.int64),
             pdf["charmask"].to_numpy(np.int64),
         )
@@ -140,10 +141,10 @@ class IndexReader:
         if vocab is None:
             self._vocab_sorted_cache[fname] = None
             return None
-        terms, dfc, tlen, mask = vocab
+        terms = vocab[0]
         if len(terms) > 1 and not bool(np.all(terms[:-1] <= terms[1:])):
             perm = np.argsort(terms, kind="stable")
-            out = (terms[perm], dfc[perm], tlen[perm], mask[perm])
+            out = tuple(a[perm] for a in vocab)
         else:
             out = vocab
         self._vocab_sorted_cache[fname] = out
@@ -274,7 +275,24 @@ class IndexReader:
         self, terms: list[str], field: str | None = None
     ) -> dict[str, tuple[int, int]]:
         """term → (df, ttf) within one field; the term_collector phase
-        (collectors.cpp:144-219)."""
+        (collectors.cpp:144-219).
+
+        Served from the driver-cached sorted vocabulary when the field's
+        dictionary fits the cache (binary search per term — zero Spark jobs;
+        the cache is built once per reader and amortizes across every query,
+        which leaves the postings kernel as a search's ONLY job).  Falls back
+        to the distributed term_dict lookup above the cache cap or under
+        IRS_STATS_VOCAB=0."""
+        if os.environ.get("IRS_STATS_VOCAB", "1") != "0":
+            vocab = self.fuzzy_vocab_sorted(field)
+            if vocab is not None:
+                ta, dfa, ttfa = vocab[0], vocab[1], vocab[2]
+                out: dict[str, tuple[int, int]] = {}
+                for t in terms:
+                    i = int(np.searchsorted(ta, t))
+                    if i < len(ta) and ta[i] == t:
+                        out[t] = (int(dfa[i]), int(ttfa[i]))
+                return out
         rows = self.term_dict(field).where(self._bare_term_pred(terms)).collect()
         return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
 

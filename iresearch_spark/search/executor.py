@@ -373,6 +373,86 @@ def spec_match(spec: tuple, term: str) -> bool:
     raise ValueError(f"bad spec {spec}")
 
 
+#: wildcard slices larger than this fall back to the distributed RLIKE scan
+#: (JVM codegen beats a driver-side regex loop at this size)
+_VOCAB_WILDCARD_MAX = 500_000
+
+
+def _prefix_successor(p: str) -> str | None:
+    """Smallest string greater than EVERY string with prefix ``p`` (the
+    right-open bound of the prefix block in a sorted dictionary), or None
+    when no such string exists (p empty / all U+10FFFF)."""
+    cps = list(p)
+    while cps and ord(cps[-1]) >= 0x10FFFF:
+        cps.pop()
+    if not cps:
+        return None
+    cps[-1] = chr(ord(cps[-1]) + 1)
+    return "".join(cps)
+
+
+def _vocab_expand(reader: IndexReader, fname: str, spec: tuple, limit: int):
+    """Driver-cached expansion of prefix/range/wildcard specs — the same
+    in-memory term-dictionary fast path fuzzy uses (reader.fuzzy_vocab_sorted,
+    the reference's node-local FST: formats_burst_trie.cpp:857-861), so the
+    common multiterm filters cost ZERO extra Spark jobs beyond the postings
+    scan.  Prefix and range become two binary searches on the sorted vocab;
+    wildcard slices its literal prefix block, then regex-matches only the
+    slice.  Selection parity with the distributed job
+    (``orderBy(df desc, term) limit(limit+1)``): the slice is term-ascending,
+    so a STABLE argsort on -df yields df-desc with term-asc tie-breaks.
+
+    Returns (scored, overflow) or None to fall back to the distributed scan
+    (vocab above the cache cap, over-large wildcard slice, or
+    IRS_MULTITERM_VOCAB=0)."""
+    if os.environ.get("IRS_MULTITERM_VOCAB", "1") == "0":
+        return None
+    vocab = reader.fuzzy_vocab_sorted(fname)
+    if vocab is None:
+        return None
+    terms_a, df_a = vocab[0], vocab[1]
+    n = len(terms_a)
+    kind = spec[0]
+    if kind == "prefix":
+        p = spec[1]
+        lo = int(np.searchsorted(terms_a, p, side="left"))
+        succ = _prefix_successor(p)
+        hi = n if succ is None else int(np.searchsorted(terms_a, succ, side="left"))
+    elif kind == "range":
+        _, rlo, rhi, il, ih = spec
+        lo = 0 if rlo is None else int(np.searchsorted(terms_a, rlo, side="left" if il else "right"))
+        hi = n if rhi is None else int(np.searchsorted(terms_a, rhi, side="right" if ih else "left"))
+    elif kind == "wildcard":
+        pat = spec[1]
+        cut = min(
+            (i for i, c in enumerate(pat) if c in "%_"), default=len(pat)
+        )
+        p = pat[:cut]
+        lo = int(np.searchsorted(terms_a, p, side="left"))
+        succ = _prefix_successor(p)
+        hi = n if succ is None else int(np.searchsorted(terms_a, succ, side="left"))
+        if hi - lo > _VOCAB_WILDCARD_MAX:
+            return None
+    else:
+        return None
+    if hi <= lo:
+        return [], False
+    seg_terms, seg_df = terms_a[lo:hi], df_a[lo:hi]
+    if kind == "wildcard":
+        rx = _like_regex(spec[1])
+        mask = np.fromiter(
+            (rx.match(t) is not None for t in seg_terms), bool, len(seg_terms)
+        )
+        seg_terms, seg_df = seg_terms[mask], seg_df[mask]
+    m = len(seg_terms)
+    if m == 0:
+        return [], False
+    if m > limit:
+        order = np.argsort(-seg_df, kind="stable")[:limit]
+        return sorted((str(seg_terms[i]), int(seg_df[i])) for i in order), True
+    return sorted((str(t), int(d)) for t, d in zip(seg_terms, seg_df)), False
+
+
 def expand_multiterm(
     node: flt.Filter, reader: IndexReader, field: str | None = None
 ) -> tuple[list[tuple[str, int]], tuple | None]:
@@ -419,7 +499,7 @@ def expand_multiterm(
             else reader.fuzzy_vocab(fname)
         )
         if vocab is not None:
-            terms_a, df_a, tlen_a, mask_a = vocab
+            terms_a, df_a, _ttf_a, tlen_a, mask_a = vocab
             if use_automaton:
                 from .lev_automaton import LevAutomaton
 
@@ -471,6 +551,10 @@ def expand_multiterm(
     spec = _spec_of(node)
     if spec is None:
         raise TypeError(f"not a multiterm filter: {node}")
+    fast = _vocab_expand(reader, fname, spec, limit)
+    if fast is not None:
+        scored, overflow = fast
+        return scored, (spec if overflow else None)
     rows = (
         td.where(spec_pred(spec))
         .select("term", "df")

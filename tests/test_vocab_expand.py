@@ -1,0 +1,93 @@
+"""Driver-cached multiterm expansion (prefix/range/wildcard over the sorted
+vocab) must be result-identical to the distributed term_dict job — including
+the overflow → tail-spec contract (multiterm_query.cpp:36-168 semantics)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from iresearch_spark import IndexBuilder, IndexReader, Searcher, filters as flt
+from iresearch_spark.search.executor import _prefix_successor, expand_multiterm
+
+
+@pytest.fixture(scope="module")
+def reader(spark, tmp_path_factory):
+    rng = np.random.default_rng(23)
+    words = [
+        "scan", "scat", "scam", "span", "spark", "sprak", "s_a1", "s_a2",
+        "sxaz", "query", "quick", "term", "terms", "merge", "zeta", "alpha",
+    ]
+    docs = {f"d{i:04d}": " ".join(rng.choice(words, size=15)) for i in range(120)}
+    path = str(tmp_path_factory.mktemp("vexp"))
+    df = spark.createDataFrame(list(docs.items()), "doc_key string, text string")
+    IndexBuilder(spark, path, analyzer="simple", num_segments=3).build(
+        df, key_col="doc_key", text_col="text"
+    )
+    return IndexReader(spark, path)
+
+
+NODES = [
+    flt.Prefix("s"),
+    flt.Prefix("sc"),
+    flt.Prefix("nope"),
+    flt.Prefix("s", scored_terms_limit=2),   # overflow → tail spec
+    flt.Range(low="query", high="spark", include_low=False),
+    flt.Range(low=None, high="merge", include_high=True),
+    flt.Range(low="term", high=None, include_low=True),
+    flt.Range(low="a", high="z", scored_terms_limit=3),  # overflow
+    flt.Wildcard("s_a%"),
+    flt.Wildcard("s%a_"),
+    flt.Wildcard("%erm"),                    # no literal prefix → full slice
+    flt.Wildcard("s%", scored_terms_limit=2),  # overflow
+]
+
+
+@pytest.mark.parametrize("node", NODES, ids=[repr(n) for n in NODES])
+def test_expansion_parity_vocab_vs_distributed(reader, node):
+    os.environ["IRS_MULTITERM_VOCAB"] = "0"
+    try:
+        base = expand_multiterm(node, reader)
+    finally:
+        os.environ.pop("IRS_MULTITERM_VOCAB", None)
+    fast = expand_multiterm(node, reader)
+    assert fast == base, node
+
+
+def test_search_parity_overflow_tail(reader):
+    """End-to-end: an overflowing prefix (scored tail stays in-kernel) ranks
+    identically through both expansion paths."""
+    f = flt.Prefix("s", scored_terms_limit=2)
+    os.environ["IRS_MULTITERM_VOCAB"] = "0"
+    try:
+        base = [(r["doc_key"], round(r["score"], 10))
+                for r in Searcher(reader).search(f, k=20).collect()]
+    finally:
+        os.environ.pop("IRS_MULTITERM_VOCAB", None)
+    fast = [(r["doc_key"], round(r["score"], 10))
+            for r in Searcher(reader).search(f, k=20).collect()]
+    assert fast == base
+
+
+def test_term_stats_parity(reader):
+    """Driver-cached (df, ttf) lookups == the distributed term_dict job,
+    including absent terms (no entry, not a zero entry)."""
+    terms = ["scan", "spark", "zeta", "absent_term", "query"]
+    os.environ["IRS_STATS_VOCAB"] = "0"
+    try:
+        base = reader.term_stats(terms)
+    finally:
+        os.environ.pop("IRS_STATS_VOCAB", None)
+    fast = reader.term_stats(terms)
+    assert fast == base
+    assert "absent_term" not in fast and "scan" in fast
+
+
+def test_prefix_successor():
+    assert _prefix_successor("ab") == "ac"
+    assert _prefix_successor("a" + chr(0x10FFFF)) == "b"
+    assert _prefix_successor(chr(0x10FFFF)) is None
+    assert _prefix_successor("") is None
+    # the bound is right-open and tight: every string with the prefix sorts
+    # below it, the successor itself does not carry the prefix
+    assert "ab" <= "ab￿" < "ac"
