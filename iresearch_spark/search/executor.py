@@ -424,6 +424,11 @@ def _vocab_expand(reader: IndexReader, fname: str, spec: tuple, limit: int):
         hi = n if rhi is None else int(np.searchsorted(terms_a, rhi, side="right" if ih else "left"))
     elif kind == "wildcard":
         pat = spec[1]
+        if "\\" in pat:
+            # Spark LIKE honors backslash escapes; the Python regex twin
+            # treats them literally — keep escaped patterns on the
+            # distributed path so both tiers share one semantics
+            return None
         cut = min(
             (i for i, c in enumerate(pat) if c in "%_"), default=len(pat)
         )
