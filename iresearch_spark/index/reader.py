@@ -112,6 +112,18 @@ class IndexReader:
         if fname in self._vocab_cache:
             return self._vocab_cache[fname]
         cols = self.term_dict(fname).select("term", "df", "ttf", "tlen", "charmask")
+        # over-cap guard: when the table's parquet footers (driver-local, no
+        # job) show more rows than the cap, a cheap limited COUNT decides
+        # before any data transfer — a >cap vocabulary must not pay a
+        # multi-GB toPandas just to be discarded (the first query on a huge
+        # index would eat the collect). Footer total covers all fields, so
+        # under-cap totals skip the probe entirely (zero extra jobs on the
+        # common path).
+        total = self._term_dict_total_rows()
+        if total is None or total > self.FUZZY_VOCAB_MAX:
+            if cols.limit(self.FUZZY_VOCAB_MAX + 1).count() > self.FUZZY_VOCAB_MAX:
+                self._vocab_cache[fname] = None
+                return None
         pdf = cols.limit(self.FUZZY_VOCAB_MAX + 1).toPandas()
         if len(pdf) > self.FUZZY_VOCAB_MAX:
             self._vocab_cache[fname] = None
@@ -125,6 +137,34 @@ class IndexReader:
         )
         self._vocab_cache[fname] = out
         return out
+
+    def _term_dict_total_rows(self) -> int | None:
+        """Total term_dict rows (ALL fields) from parquet footer metadata,
+        read driver-local — no Spark job, no data. None when the paths are
+        not locally readable (remote fs) — callers then fall back to a
+        limited COUNT job."""
+        try:
+            import pyarrow.parquet as pq
+
+            v = self.meta["tables"]["term_dict"]
+            paths = v if isinstance(v, list) else [v]
+            total = 0
+            for p in paths:
+                p = p.removeprefix("file:")
+                if os.path.isdir(p):
+                    for root, _dirs, files in os.walk(p):
+                        for f in files:
+                            if f.endswith(".parquet"):
+                                total += pq.ParquetFile(
+                                    os.path.join(root, f)
+                                ).metadata.num_rows
+                elif os.path.isfile(p):
+                    total += pq.ParquetFile(p).metadata.num_rows
+                else:
+                    return None
+            return total
+        except Exception:
+            return None
 
     def fuzzy_vocab_sorted(self, field: str | None = None):
         """:meth:`fuzzy_vocab` permuted into ASCENDING term order — the

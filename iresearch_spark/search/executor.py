@@ -348,12 +348,30 @@ def specs_pred(specs) -> "F.Column | None":
 
 @_functools.lru_cache(maxsize=256)
 def _like_regex(pattern: str):
+    """Python twin of Spark SQL ``LIKE``: ``%``/``_`` wildcards, backslash
+    escapes the next character (``\\%`` → literal %, matching
+    like_pattern_escaping in Spark; a backslash before a non-special char is
+    treated as that literal char — permissive where Spark would raise).
+    Anchored with ``\\Z`` (not ``$``, which would also match before a
+    trailing newline and diverge from LIKE)."""
     import re as _re
 
-    return _re.compile(
-        "^" + "".join(".*" if c == "%" else "." if c == "_" else _re.escape(c) for c in pattern) + "$",
-        _re.DOTALL,
-    )
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(_re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        else:
+            out.append(_re.escape(c))
+        i += 1
+    return _re.compile("^" + "".join(out) + r"\Z", _re.DOTALL)
 
 
 def spec_match(spec: tuple, term: str) -> bool:
@@ -391,6 +409,15 @@ def _prefix_successor(p: str) -> str | None:
     return "".join(cps)
 
 
+def _prefix_block(terms_a: np.ndarray, p: str) -> tuple[int, int]:
+    """[lo, hi) bounds of the block of terms carrying prefix ``p`` in an
+    ascending-sorted term array (two binary searches)."""
+    lo = int(np.searchsorted(terms_a, p, side="left"))
+    succ = _prefix_successor(p)
+    hi = len(terms_a) if succ is None else int(np.searchsorted(terms_a, succ, side="left"))
+    return lo, hi
+
+
 def _vocab_expand(reader: IndexReader, fname: str, spec: tuple, limit: int):
     """Driver-cached expansion of prefix/range/wildcard specs — the same
     in-memory term-dictionary fast path fuzzy uses (reader.fuzzy_vocab_sorted,
@@ -414,10 +441,7 @@ def _vocab_expand(reader: IndexReader, fname: str, spec: tuple, limit: int):
     n = len(terms_a)
     kind = spec[0]
     if kind == "prefix":
-        p = spec[1]
-        lo = int(np.searchsorted(terms_a, p, side="left"))
-        succ = _prefix_successor(p)
-        hi = n if succ is None else int(np.searchsorted(terms_a, succ, side="left"))
+        lo, hi = _prefix_block(terms_a, spec[1])
     elif kind == "range":
         _, rlo, rhi, il, ih = spec
         lo = 0 if rlo is None else int(np.searchsorted(terms_a, rlo, side="left" if il else "right"))
@@ -432,10 +456,7 @@ def _vocab_expand(reader: IndexReader, fname: str, spec: tuple, limit: int):
         cut = min(
             (i for i, c in enumerate(pat) if c in "%_"), default=len(pat)
         )
-        p = pat[:cut]
-        lo = int(np.searchsorted(terms_a, p, side="left"))
-        succ = _prefix_successor(p)
-        hi = n if succ is None else int(np.searchsorted(terms_a, succ, side="left"))
+        lo, hi = _prefix_block(terms_a, pat[:cut])
         if hi - lo > _VOCAB_WILDCARD_MAX:
             return None
     else:

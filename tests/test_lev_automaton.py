@@ -93,7 +93,7 @@ def test_intersect_is_sublinear_in_touches():
     assert touched[0] < 500, touched[0]
 
 
-def test_expansion_parity_automaton_vs_prefilter(built_small):
+def test_expansion_parity_automaton_vs_prefilter(built_small, monkeypatch):
     """End-to-end expansion (candidates + selection) is identical with the
     automaton on and off, on a real index."""
     from iresearch_spark.search.executor import expand_multiterm
@@ -102,11 +102,9 @@ def test_expansion_parity_automaton_vs_prefilter(built_small):
     reader = built_small
     for term, d, tr in [("sprak", 2, False), ("scam", 1, False), ("sacn", 1, True)]:
         node = flt.Fuzzy(term, max_distance=d, with_transpositions=tr)
-        os.environ["IRS_FUZZY_AUTOMATON"] = "0"
-        try:
-            base, _ = expand_multiterm(node, reader)
-        finally:
-            os.environ.pop("IRS_FUZZY_AUTOMATON", None)
+        monkeypatch.setenv("IRS_FUZZY_AUTOMATON", "0")
+        base, _ = expand_multiterm(node, reader)
+        monkeypatch.delenv("IRS_FUZZY_AUTOMATON")
         auto, _ = expand_multiterm(node, reader)
         assert auto == base, (term, d, tr)
 

@@ -5,6 +5,7 @@ the overflow → tail-spec contract (multiterm_query.cpp:36-168 semantics)."""
 import os
 
 import numpy as np
+from pyspark.sql import functions as F
 import pytest
 
 from iresearch_spark import IndexBuilder, IndexReader, Searcher, filters as flt
@@ -44,43 +45,72 @@ NODES = [
 
 
 @pytest.mark.parametrize("node", NODES, ids=[repr(n) for n in NODES])
-def test_expansion_parity_vocab_vs_distributed(reader, node):
-    os.environ["IRS_MULTITERM_VOCAB"] = "0"
-    try:
-        base = expand_multiterm(node, reader)
-    finally:
-        os.environ.pop("IRS_MULTITERM_VOCAB", None)
+def test_expansion_parity_vocab_vs_distributed(reader, node, monkeypatch):
+    monkeypatch.setenv("IRS_MULTITERM_VOCAB", "0")
+    base = expand_multiterm(node, reader)
+    monkeypatch.delenv("IRS_MULTITERM_VOCAB")
     fast = expand_multiterm(node, reader)
     assert fast == base, node
 
 
-def test_search_parity_overflow_tail(reader):
+def test_search_parity_overflow_tail(reader, monkeypatch):
     """End-to-end: an overflowing prefix (scored tail stays in-kernel) ranks
     identically through both expansion paths."""
     f = flt.Prefix("s", scored_terms_limit=2)
-    os.environ["IRS_MULTITERM_VOCAB"] = "0"
-    try:
-        base = [(r["doc_key"], round(r["score"], 10))
-                for r in Searcher(reader).search(f, k=20).collect()]
-    finally:
-        os.environ.pop("IRS_MULTITERM_VOCAB", None)
+    monkeypatch.setenv("IRS_MULTITERM_VOCAB", "0")
+    base = [(r["doc_key"], round(r["score"], 10))
+            for r in Searcher(reader).search(f, k=20).collect()]
+    monkeypatch.delenv("IRS_MULTITERM_VOCAB")
     fast = [(r["doc_key"], round(r["score"], 10))
             for r in Searcher(reader).search(f, k=20).collect()]
     assert fast == base
 
 
-def test_term_stats_parity(reader):
+def test_term_stats_parity(reader, monkeypatch):
     """Driver-cached (df, ttf) lookups == the distributed term_dict job,
     including absent terms (no entry, not a zero entry)."""
     terms = ["scan", "spark", "zeta", "absent_term", "query"]
-    os.environ["IRS_STATS_VOCAB"] = "0"
-    try:
-        base = reader.term_stats(terms)
-    finally:
-        os.environ.pop("IRS_STATS_VOCAB", None)
+    monkeypatch.setenv("IRS_STATS_VOCAB", "0")
+    base = reader.term_stats(terms)
+    monkeypatch.delenv("IRS_STATS_VOCAB")
     fast = reader.term_stats(terms)
     assert fast == base
     assert "absent_term" not in fast and "scan" in fast
+
+
+def test_like_regex_matches_spark_like(spark):
+    """_like_regex (kernel-tail / fast-path matcher) agrees with Spark SQL
+    LIKE on wildcards, escapes, and trailing-newline terms."""
+    from iresearch_spark.search.executor import _like_regex
+
+    terms = ["ab", "ab\n", "a_b", "a%b", "axb", "ab c", "a\\b", "50%", "50x"]
+    patterns = ["ab", "a_b", "a%b", "a\\_b", "a\\%b", "50\\%", "%b", "a%"]
+    df = spark.createDataFrame([(t,) for t in terms], "t string")
+    for pat in patterns:
+        want = {
+            r["t"]
+            for r in df.where(F.col("t").like(pat)).collect()
+        }
+        got = {t for t in terms if _like_regex(pat).match(t)}
+        assert got == want, (pat, got, want)
+
+
+def test_overcap_probe_skips_collect(reader, monkeypatch):
+    """Above the cache cap the reader must decide via footer stats + a
+    limited COUNT — never a data collect — and the caller falls back to the
+    distributed expansion."""
+    from iresearch_spark.index.reader import IndexReader as IR
+
+    monkeypatch.setattr(type(reader), "FUZZY_VOCAB_MAX", 0)
+    fresh = IR(reader.spark, reader.index_path)
+    total = fresh._term_dict_total_rows()
+    assert total is not None and total > 0  # footers readable driver-local
+    assert fresh.fuzzy_vocab() is None
+    assert fresh.fuzzy_vocab_sorted() is None
+    # distributed paths still serve the query surface
+    assert fresh.term_stats(["scan"])["scan"][0] > 0
+    base = expand_multiterm(flt.Prefix("sc"), fresh)
+    assert base[0]  # non-empty expansion via the distributed job
 
 
 def test_prefix_successor():
