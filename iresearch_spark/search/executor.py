@@ -449,9 +449,10 @@ def _vocab_expand(reader: IndexReader, fname: str, spec: tuple, limit: int):
     elif kind == "wildcard":
         pat = spec[1]
         if "\\" in pat:
-            # Spark LIKE honors backslash escapes; the Python regex twin
-            # treats them literally — keep escaped patterns on the
-            # distributed path so both tiers share one semantics
+            # the literal-prefix cut below is not escape-aware (an escaped
+            # \% is a literal, not a wildcard) — keep escaped patterns on
+            # the distributed path (_like_regex itself handles LIKE escapes,
+            # so the kernel tail stays consistent either way)
             return None
         cut = min(
             (i for i, c in enumerate(pat) if c in "%_"), default=len(pat)
