@@ -300,22 +300,32 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.explode(F.array(*[F.col(f"band{bi}") for bi in range(bands)])).alias("bucket"),
     )
+    # ONE wide stage instead of a bucket self-join: group each bucket's
+    # members into an array (the only shuffle after the signatures), drop
+    # oversized buckets by array size (replaces the former count-aggregate +
+    # broadcast anti-join sub-plan, which also re-computed the signature
+    # lineage), and expand the within-bucket pairs JVM-side with
+    # higher-order array functions.  The former plan evaluated the signature
+    # pipeline up to three times (left/right join branches + the oversized
+    # aggregate); this one evaluates it once.  Per-row fan-out is bounded by
+    # max_bucket²/2 (uncapped mode remains verification-scale only).
+    size_ok = F.size("ids") >= 2
     if max_bucket is not None:
-        # the oversized set is small by construction (each member bucket costs
-        # > max_bucket docs) → broadcastable at any corpus size
-        oversized = (
-            stacked.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("bsize"))
-            .where(F.col("bsize") > max_bucket)
-            .select("bucket")
-        )
-        stacked = stacked.join(F.broadcast(oversized), "bucket", "left_anti")
-    left = stacked.alias("l")
-    right = stacked.alias("r")
+        size_ok = size_ok & (F.size("ids") <= max_bucket)
     return (
-        left.join(right, "bucket")
-        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        stacked.groupBy("bucket")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .where(size_ok)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
+                    "struct(least(x, y) as a, greatest(x, y) as b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .distinct()
     )
 
