@@ -124,14 +124,31 @@ def lsh_bucket_candidates(
         dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     sig = df.select(F.col(id_col), lsh_signature_col(vec_col, planes).alias("bucket"))
+    # one grouped stage instead of a bucket self-join (same rewrite as
+    # textops.minhash_lsh_pairs): collect each bucket's members (the only
+    # shuffle after the signature map), apply the skew cap as an array-size
+    # filter — the former count-aggregate + broadcast join re-evaluated the
+    # signature dot products per branch — and expand the within-bucket pairs
+    # JVM-side.  Per-row fan-out bounded by max_bucket²/2.
+    size_ok = F.size("ids") >= 2
     if max_bucket is not None:
-        sizes = sig.groupBy("bucket").agg(F.count("*").alias("bsize"))
-        sig = sig.join(
-            F.broadcast(sizes.where(F.col("bsize") <= max_bucket)), "bucket", "inner"
-        ).drop("bsize")
-    l = sig.select(F.col(id_col).alias("a"), "bucket")
-    r = sig.select(F.col(id_col).alias("b"), "bucket")
-    return l.join(r, "bucket").where(F.col("a") < F.col("b")).select("a", "b", "bucket")
+        size_ok = size_ok & (F.size("ids") <= max_bucket)
+    return (
+        sig.groupBy("bucket")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .where(size_ok)
+        .select(
+            F.col("bucket"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
+                    "struct(least(x, y) as a, greatest(x, y) as b))))"
+                )
+            ).alias("p"),
+        )
+        .select("p.a", "p.b", "bucket")
+    )
 
 
 def cosine_near_dup_pairs(
