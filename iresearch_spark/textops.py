@@ -172,31 +172,44 @@ def ngram_jaccard_pairs(
     capped shingle — the standard candidate-generation trade; exact scores
     need the MinHash-LSH path (:func:`minhash_lsh_pairs`). Default None
     keeps the exact quadratic semantics (verification-scale only)."""
-    sh = shingles(df, id_col, text_col, k).alias("l")
-    sizes = (
-        shingles(df, id_col, text_col, k)
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("set_size"))
-    )
-    rh = shingles(df, id_col, text_col, k)
+    sh = shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     if max_shingle_freq is not None:
-        # anti-join against the FREQUENT set (small by construction — every
-        # member costs > max_shingle_freq docs), broadcastable at any corpus
-        # size; the rare set would be corpus-sized
-        frequent = (
-            rh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("sdf"))
-            .where(F.col("sdf") > max_shingle_freq)
-            .select("shingle")
+        # scale path: ONE grouped stage — collect each shingle's (capped)
+        # posting into an array, expand within-shingle pairs JVM-side, then
+        # count per pair.  Replaces the former [frequent-set aggregate +
+        # 2-sided broadcast anti-join + shingle self-join], which evaluated
+        # the shingle lineage four times; array size is bounded by
+        # max_shingle_freq, so per-row fan-out is capped at freq²/2.  Capped
+        # shingles still count toward |A∪B| (sizes computed pre-cap above) —
+        # jaccard stays the documented lower bound.
+        pairs = (
+            sh.groupBy("shingle")
+            .agg(F.collect_list(F.col(id_col)).alias("ids"))
+            .where((F.size("ids") >= 2) & (F.size("ids") <= max_shingle_freq))
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) -> "
+                        "transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
+                        "struct(least(x, y) as a, greatest(x, y) as b))))"
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-        sh = sh.join(F.broadcast(frequent), "shingle", "left_anti").alias("l")
-        rh = rh.join(F.broadcast(frequent), "shingle", "left_anti")
-    pairs = (
-        sh.join(rh.alias("r"), "shingle")
-        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    else:
+        # exact quadratic mode (verification scale only): keep the streaming
+        # self-join — a grouped array would put an entire uncapped posting
+        # (and its freq²/2 pair structs) into one row/task
+        pairs = (
+            sh.alias("l")
+            .join(sh.alias("r"), "shingle")
+            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .groupBy(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("set_size").alias("size_b"))
     return (

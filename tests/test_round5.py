@@ -300,3 +300,56 @@ def test_collation_unknown_locale_raises():
     tok = get_tokenizer("collation:primary,xx")
     with pytest.raises(ValueError, match="no collation tailoring"):
         tok(pd.Series(["a"]))
+
+
+# --------------------------------------------------------------------------
+# grouped pair-expansion plan rewrites (round-5): capped paths must be
+# result-identical to the exact self-join formulations
+# --------------------------------------------------------------------------
+
+
+def test_jaccard_capped_equals_uncapped_below_cap(spark):
+    """With a cap no shingle exceeds, the grouped capped plan and the exact
+    self-join plan are the same computation — results must be identical."""
+    import numpy as np
+
+    from iresearch_spark import textops
+
+    rng = np.random.default_rng(31)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = [
+        ("d%02d" % i, " ".join(rng.choice(words, size=12)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    exact = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in textops.ngram_jaccard_pairs(df, k=2).collect()
+    }
+    capped = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in textops.ngram_jaccard_pairs(df, k=2, max_shingle_freq=10**6).collect()
+    }
+    assert capped == exact and exact
+
+
+def test_minhash_lsh_capped_equals_uncapped_below_cap(spark):
+    import numpy as np
+
+    from iresearch_spark import textops
+
+    rng = np.random.default_rng(33)
+    words = ["scan", "sort", "merge", "dup", "page", "web"]
+    rows = [("%d" % i, " ".join(rng.choice(words, size=10))) for i in range(30)]
+    # exact duplicates + a near-dup guarantee non-empty LSH buckets
+    rows += [("100", rows[0][1]), ("101", rows[0][1]), ("102", rows[1][1] + " web")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    exact = {
+        (r["a"], r["b"])
+        for r in textops.minhash_lsh_pairs(df, id_col="doc_id").collect()
+    }
+    capped = {
+        (r["a"], r["b"])
+        for r in textops.minhash_lsh_pairs(df, id_col="doc_id", max_bucket=10**6).collect()
+    }
+    assert capped == exact and exact
