@@ -111,7 +111,14 @@ class IndexReader:
         fname = self._resolve_field(field)
         if fname in self._vocab_cache:
             return self._vocab_cache[fname]
-        cols = self.term_dict(fname).select("term", "df", "ttf", "tlen", "charmask")
+        # collected in ascending term order: the JVM sorts the (one-time)
+        # collect so fuzzy_vocab_sorted never pays a driver-side argsort over
+        # millions of Python strings (the is-sorted check there then passes)
+        cols = (
+            self.term_dict(fname)
+            .select("term", "df", "ttf", "tlen", "charmask")
+            .orderBy("term")
+        )
         # over-cap guard: when the table's parquet footers (driver-local, no
         # job) show more rows than the cap, a cheap limited COUNT decides
         # before any data transfer — a >cap vocabulary must not pay a
