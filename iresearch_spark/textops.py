@@ -19,6 +19,32 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT = "[^a-z0-9]+"
 
 
+def _widen(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition an input that arrives grossly under-parallelized (fewer
+    than half the session's cores — e.g. one small parquet file scanning as a
+    single split) so the heavy per-row map work (shingling, md5 hashing)
+    uses every core instead of one.
+
+    At production scale this is a NO-OP: a 100 TB scan already has thousands
+    of input splits, so the gate (one plan inspection, no Spark job) never
+    fires and no shuffle is added. When it does fire, partitioning by the
+    aggregation key lets Catalyst reuse the exchange for every downstream
+    ``groupBy`` whose keys contain ``key_cols`` (hash partitioning on a
+    subset satisfies the clustering requirement), so the net shuffle count
+    is unchanged — the shuffle just moves BEFORE the row-expanding compute,
+    where the data is smallest."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - plan shapes without RDD conversion
+        return df
+    if cur * 2 >= target:
+        return df
+    if key_cols:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df.repartition(target)
+
+
 def tokens_col(text_col="text"):
     """array<string> of lowercase alnum tokens (JVM-side, no UDF)."""
     return F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda x: x != "")
@@ -124,7 +150,9 @@ def winnow_fingerprints(
     hashes = F.transform(grams, lambda g: _hash32_col(g))
     wi = F.sequence(F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0)))
     mins = F.transform(wi, lambda j: F.array_min(F.slice(hashes, j + 1, window)))
-    return df.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
+    return _widen(df, id_col).select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+    )
 
 
 # --------------------------------------------------------------------- dedup
@@ -148,7 +176,9 @@ def shingles(df: DataFrame, id_col="doc_id", text_col="text", k: int = 3) -> Dat
     toks = tokens_col(text_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
-    return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    return _widen(df, id_col).select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -351,7 +381,8 @@ def simhash64(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     Implementation: tokens → 64-bit md5-derived hash → for each of 64 bits,
     sum(±tf) → sign bit. Uses two 32-bit halves to stay in long arithmetic."""
     toks = (
-        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+        _widen(df, id_col)
+        .select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
