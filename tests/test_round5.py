@@ -353,3 +353,44 @@ def test_minhash_lsh_capped_equals_uncapped_below_cap(spark):
         for r in textops.minhash_lsh_pairs(df, id_col="doc_id", max_bucket=10**6).collect()
     }
     assert capped == exact and exact
+
+
+# --------------------------------------------------------------------------
+# under-parallelized-input widening (round-5): the gate must fire only on
+# gross under-parallelism, and the widen must not add a second exchange
+# --------------------------------------------------------------------------
+
+
+def test_widen_fires_on_single_partition_with_one_exchange(spark):
+    from iresearch_spark import textops
+
+    rows = [("d%d" % i, "alpha beta gamma delta") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, text string").coalesce(1)
+    target = spark.sparkContext.defaultParallelism
+    if target < 2:
+        return  # gate can't fire on a 1-core session
+    widened = textops._widen(df, "doc_id")
+    assert widened.rdd.getNumPartitions() == target
+    # the repartition must be the ONLY exchange in the full signature plan:
+    # hash partitioning on doc_id satisfies the groupBy(doc_id) clustering
+    sig = textops.minhash_signatures(df, num_hashes=4)
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    # and the signatures themselves are partition-layout-independent
+    wide = sorted(tuple(r) for r in sig.collect())
+    flat = sorted(
+        tuple(r)
+        for r in textops.minhash_signatures(
+            df.repartition(target, "doc_id"), num_hashes=4
+        ).collect()
+    )
+    assert wide == flat and wide
+
+
+def test_widen_noop_on_well_partitioned_input(spark):
+    from iresearch_spark import textops
+
+    target = spark.sparkContext.defaultParallelism
+    rows = [("d%d" % i, "alpha beta gamma") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, text string").repartition(target)
+    assert textops._widen(df, "doc_id") is df
