@@ -1216,8 +1216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round. Rule (instituted r5 per the r4 verdict): (1) entries NEW this
     # round go first, (2) then every entry that got NO driver check last
     # round (the rotated-out set — for r5 that is the nine r03-green entries
-    # absent from CORRECTNESS_r04), (3) the tail is drawn from entries green
-    # in the MOST RECENT driver window, so nothing is ever >1 round stale.
+    # absent from CORRECTNESS_r04), (3) entries whose implementation CHANGED
+    # this round stay in-window, (4) the explicit tail holds only entries
+    # that are BOTH green in the most recent driver window AND untouched
+    # this round — so nothing is ever >1 round stale, and nothing changed
+    # goes driver-unchecked.
     first = [
         # (1) new in r5
         "q_text_edge_ngram", "q_fuzzy_dist", "q_collation_sv",
@@ -1226,8 +1229,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_sig", "q_simhash", "q_column_exists", "q_binary_meta",
         "q_cosine_topk",
     ]
+    tail = [
+        # (4) r04-green AND r5-unchanged: five fulltext variants whose
+        # executor paths are exercised by in-window siblings (term/range/
+        # tfidf/same-position/or+minmatch), token_stats+quality (narrow maps,
+        # last touched r4), cosine_pairs+ivf_topk (vecops hunks this round
+        # touch only lsh_bucket_candidates), and the three multimodal entries
+        # (multimodal.py has no r5 diff). This keeps every r5-touched op —
+        # winnow/shingle/jaccard/minhash-LSH/simhash/lsh-bucket/near-dup/ANN,
+        # the fuzzy trio, highlight/payloads/th — inside the driver window.
+        "q_term_low", "q_range_incl", "q_tfidf_or", "q_same_position_empty",
+        "q_or_high_high", "q_token_stats", "q_quality", "q_cosine_pairs",
+        "q_ivf_topk", "q_image_meta", "q_audio_meta", "q_video_frames",
+    ]
     ordered = {k: q[k] for k in first if k in q}
-    ordered.update({k: v for k, v in q.items() if k not in ordered})
+    ordered.update({k: v for k, v in q.items() if k not in ordered and k not in tail})
+    ordered.update({k: q[k] for k in tail if k in q})
     return ordered
 
 
