@@ -116,9 +116,23 @@ def test_block_subset_decode_equals_full_slice(pl, data):
 @st.composite
 def multi_term_postings(draw):
     """Concatenated per-term posting lists + term_bounds, as the segment
-    flush sees them (term-major order)."""
-    T = draw(st.integers(min_value=1, max_value=8))
-    parts = [draw(posting_lists(max_docs=150)) for _ in range(T)]
+    flush sees them (term-major order).
+
+    Shrinkable shapes stay small (hypothesis example-size budget: drawing
+    8×150-doc lists int-by-int routinely overran it); multi-block coverage
+    comes from one numpy-seeded long term appended to every example."""
+    T = draw(st.integers(min_value=1, max_value=3))
+    parts = [draw(posting_lists(max_docs=40)) for _ in range(T)]
+    rng = np.random.default_rng(draw(st.integers(0, 2**32 - 1)))
+    nlong = draw(st.integers(BLOCK_SIZE + 1, 3 * BLOCK_SIZE + 7))
+    long_ids = np.cumsum(rng.integers(1, 2**34, size=nlong)).astype(np.int64)
+    long_tfs = rng.integers(1, 6, size=nlong).astype(np.int64)
+    pdel = rng.integers(1, 2**20, size=int(long_tfs.sum())).astype(np.int64)
+    starts = np.zeros(nlong, dtype=np.int64)
+    np.cumsum(long_tfs[:-1], out=starts[1:])
+    csum = np.cumsum(pdel)
+    parts.append((long_ids, long_tfs, csum - np.repeat(csum[starts] - pdel[starts], long_tfs)))
+    T += 1
     bounds = np.zeros(T + 1, dtype=np.int64)
     for t, (ids, _, _) in enumerate(parts):
         bounds[t + 1] = bounds[t] + ids.size
