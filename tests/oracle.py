@@ -108,3 +108,88 @@ class ScalarIndex:
             hits.append((key, c0 * tf / (c1 + tf)))
         hits.sort(key=lambda t: (-t[1], t[0]))
         return hits[:k]
+
+    def eval_tree(self, node) -> dict[str, float]:
+        """Evaluate a boolean filter tree → ``{doc_key: score}``, mirroring
+        the engine's ``_eval_plan`` semantics (executor.py): kSum/kMax/kMin
+        merge over matching legs (sort.hpp:464-468 MergeType), Or min_match
+        over POSITIVE legs, Not children removed AFTER min_match, node boost
+        multiplying the merged score.
+
+        Node forms (plain tuples, engine-independent):
+          ("term", word, boost)
+          ("prefix", prefix, boost)   # multiterm: sum over expansion terms
+          ("and", parts, excludes, merge, boost)
+          ("or", parts, excludes, min_match, merge, boost)
+        """
+        op = node[0]
+        if op == "term":
+            _, w, b = node
+            out = {}
+            for key in self.keys:
+                s = self.score_term(w, key, boost=b)
+                if s is not None:
+                    out[key] = s
+            return out
+        if op == "prefix":
+            # multiterm leaf: disjunction-of-scored-terms over the dictionary
+            # expansion, kSum within the leaf (multiterm_query.cpp:36-120) —
+            # the whole expansion is ONE leg to any enclosing composite.
+            _, p, b = node
+            terms = sorted(t for t in self.df if t.startswith(p))
+            out: dict[str, float] = {}
+            for key in self.keys:
+                total, hit = 0.0, False
+                for t in terms:
+                    s = self.score_term(t, key, boost=b)
+                    if s is not None:
+                        total, hit = total + s, True
+                if hit:
+                    out[key] = total
+            return out
+        if op == "and":
+            _, parts, excludes, merge, boost = node
+            maps = [self.eval_tree(p) for p in parts]
+            keys = set(maps[0])
+            for m in maps[1:]:
+                keys &= set(m)
+            out = {}
+            for k in keys:
+                vals = [m[k] for m in maps]
+                v = (
+                    sum(vals)
+                    if merge == "sum"
+                    else (max(vals) if merge == "max" else min(vals))
+                )
+                out[k] = v * boost
+            for e in excludes:
+                for k in self.eval_tree(e):
+                    out.pop(k, None)
+            return out
+        if op == "or":
+            _, parts, excludes, min_match, merge, boost = node
+            maps = [self.eval_tree(p) for p in parts]
+            # Not under Or: each Not(B) contributes an all-docs leg at
+            # boost 0 to the disjunction AND B to the exclusion set —
+            # group_filters semantics (boolean_filter.cpp:366-411), the
+            # same rewrite the engine's plan builder performs.
+            for _e in excludes:
+                maps.append({k: 0.0 for k in self.keys})
+            per_key: dict[str, list[float]] = {}
+            for m in maps:
+                for k, v in m.items():
+                    per_key.setdefault(k, []).append(v)
+            out = {}
+            for k, vs in per_key.items():
+                if len(vs) >= min_match:
+                    v = (
+                        sum(vs)
+                        if merge == "sum"
+                        else (max(vs) if merge == "max" else min(vs))
+                    )
+                    out[k] = v * boost
+            for e in excludes:
+                for k in self.eval_tree(e):
+                    out.pop(k, None)
+            return out
+        raise ValueError(f"bad node {node!r}")

@@ -1,0 +1,118 @@
+"""Randomized boolean-filter-tree differential test: the engine's distributed
+top-k must match the scalar oracle's ``eval_tree`` (tests/oracle.py) on the
+FULL hit set — key set identical, every score float64-close — for arbitrary
+And/Or/Not compositions with random kSum/kMax/kMin merges, min_match and
+boosts (the composition plane of boolean_filter.cpp / min_match_disjunction.hpp
+that hand-picked cases can't cover exhaustively).
+
+Comparison is by the unordered ``{doc_key: score}`` map, so score ties cannot
+produce flaky orderings; rank identity follows from score identity.
+Derandomized so the suite is deterministic.
+"""
+
+import math
+import os
+import sys
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from iresearch_spark import IndexBuilder, IndexReader, Searcher, filters as flt
+from tests.oracle import ScalarIndex
+from tests.test_build_and_query import make_corpus
+
+BOOSTS = [1.0, 0.5, 2.0]
+MERGES = ["sum", "max", "min"]
+# common + mid + rare + absent — exercises dense legs, empty legs, dead trees
+VOCAB = ["spark", "index", "query", "scan", "fox", "crawl", "score", "zzzmissing"]
+
+term_leaf = st.tuples(st.just("term"), st.sampled_from(VOCAB), st.sampled_from(BOOSTS))
+PREFIXES = ["s", "sc", "qu", "zz"]  # wide, narrow, mid, dead expansions
+prefix_leaf = st.tuples(st.just("prefix"), st.sampled_from(PREFIXES), st.sampled_from(BOOSTS))
+leaf = st.one_of(term_leaf, prefix_leaf)
+excludes = st.lists(term_leaf, min_size=0, max_size=1).map(tuple)
+
+
+def composite(children):
+    parts = st.lists(children, min_size=1, max_size=3).map(tuple)
+    and_node = st.tuples(
+        st.just("and"), parts, excludes, st.sampled_from(MERGES), st.sampled_from(BOOSTS)
+    )
+    or_node = st.tuples(
+        st.just("or"),
+        parts,
+        excludes,
+        st.integers(min_value=1, max_value=3),
+        st.sampled_from(MERGES),
+        st.sampled_from(BOOSTS),
+    )
+    return st.one_of(and_node, or_node)
+
+
+trees = st.recursive(leaf, composite, max_leaves=6)
+
+
+def to_filter(node) -> flt.Filter:
+    op = node[0]
+    if op == "term":
+        return flt.Term(node[1], boost=node[2])
+    if op == "prefix":
+        return flt.Prefix(node[1], boost=node[2])
+    if op == "and":
+        _, parts, exc, merge, boost = node
+        all_parts = tuple(to_filter(p) for p in parts) + tuple(
+            flt.Not(to_filter(e)) for e in exc
+        )
+        return flt.And(all_parts, merge=merge, boost=boost)
+    if op == "or":
+        _, parts, exc, min_match, merge, boost = node
+        all_parts = tuple(to_filter(p) for p in parts) + tuple(
+            flt.Not(to_filter(e)) for e in exc
+        )
+        return flt.Or(all_parts, min_match=min_match, merge=merge, boost=boost)
+    raise ValueError(node)
+
+
+@pytest.fixture(scope="module")
+def tree_built(spark, tmp_path_factory):
+    docs = make_corpus()
+    path = str(tmp_path_factory.mktemp("tree_idx"))
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_key string, text string"
+    )
+    IndexBuilder(spark, path, analyzer="simple", num_segments=3).build(
+        df, key_col="doc_key", text_col="text"
+    )
+    return Searcher(IndexReader(spark, path)), ScalarIndex(docs)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tree=trees)
+def test_tree_matches_scalar_oracle(tree_built, tree):
+    searcher, oracle = tree_built
+    expect = oracle.eval_tree(tree)
+    rows = searcher.search(to_filter(tree), k=10**6).collect()
+    got = {r["doc_key"]: r["score"] for r in rows}
+    assert got.keys() == expect.keys(), (
+        sorted(got.keys() - expect.keys())[:5],
+        sorted(expect.keys() - got.keys())[:5],
+    )
+    for k, v in got.items():
+        assert math.isclose(v, expect[k], rel_tol=1e-9, abs_tol=1e-12), (k, v, expect[k])
+
+
+def test_pure_negation_all_docs_base(tree_built):
+    """And with ONLY Not children: the all-docs base (boolean_filter.cpp
+    Not-grouping) — matches every live doc not containing the term."""
+    searcher, oracle = tree_built
+    rows = searcher.search(flt.And((flt.Not(flt.Term("spark")),)), k=10**6).collect()
+    got = {r["doc_key"] for r in rows}
+    expect = {k for k in oracle.keys if not oracle.tf[k].get("spark")}
+    assert got == expect
