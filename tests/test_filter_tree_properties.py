@@ -116,3 +116,42 @@ def test_pure_negation_all_docs_base(tree_built):
     got = {r["doc_key"] for r in rows}
     expect = {k for k in oracle.keys if not oracle.tf[k].get("spark")}
     assert got == expect
+
+
+BATCH_TREES = {
+    "t_term": ("term", "spark", 1.0),
+    "t_boost": ("term", "scan", 2.0),
+    "t_prefix": ("prefix", "s", 1.0),
+    "t_and_not": ("and", (("term", "spark", 1.0), ("term", "scan", 1.0)),
+                  (("term", "fox", 1.0),), "sum", 1.0),
+    "t_or_mm": ("or", (("term", "spark", 1.0), ("term", "index", 1.0),
+                       ("term", "query", 0.5)), (), 2, "sum", 1.0),
+    "t_or_not_max": ("or", (("term", "crawl", 1.0), ("prefix", "sc", 1.0)),
+                     (("term", "zzzmissing", 1.0),), 1, "max", 0.5),
+    "t_nested": ("and", (("or", (("term", "spark", 1.0), ("term", "fox", 1.0)),
+                          (), 1, "sum", 1.0), ("term", "scan", 1.0)),
+                 (), "min", 2.0),
+}
+
+
+def test_batch_path_matches_interactive(tree_built):
+    """search_many (PreparedBatch: union postings scan + in-kernel per-plan
+    pruning) must produce the same full hit set and scores as per-query
+    interactive search for composed trees — the two execution paths share
+    semantics, not code path."""
+    searcher, _ = tree_built
+    batch = searcher.search_many(
+        {name: to_filter(t) for name, t in BATCH_TREES.items()}, k=10**6
+    ).collect()
+    by_q: dict[str, dict] = {}
+    for r in batch:
+        by_q.setdefault(r["query"], {})[(r["segment_id"], r["doc_id"])] = r["score"]
+    for name, t in BATCH_TREES.items():
+        solo = {
+            (r["segment_id"], r["doc_id"]): r["score"]
+            for r in searcher.search(to_filter(t), k=10**6).collect()
+        }
+        got = by_q.get(name, {})
+        assert got.keys() == solo.keys(), (name, len(got), len(solo))
+        for key, v in got.items():
+            assert math.isclose(v, solo[key], rel_tol=1e-9, abs_tol=1e-12), (name, key)
