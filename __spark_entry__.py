@@ -221,6 +221,40 @@ def _sv_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     return _READERS[key]
 
 
+def _da_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Danish-collation index exercising the CLDR CONTRACTION rule
+    (collation_token_stream.cpp + CLDR da tailoring): e/o are mapped onto
+    \u00e6/\u00f8 and every original 'a' is doubled into an isolated "aa" —
+    the da tailoring's contraction collates "aa" AS \u00e5 (a distinct letter
+    after z), so docs whose transformed text begins with "aa" sort after
+    every z-word, which an untailored (or contraction-less, per-char) fold
+    could never produce. The oracle replays the identical longest-first
+    replace chain in SQL."""
+    key = (sf_dir, "da")
+    if key in _READERS:
+        return _READERS[key]
+    h = hashlib.md5(f"{sf_dir}|da".encode()).hexdigest()[:10]
+    path = os.path.join("/tmp", f"iresearch_entry_idx_v3_{h}")
+    os.makedirs(path, exist_ok=True)
+    builder = IndexBuilder(spark, path, analyzer="collation:primary,da", num_segments=4)
+    if builder.read_meta() is None:
+        df = (
+            _docs(spark, sf_dir)
+            .withColumn("doc_key", F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+            .withColumn(
+                "datext",
+                F.regexp_replace(
+                    F.translate(F.lower(F.col("text")), "eo", "\u00e6\u00f8"),
+                    "a",
+                    "aa",
+                ),
+            )
+        )
+        builder.build(df, key_col="doc_key", text_col="datext")
+    _READERS[key] = IndexReader(spark, path)
+    return _READERS[key]
+
+
 def _pay_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     """PAY-stream index: every token of the corpus is rewritten as
     ``token|payload`` with payload = (doc_id*7 + pos*13) % 1000 (pos 1-based),
@@ -1093,6 +1127,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_collation_sv"] = collation_sv
 
+    def collation_da(s, d):
+        # Danish CONTRACTION end-to-end, decisively: Range over ONLY the
+        # \u00e5-letter bucket (keys > 'z'+DEL+'3', past the \u00e6=1 and
+        # \u00f8=2 surrogates) — every match is a doc whose transformed text
+        # begins with "aa", which reaches this bucket ONLY through the da
+        # tailoring's longest-first contraction rule; a per-character fold
+        # would leave those docs back at 'a'
+        reader = _da_index(s, d)
+        res = Searcher(reader, k1=K1, b=B).search(
+            flt.Range(low="z\x7f3", include_low=False), k=TOPK
+        )
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.round(F.col("score"), 4).cast("double").alias("score"),
+        )
+
+    q["q_collation_da"] = collation_da
+
     # ---- text analysis / pipeline ops (declarative DataFrame plans) ----
     q["q_token_stats"] = lambda s, d: textops.token_stats(_docs(s, d)).select(
         "doc_id", F.col("n_tokens").cast("long"), F.col("n_unique").cast("long"),
@@ -1224,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         # (1) new in r5
         "q_text_edge_ngram", "q_fuzzy_dist", "q_collation_sv",
+        "q_collation_da",
         # (2) green in r03, rotated out of r04's 50-entry window
         "q_lang_id", "q_fingerprint", "q_exact_dups", "q_jaccard_pairs",
         "q_minhash_sig", "q_simhash", "q_column_exists", "q_binary_meta",
@@ -1470,6 +1523,27 @@ st AS (SELECT count(*)::DOUBLE AS n, sum(dl)/count(*) AS avgdl FROM dl),
 dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
 """
     o["q_collation_sv"] = _bm25_sql("term > 'z'", cte=sv_cte)
+
+    # Danish: same replace chain as _da_index + the analyzer's longest-first
+    # tailoring ("aa" contraction FIRST, then \u00e6/\u00f8 surrogates) —
+    # SQL replace() is left-to-right non-overlapping, exactly the analyzer's
+    # regex alternation semantics
+    da_cte = """
+WITH tok AS (
+  SELECT doc_id,
+         replace(replace(replace(
+           replace(translate(lower(text), 'eo', '\u00e6\u00f8'), 'a', 'aa'),
+           'aa', 'z' || chr(127) || '3'),
+           '\u00e6', 'z' || chr(127) || '1'),
+           '\u00f8', 'z' || chr(127) || '2') AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n, sum(dl)/count(*) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+"""
+    o["q_collation_da"] = _bm25_sql("term > 'z' || chr(127) || '3'", cte=da_cte)
 
     o["q_term_title_field"] = f"""{_TWO_FIELD_CTE}
 SELECT doc_id, CAST(round(s, 4) AS DOUBLE) AS score

@@ -449,12 +449,21 @@ def minhash_tokenize(
 
 
 # Locale collation tailorings (CLDR rules, public knowledge). Each maps a
-# tailored character to a SORT SURROGATE whose byte order places it where the
-# locale's collation does; applied BEFORE the NFKD fold so the generic
+# tailored SEQUENCE (single letter or multi-char CONTRACTION, e.g. Czech
+# "ch", Danish "aa") to a SORT SURROGATE whose byte order places it where
+# the locale's collation does; applied BEFORE the NFKD fold so the generic
 # strength machinery (which would decompose å → a + ring) never sees the
-# tailored letter. "\x7f" (DEL) sorts after every ASCII letter, so
-# "z\x7f<digit>" keys land after all plain z-words — the CLDR Swedish order.
-# Surrogates are ordered among themselves by their digit suffix.
+# tailored letter. Sequences apply LONGEST-FIRST, left to right —
+# contraction matching, the seek order of an ICU tailoring's contraction
+# table. "\x7f" (DEL) sorts after every ASCII letter, so "z\x7f<digit>"
+# keys land after all plain z-words — the CLDR Swedish order. Surrogates
+# are ordered among themselves by their digit suffix.
+#
+# Documented approximation: tailored sequences that CLDR separates only at
+# the TERTIARY level (da å <<< aa; cs ch <<< Ch <<< CH titlecase forms)
+# share one surrogate per case class here — an in-place surrogate cannot
+# express a lower-level difference without disturbing the comparison of
+# the characters that follow it (real ICU compares level by level).
 _COLLATION_TAILORING: dict[str, dict[str, str]] = {
     # Swedish (CLDR sv): å, ä, ö are distinct letters AFTER z, in that order.
     "sv": {
@@ -469,6 +478,27 @@ _COLLATION_TAILORING: dict[str, dict[str, str]] = {
         "ö": "oe", "Ö": "Oe",
         "ü": "ue", "Ü": "Ue",
         "ß": "ss",
+    },
+    # Czech (CLDR cs): č/ř/š/ž are distinct letters right after their base
+    # (c<č, r<ř, s<š, z<ž), and the CONTRACTION "ch" is a distinct letter
+    # between h and i — after every plain h-word.
+    "cs": {
+        "ch": "h\x7f1", "Ch": "H\x7f1", "CH": "H\x7f1",
+        "č": "c\x7f1", "Č": "C\x7f1",
+        "ř": "r\x7f1", "Ř": "R\x7f1",
+        "š": "s\x7f1", "Š": "S\x7f1",
+        "ž": "z\x7f1", "Ž": "Z\x7f1",
+    },
+    # Danish (CLDR da): æ, ø, å are distinct letters AFTER z in that order;
+    # the CONTRACTION "aa" collates as å (primary-equal); ü collates with y
+    # and ö with ø (secondary differences — primary-equal here).
+    "da": {
+        "aa": "z\x7f3", "Aa": "Z\x7f3", "AA": "Z\x7f3",
+        "æ": "z\x7f1", "Æ": "Z\x7f1",
+        "ø": "z\x7f2", "Ø": "Z\x7f2",
+        "å": "z\x7f3", "Å": "Z\x7f3",
+        "ö": "z\x7f2", "Ö": "Z\x7f2",
+        "ü": "y", "Ü": "Y",
     },
 }
 
@@ -492,9 +522,13 @@ def collation_tokenize(
     (standard German needs NO table — CLDR sorts ä as a+secondary-diff,
     which is exactly what NFKD+strip produces, and casefold already maps
     ß→ss at primary/secondary); ``de_phonebook`` expands umlauts to base+e
-    (DIN 5007-2). Full ICU tailoring (contractions, script reordering)
-    remains out of scope; unknown locales raise."""
+    (DIN 5007-2); ``cs`` adds č/ř/š/ž after their base letters and the
+    CONTRACTION ch between h and i; ``da`` places æ/ø/å after z with the
+    CONTRACTION aa = å and ü=y / ö=ø. Sequences match longest-first
+    (contraction semantics). ICU script reordering remains out of scope;
+    unknown locales raise."""
     table = None
+    pat = None
     if locale:
         table = _COLLATION_TAILORING.get(locale)
         if table is None:
@@ -502,10 +536,15 @@ def collation_tokenize(
                 f"no collation tailoring for locale {locale!r}; "
                 f"available: {sorted(_COLLATION_TAILORING)} (default untailored)"
             )
+        # longest-first alternation = contraction matching ("aa" wins over
+        # any would-be single-"a" rule), left-to-right non-overlapping
+        pat = re.compile(
+            "|".join(re.escape(k) for k in sorted(table, key=len, reverse=True))
+        )
 
     def key(s: str) -> list[str]:
         if table:
-            s = "".join(table.get(c, c) for c in s)
+            s = pat.sub(lambda m: table[m.group(0)], s)
         d = unicodedata.normalize("NFKD", s)
         if strength == "primary":
             d = "".join(c for c in d if not unicodedata.combining(c)).casefold()

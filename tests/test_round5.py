@@ -294,6 +294,44 @@ def test_collation_german_phonebook():
     assert k2.iloc[0] == k2.iloc[1]
 
 
+def test_collation_czech_contraction():
+    # CLDR cs: c < \u010d < d, h < ch < i (ch = CONTRACTION, a distinct
+    # letter after EVERY plain h-word), r < \u0159, s < \u0161, z < \u017e
+    words = ["cibule", "\u010daj", "daleko", "hora", "humr", "chata", "ihla"]
+    assert _collate(words, "collation:primary,cs") == [
+        "cibule", "\u010daj", "daleko", "hora", "humr", "chata", "ihla"
+    ]
+    # untailored root order treats ch as c+h instead
+    assert _collate(["hora", "chata", "ihla"], "collation:primary") == [
+        "chata", "hora", "ihla"
+    ]
+    # contraction matching is longest-first within a shared prefix:
+    # "hz" (plain h, then z) sorts before "cha" mapped to the ch-letter
+    assert _collate(["hz", "chata"], "collation:primary,cs") == ["hz", "chata"]
+
+
+def test_collation_danish_contraction_and_equivalences():
+    import pandas as pd
+
+    from iresearch_spark.analysis.tokenizers import get_tokenizer
+
+    # CLDR da: ... x y z \u00e6 \u00f8 \u00e5, with CONTRACTION aa = \u00e5
+    words = ["zebra", "\u00e6ble", "\u00f8je", "\u00e5s", "aarhus", "yacht", "xylofon"]
+    assert _collate(words, "collation:primary,da") == [
+        "xylofon", "yacht", "zebra", "\u00e6ble", "\u00f8je", "aarhus", "\u00e5s"
+    ]
+    tok = get_tokenizer("collation:primary,da")
+    # aa == \u00e5 (primary-equal contraction), \u00f6 == \u00f8, \u00fc == y
+    k = tok(pd.Series(["aagaard", "\u00e5gaard", "\u00f6je", "\u00f8je", "\u00fcx", "yx"]))
+    assert k.iloc[0] == k.iloc[1]
+    assert k.iloc[2] == k.iloc[3]
+    assert k.iloc[4] == k.iloc[5]
+    # untailored root order folds \u00e5 back to a: aa-words sort at 'a'
+    assert _collate(["\u00e5s", "akta", "zebra"], "collation:primary") == [
+        "akta", "\u00e5s", "zebra"
+    ]
+
+
 def test_collation_unknown_locale_raises():
     from iresearch_spark.analysis.tokenizers import get_tokenizer
 
