@@ -1285,15 +1285,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail = [
         # (4) r04-green AND r5-unchanged: five fulltext variants whose
         # executor paths are exercised by in-window siblings (term/range/
-        # tfidf/same-position/or+minmatch), token_stats+quality (narrow maps,
-        # last touched r4), cosine_pairs+ivf_topk (vecops hunks this round
-        # touch only lsh_bucket_candidates), and the three multimodal entries
+        # tfidf/same-position/or+minmatch), boost_scorer (scorer plane has
+        # no r5 diff; q_tfidf_term/q_multi_order cover scorer wiring
+        # in-window), token_stats+quality (narrow maps, last touched r4),
+        # cosine_pairs+ivf_topk (vecops hunks this round touch only
+        # lsh_bucket_candidates), and the three multimodal entries
         # (multimodal.py has no r5 diff). This keeps every r5-touched op —
         # winnow/shingle/jaccard/minhash-LSH/simhash/lsh-bucket/near-dup/ANN,
-        # the fuzzy trio, highlight/payloads/th — inside the driver window.
+        # the fuzzy trio, collation, highlight/payloads/th — inside the
+        # driver's 50-entry window.
         "q_term_low", "q_range_incl", "q_tfidf_or", "q_same_position_empty",
-        "q_or_high_high", "q_token_stats", "q_quality", "q_cosine_pairs",
-        "q_ivf_topk", "q_image_meta", "q_audio_meta", "q_video_frames",
+        "q_or_high_high", "q_boost_scorer", "q_token_stats", "q_quality",
+        "q_cosine_pairs", "q_ivf_topk", "q_image_meta", "q_audio_meta",
+        "q_video_frames",
     ]
     ordered = {k: q[k] for k in first if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered and k not in tail})
