@@ -432,3 +432,43 @@ def test_widen_noop_on_well_partitioned_input(spark):
     rows = [("d%d" % i, "alpha beta gamma") for i in range(40)]
     df = spark.createDataFrame(rows, "doc_id string, text string").repartition(target)
     assert textops._widen(df, "doc_id") is df
+
+
+# --------------------------------------------------------------------------
+# plan-level contract: the postings scan's term predicate must reach the
+# parquet reader as PushedFilters (row-group pruning on the term-sorted
+# layout) — the property every 100-TB claim in this repo rests on
+# --------------------------------------------------------------------------
+
+
+def test_postings_scan_term_pushdown(spark, tmp_path_factory):
+    from iresearch_spark import IndexBuilder, IndexReader
+
+    path = str(tmp_path_factory.mktemp("pushdown_idx"))
+    df = spark.createDataFrame(
+        [(f"d{i}", f"alpha beta w{i % 7} scan merge") for i in range(200)],
+        "doc_key string, text string",
+    )
+    IndexBuilder(spark, path, analyzer="simple", num_segments=2).build(
+        df, key_col="doc_key", text_col="text"
+    )
+    reader = IndexReader(spark, path)
+
+    def pushed_filters(sdf):
+        plan = sdf._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters:" in plan, plan
+        return plan.split("PushedFilters:")[1].split("]")[0], plan
+
+    # small term set: range + In, ALL pushed to parquet
+    pf, plan = pushed_filters(reader.postings_for_terms(["merge", "scan"]))
+    assert "GreaterThanOrEqual(term," in pf and "LessThanOrEqual(term," in pf, plan
+    assert "In(term" in pf or "EqualTo(term" in pf, plan
+
+    # very large term set: the In list would not push — the broadcast
+    # semi-join path must still push the min/max RANGE clause so row-group
+    # pruning survives at any term-set size
+    big = sorted(f"t{i:05d}" for i in range(2100))
+    sdf = reader.postings_for_terms(big)
+    pf2, plan2 = pushed_filters(sdf)
+    assert "GreaterThanOrEqual(term," in pf2 and "LessThanOrEqual(term," in pf2, plan2
+    assert "In(term" not in pf2  # the giant set rides the semi-join instead
