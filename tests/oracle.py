@@ -109,6 +109,35 @@ class ScalarIndex:
         hits.sort(key=lambda t: (-t[1], t[0]))
         return hits[:k]
 
+    def eval_leaf(self, node) -> dict[str, float]:
+        """Score one leaf node against THIS index (one field's postings)."""
+        op = node[0]
+        if op == "term":
+            w, b = node[1], node[2]
+            out = {}
+            for key in self.keys:
+                s = self.score_term(w, key, boost=b)
+                if s is not None:
+                    out[key] = s
+            return out
+        if op == "prefix":
+            # multiterm leaf: disjunction-of-scored-terms over the dictionary
+            # expansion, kSum within the leaf (multiterm_query.cpp:36-120) —
+            # the whole expansion is ONE leg to any enclosing composite.
+            p, b = node[1], node[2]
+            terms = sorted(t for t in self.df if t.startswith(p))
+            out: dict[str, float] = {}
+            for key in self.keys:
+                total, hit = 0.0, False
+                for t in terms:
+                    s = self.score_term(t, key, boost=b)
+                    if s is not None:
+                        total, hit = total + s, True
+                if hit:
+                    out[key] = total
+            return out
+        raise ValueError(f"bad leaf {node!r}")
+
     def eval_tree(self, node) -> dict[str, float]:
         """Evaluate a boolean filter tree → ``{doc_key: score}``, mirroring
         the engine's ``_eval_plan`` semantics (executor.py): kSum/kMax/kMin
@@ -121,75 +150,68 @@ class ScalarIndex:
           ("prefix", prefix, boost)   # multiterm: sum over expansion terms
           ("and", parts, excludes, merge, boost)
           ("or", parts, excludes, min_match, merge, boost)
+
+        Leaves dispatch through :meth:`eval_leaf`; composite semantics live
+        in the free function :func:`eval_composite` so multi-field oracles
+        reuse them with field-routed leaves.
         """
-        op = node[0]
-        if op == "term":
-            _, w, b = node
-            out = {}
-            for key in self.keys:
-                s = self.score_term(w, key, boost=b)
-                if s is not None:
-                    out[key] = s
-            return out
-        if op == "prefix":
-            # multiterm leaf: disjunction-of-scored-terms over the dictionary
-            # expansion, kSum within the leaf (multiterm_query.cpp:36-120) —
-            # the whole expansion is ONE leg to any enclosing composite.
-            _, p, b = node
-            terms = sorted(t for t in self.df if t.startswith(p))
-            out: dict[str, float] = {}
-            for key in self.keys:
-                total, hit = 0.0, False
-                for t in terms:
-                    s = self.score_term(t, key, boost=b)
-                    if s is not None:
-                        total, hit = total + s, True
-                if hit:
-                    out[key] = total
-            return out
-        if op == "and":
-            _, parts, excludes, merge, boost = node
-            maps = [self.eval_tree(p) for p in parts]
-            keys = set(maps[0])
-            for m in maps[1:]:
-                keys &= set(m)
-            out = {}
-            for k in keys:
-                vals = [m[k] for m in maps]
+        return eval_composite(node, self.eval_leaf, self.keys)
+
+
+def eval_composite(node, leaf_eval, all_keys) -> dict[str, float]:
+    """Composite boolean semantics over ``leaf_eval``-scored leaves (see
+    ScalarIndex.eval_tree). ``all_keys`` supplies the all-docs legs that Not
+    children contribute under Or (group_filters, boolean_filter.cpp:366-411)."""
+    op = node[0]
+    if op in ("term", "prefix"):
+        return leaf_eval(node)
+
+    def rec(n):
+        return eval_composite(n, leaf_eval, all_keys)
+
+    if op == "and":
+        _, parts, excludes, merge, boost = node
+        maps = [rec(p) for p in parts]
+        keys = set(maps[0])
+        for m in maps[1:]:
+            keys &= set(m)
+        out = {}
+        for k in keys:
+            vals = [m[k] for m in maps]
+            v = (
+                sum(vals)
+                if merge == "sum"
+                else (max(vals) if merge == "max" else min(vals))
+            )
+            out[k] = v * boost
+        for e in excludes:
+            for k in rec(e):
+                out.pop(k, None)
+        return out
+    if op == "or":
+        _, parts, excludes, min_match, merge, boost = node
+        maps = [rec(p) for p in parts]
+        # Not under Or: each Not(B) contributes an all-docs leg at
+        # boost 0 to the disjunction AND B to the exclusion set —
+        # group_filters semantics, the same rewrite the engine's plan
+        # builder performs.
+        for _e in excludes:
+            maps.append({k: 0.0 for k in all_keys})
+        per_key: dict[str, list[float]] = {}
+        for m in maps:
+            for k, v in m.items():
+                per_key.setdefault(k, []).append(v)
+        out = {}
+        for k, vs in per_key.items():
+            if len(vs) >= min_match:
                 v = (
-                    sum(vals)
+                    sum(vs)
                     if merge == "sum"
-                    else (max(vals) if merge == "max" else min(vals))
+                    else (max(vs) if merge == "max" else min(vs))
                 )
                 out[k] = v * boost
-            for e in excludes:
-                for k in self.eval_tree(e):
-                    out.pop(k, None)
-            return out
-        if op == "or":
-            _, parts, excludes, min_match, merge, boost = node
-            maps = [self.eval_tree(p) for p in parts]
-            # Not under Or: each Not(B) contributes an all-docs leg at
-            # boost 0 to the disjunction AND B to the exclusion set —
-            # group_filters semantics (boolean_filter.cpp:366-411), the
-            # same rewrite the engine's plan builder performs.
-            for _e in excludes:
-                maps.append({k: 0.0 for k in self.keys})
-            per_key: dict[str, list[float]] = {}
-            for m in maps:
-                for k, v in m.items():
-                    per_key.setdefault(k, []).append(v)
-            out = {}
-            for k, vs in per_key.items():
-                if len(vs) >= min_match:
-                    v = (
-                        sum(vs)
-                        if merge == "sum"
-                        else (max(vs) if merge == "max" else min(vs))
-                    )
-                    out[k] = v * boost
-            for e in excludes:
-                for k in self.eval_tree(e):
-                    out.pop(k, None)
-            return out
-        raise ValueError(f"bad node {node!r}")
+        for e in excludes:
+            for k in rec(e):
+                out.pop(k, None)
+        return out
+    raise ValueError(f"bad node {node!r}")

@@ -155,3 +155,94 @@ def test_batch_path_matches_interactive(tree_built):
         assert got.keys() == solo.keys(), (name, len(got), len(solo))
         for key, v in got.items():
             assert math.isclose(v, solo[key], rel_tol=1e-9, abs_tol=1e-12), (name, key)
+
+
+# --------------------------------------------------------------------------
+# mixed-field trees: each term leaf carries a field tag; the engine must
+# score every leaf against its OWN field's (df, dl, avgdl) — the per-field
+# norms context of mixed plans (bm25.cpp:283-299 per-field stats)
+# --------------------------------------------------------------------------
+
+from tests.oracle import eval_composite
+
+F_VOCAB = ["spark", "scan", "merge", "alpha", "beta", "common", "zzzmissing"]
+f_leaf = st.tuples(
+    st.just("term"),
+    st.sampled_from(F_VOCAB),
+    st.sampled_from(BOOSTS),
+    st.sampled_from(["body", "title"]),
+)
+f_excludes = st.lists(f_leaf, min_size=0, max_size=1).map(tuple)
+
+
+def f_composite(children):
+    parts = st.lists(children, min_size=1, max_size=3).map(tuple)
+    return st.one_of(
+        st.tuples(st.just("and"), parts, f_excludes, st.sampled_from(MERGES),
+                  st.sampled_from(BOOSTS)),
+        st.tuples(st.just("or"), parts, f_excludes, st.integers(1, 3),
+                  st.sampled_from(MERGES), st.sampled_from(BOOSTS)),
+    )
+
+
+f_trees = st.recursive(f_leaf, f_composite, max_leaves=5)
+
+
+def to_filter_fielded(node) -> flt.Filter:
+    op = node[0]
+    if op == "term":
+        return flt.Term(node[1], boost=node[2], field=node[3])
+    if op == "and":
+        _, parts, exc, merge, boost = node
+        ps = tuple(to_filter_fielded(p) for p in parts) + tuple(
+            flt.Not(to_filter_fielded(e)) for e in exc
+        )
+        return flt.And(ps, merge=merge, boost=boost)
+    _, parts, exc, min_match, merge, boost = node
+    ps = tuple(to_filter_fielded(p) for p in parts) + tuple(
+        flt.Not(to_filter_fielded(e)) for e in exc
+    )
+    return flt.Or(ps, min_match=min_match, merge=merge, boost=boost)
+
+
+@pytest.fixture(scope="module")
+def two_field_built(spark, tmp_path_factory):
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    body_docs, title_docs, rows = {}, {}, []
+    for i in range(200):
+        key = f"doc{i:05d}"
+        body = " ".join(rng.choice(F_VOCAB[:6], size=int(rng.integers(4, 30))))
+        title = " ".join(rng.choice(F_VOCAB[:6], size=int(rng.integers(2, 6))))
+        body_docs[key], title_docs[key] = body, title
+        rows.append((key, body, title))
+    path = str(tmp_path_factory.mktemp("two_field_tree"))
+    df = spark.createDataFrame(rows, "doc_key string, body string, title string")
+    IndexBuilder(spark, path, num_segments=3).build(
+        df, key_col="doc_key",
+        fields=(("body", "body", "simple"), ("title", "title", "simple")),
+    )
+    oracles = {"body": ScalarIndex(body_docs), "title": ScalarIndex(title_docs)}
+    all_keys = sorted(body_docs)
+    return Searcher(IndexReader(spark, path)), oracles, all_keys
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tree=f_trees)
+def test_mixed_field_tree_matches_oracle(two_field_built, tree):
+    searcher, oracles, all_keys = two_field_built
+    expect = eval_composite(tree, lambda n: oracles[n[3]].eval_leaf(n), all_keys)
+    rows = searcher.search(to_filter_fielded(tree), k=10**6).collect()
+    got = {r["doc_key"]: r["score"] for r in rows}
+    assert got.keys() == expect.keys(), (
+        sorted(got.keys() - expect.keys())[:5],
+        sorted(expect.keys() - got.keys())[:5],
+    )
+    for k, v in got.items():
+        assert math.isclose(v, expect[k], rel_tol=1e-9, abs_tol=1e-12), (k, v, expect[k])
