@@ -136,6 +136,21 @@ class ScalarIndex:
                 if hit:
                     out[key] = total
             return out
+        if op == "terms":
+            # mterm leaf with min_match + per-term boosts
+            # (terms_filter.hpp:38-52): one leg PER MEMBER (duplicates count
+            # twice toward min_match), effective boost = node x member,
+            # kSum over present legs (executor _union default).
+            _, words, boosts, min_match, b = node
+            per_key: dict[str, list[float]] = {}
+            for w, wb in zip(words, boosts):
+                for key in self.keys:
+                    s = self.score_term(w, key, boost=b * wb)
+                    if s is not None:
+                        per_key.setdefault(key, []).append(s)
+            return {
+                k: sum(vs) for k, vs in per_key.items() if len(vs) >= min_match
+            }
         raise ValueError(f"bad leaf {node!r}")
 
     def eval_tree(self, node) -> dict[str, float]:
@@ -148,6 +163,7 @@ class ScalarIndex:
         Node forms (plain tuples, engine-independent):
           ("term", word, boost)
           ("prefix", prefix, boost)   # multiterm: sum over expansion terms
+          ("terms", words, boosts, min_match, boost)  # explicit term set
           ("and", parts, excludes, merge, boost)
           ("or", parts, excludes, min_match, merge, boost)
 
@@ -163,7 +179,7 @@ def eval_composite(node, leaf_eval, all_keys) -> dict[str, float]:
     ScalarIndex.eval_tree). ``all_keys`` supplies the all-docs legs that Not
     children contribute under Or (group_filters, boolean_filter.cpp:366-411)."""
     op = node[0]
-    if op in ("term", "prefix"):
+    if op in ("term", "prefix", "terms"):
         return leaf_eval(node)
 
     def rec(n):

@@ -31,7 +31,14 @@ VOCAB = ["spark", "index", "query", "scan", "fox", "crawl", "score", "zzzmissing
 term_leaf = st.tuples(st.just("term"), st.sampled_from(VOCAB), st.sampled_from(BOOSTS))
 PREFIXES = ["s", "sc", "qu", "zz"]  # wide, narrow, mid, dead expansions
 prefix_leaf = st.tuples(st.just("prefix"), st.sampled_from(PREFIXES), st.sampled_from(BOOSTS))
-leaf = st.one_of(term_leaf, prefix_leaf)
+terms_leaf = st.tuples(
+    st.just("terms"),
+    st.lists(st.sampled_from(VOCAB), min_size=2, max_size=3).map(tuple),
+    st.sampled_from([(1.0, 1.0, 1.0), (2.0, 0.5, 1.0)]),
+    st.integers(min_value=1, max_value=3),
+    st.sampled_from(BOOSTS),
+)
+leaf = st.one_of(term_leaf, prefix_leaf, terms_leaf)
 excludes = st.lists(term_leaf, min_size=0, max_size=1).map(tuple)
 
 
@@ -60,6 +67,11 @@ def to_filter(node) -> flt.Filter:
         return flt.Term(node[1], boost=node[2])
     if op == "prefix":
         return flt.Prefix(node[1], boost=node[2])
+    if op == "terms":
+        _, words, boosts, min_match, b = node
+        return flt.Terms(
+            words, min_match=min_match, boosts=boosts[: len(words)], boost=b
+        )
     if op == "and":
         _, parts, exc, merge, boost = node
         all_parts = tuple(to_filter(p) for p in parts) + tuple(
