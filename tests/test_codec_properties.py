@@ -45,7 +45,7 @@ uint64s = st.one_of(
 )
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120, deadline=None, derandomize=True)
 @given(st.lists(uint64s, max_size=400))
 def test_vbyte_roundtrip_any_uint64(values):
     a = np.array(values, dtype=np.uint64)
@@ -74,7 +74,7 @@ def posting_lists(draw, max_docs=300):
     return doc_ids, freqs, positions
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(posting_lists())
 def test_postings_roundtrip_property(pl):
     doc_ids, freqs, positions = pl
@@ -93,7 +93,7 @@ def test_postings_roundtrip_property(pl):
         assert enc.block_max_freq[i] == freqs[lo:hi].max()
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(
     st.integers(min_value=1, max_value=900),
     st.integers(0, 2**32 - 1),
@@ -150,7 +150,7 @@ def multi_term_postings(draw):
     return parts, doc_ids, freqs, positions, bounds
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(multi_term_postings())
 def test_batch_encode_byte_identical_to_per_term(mt):
     parts, doc_ids, freqs, positions, bounds = mt
@@ -188,7 +188,7 @@ def value_streams(draw):
     return vals, freqs, bounds
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(value_streams())
 def test_value_stream_roundtrip_property(vs):
     vals, freqs, bounds = vs
