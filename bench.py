@@ -94,6 +94,29 @@ def make_spark(cpus: int) -> SparkSession:
     return builder.getOrCreate()
 
 
+def box_ceiling_probe() -> dict | None:
+    """2->8 process-parallel numpy-kernel throughput — the box's own
+    memory-bandwidth scaling state at measurement time (this sandbox's
+    ceiling oscillates 0.1-1.0 over hours; see BASELINE.md). Embedded in the
+    headline JSON so a single bench number carries the context needed to
+    read it against the ceiling-bracketed records. Subprocess + best-effort:
+    any failure returns None and never affects the bench itself."""
+    import subprocess
+
+    probe = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench_results",
+        "ceiling_numpy_probe.py",
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, probe], capture_output=True, text=True, timeout=120
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
+
+
 def provision_worker_pool(spark: SparkSession, cpus: int) -> None:
     """Spin up the reused python worker pool (one trivial task per core, no
     data): worker process fork + numpy/pandas/pyarrow imports are cluster
@@ -492,7 +515,9 @@ def main() -> None:
         )
         return
 
+    probe_pre = box_ceiling_probe()
     r = run_once(CPUS, n_pages, SF_DIR)
+    probe_post = box_ceiling_probe()
     print(
         json.dumps(
             {
@@ -508,6 +533,11 @@ def main() -> None:
                 "build_secs": r["build_secs"],
                 "build_docs_per_sec": r["build_docs_per_sec"],
                 "query_secs": r["query_secs"],
+                # box memory-bandwidth state brackets (see BASELINE.md "Box
+                # state during measurement"): eff_2_to_8 < ~0.8 means the
+                # MACHINE was in a degraded window during this run
+                "box_ceiling_pre": probe_pre,
+                "box_ceiling_post": probe_post,
             }
         )
     )
