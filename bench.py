@@ -378,7 +378,11 @@ def run_pipeline_ops(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     ops = {
         "ExactDedup": lambda: textops.exact_duplicates(docs).count(),
         "MinHashLSH": lambda: textops.minhash_lsh_pairs(docs, num_hashes=8, bands=4).count(),
-        "SimHash": lambda: textops.simhash64(docs).count(),
+        # checksum, not count(): simhash is now a narrow projection, and a
+        # bare count() would let Catalyst prune the simhash expression away
+        "SimHash": lambda: textops.simhash64(docs)
+        .selectExpr("sum(cast(crc32(cast(simhash as string)) as bigint))")
+        .collect(),
         "CosineTopK": lambda: vecops.cosine_topk(emb, qv, k=10).collect(),
     }
     out = {}

@@ -472,3 +472,60 @@ def test_postings_scan_term_pushdown(spark, tmp_path_factory):
     pf2, plan2 = pushed_filters(sdf)
     assert "GreaterThanOrEqual(term," in pf2 and "LessThanOrEqual(term," in pf2, plan2
     assert "In(term" not in pf2  # the giant set rides the semi-join instead
+
+
+# --------------------------------------------------------------------------
+# simhash64 narrow-map rewrite (round-5 final): zero-shuffle HOF formulation
+# must equal a scalar Python oracle and keep the explode-path's row semantics
+# --------------------------------------------------------------------------
+
+
+def test_simhash64_matches_scalar_oracle_and_drops_tokenless_docs(spark):
+    """The per-row higher-order-function simhash must (a) byte-match a scalar
+    md5 sign-sum oracle and (b) drop docs with no tokens / null text exactly
+    like the previous explode-based plan (and the DuckDB unnest oracle)."""
+    import hashlib
+    import re
+
+    from iresearch_spark import textops
+
+    rows = [
+        ("d0", "alpha beta alpha scan"),
+        ("d1", "merge merge merge"),
+        ("d2", "alpha beta alpha scan"),  # same text as d0 → same signature
+        ("d3", "!!! ---"),  # tokenless → dropped
+        ("d4", None),  # null text → dropped
+        ("d5", "Mixed CASE 42 tokens, punct-split"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r["simhash"] for r in textops.simhash64(df).collect()}
+
+    def oracle(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        if not toks:
+            return None
+        sums = [0] * 64
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            hi, lo = h >> 32, h & 0xFFFFFFFF
+            for i in range(64):
+                bit = (hi if i < 32 else lo) >> (i % 32) & 1
+                sums[i] += 1 if bit else -1
+        v = sum(1 << i for i in range(64) if sums[i] > 0)
+        return v - (1 << 64) if v >= (1 << 63) else v  # signed long
+
+    expect = {d: oracle(t) for d, t in rows if t is not None and oracle(t) is not None}
+    assert got == expect
+    assert "d3" not in got and "d4" not in got
+    assert got["d0"] == got["d2"]
+
+
+def test_simhash64_plan_has_no_shuffle(spark):
+    from iresearch_spark import textops
+
+    # spark.range already yields >1 partition, so _widen must not fire either
+    df = spark.range(100, numPartitions=4).selectExpr(
+        "cast(id as string) as doc_id", "'alpha beta scan' as text"
+    )
+    plan = textops.simhash64(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
