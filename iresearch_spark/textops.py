@@ -291,17 +291,27 @@ def minhash_signatures(
     """MinHash signature per doc (minhash_token_stream.cpp analogue):
     shingle → 32-bit md5 key → min over (a*x+b) mod p per hash function.
 
-    One explode + one groupBy(id): linear in corpus shingles, uniform shuffle."""
+    ZERO-shuffle narrow map (same rewrite as :func:`simhash64`): the shingle
+    set, md5 keys, and per-hash minima are all per-row higher-order array
+    expressions — a min over a doc's shingles never needed a groupBy, the
+    explode + num_hashes min-aggregates shape just mirrored the exploded
+    token-stream view. Removing it drops a doc-keyed shuffle of the whole
+    shingle stream (the largest intermediate of the dedup plane at 10^12
+    docs) and one exchange from every downstream LSH plan. Row semantics
+    unchanged: docs shorter than k tokens contribute their full-text join
+    (possibly the empty shingle), so every doc keeps a signature."""
     params = minhash_params(num_hashes, seed)
-    sh = shingles(df, id_col, text_col, k)
-    keyed = sh.select(
-        F.col(id_col), (_hash32_col(F.col("shingle")) % MINHASH_PRIME).alias("x")
-    )
-    aggs = [
-        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    sh = F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")))
+    xs = F.transform(sh, lambda s: _hash32_col(s) % MINHASH_PRIME)
+    mins = [
+        F.array_min(
+            F.transform(F.col("__xs"), lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME))
+        ).alias(f"mh{i}")
         for i, (a, b) in enumerate(params)
     ]
-    return keyed.groupBy(id_col).agg(*aggs)
+    return _widen(df, id_col).select(F.col(id_col), xs.alias("__xs")).select(F.col(id_col), *mins)
 
 
 def minhash_lsh_pairs(

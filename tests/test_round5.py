@@ -529,3 +529,20 @@ def test_simhash64_plan_has_no_shuffle(spark):
     )
     plan = textops.simhash64(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_minhash_signatures_plan_has_no_shuffle(spark):
+    """Same narrow-map rewrite as simhash64: a min over a doc's own shingles
+    needs no groupBy — the plan must be shuffle-free on well-split input."""
+    from iresearch_spark import textops
+
+    df = spark.range(100, numPartitions=4).selectExpr(
+        "cast(id as string) as doc_id", "'alpha beta gamma delta scan' as text"
+    )
+    plan = (
+        textops.minhash_signatures(df, num_hashes=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
