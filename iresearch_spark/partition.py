@@ -49,3 +49,45 @@ def collision_free_partition_count(ids: list[int]) -> int:
         if len({h % cand for h in hs}) == len(ids):
             return cand
     return 4 * n_ids
+
+
+def segment_routing_keys(ids: list[int]) -> tuple[dict[int, int], int] | None:
+    """Per-segment ROUTING keys for a zero-empty-task placement: exactly
+    ``n = len(ids)`` partitions with segment ``ids[j]`` (sorted order) alone
+    in partition ``j``.
+
+    :func:`collision_free_partition_count` keeps the raw ``segment_id``
+    column as the shuffle key, which forces the modulus ABOVE n to dodge
+    murmur3 collisions (32 dense ids need 250 partitions — 218 empty tasks
+    scheduled per kernel stage, pure per-query overhead; the 8n fallback can
+    blow the stage up further).  Routing instead assigns each segment a small
+    substitute integer ``r`` with ``pmod(murmur3(r), n) == dense_rank(id)``
+    — found by scanning r upward (coupon-collector, ~n·ln n probes,
+    driver-side, no Spark job) — so ``repartition(n, route_col)`` places one
+    segment per task with NO empty tasks and NO inflated modulus.  The
+    caller shuffles AND groups by the route column (an injective image of
+    segment_id), which keeps Catalyst's clustered-distribution proof intact
+    (grouping by segment_id over a route-partitioned child would re-exchange).
+
+    Returns ``(id -> routing key, n)``, or None if the scan cap is hit
+    (pathological; caller falls back to the collision-free modulus).
+    """
+    sids = sorted({int(i) for i in ids})
+    n = len(sids)
+    if n == 0:
+        return {}, 1
+    need = set(range(n))
+    found: dict[int, int] = {}
+    cap = 64 * n + 4096
+    r = 0
+    while need and r < cap:
+        b = spark_murmur3_int32(r) % n
+        if b < 0:
+            b += n
+        if b in need:
+            found[b] = r
+            need.discard(b)
+        r += 1
+    if need:
+        return None
+    return {sid: found[j] for j, sid in enumerate(sids)}, n

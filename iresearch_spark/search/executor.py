@@ -1586,8 +1586,12 @@ def _local_topk(ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray
 # segment invert job, which has the same one-kernel-per-task placement need.
 from ..partition import (  # noqa: E402
     collision_free_partition_count as _collision_free_partition_count,
+    segment_routing_keys as _segment_routing_keys,
     spark_murmur3_int32 as _spark_murmur3_int32,
 )
+
+#: sentinel for Searcher._routing "not built yet" (None means "fall back")
+_ROUTING_UNSET = object()
 
 
 class Searcher:
@@ -1626,6 +1630,52 @@ class Searcher:
             raise ValueError(f"unknown phrase_scoring {phrase_scoring!r}")
         self.phrase_scoring = phrase_scoring
         self._part_n: int | None = None  # collision-free segment partitioning
+        self._routing = _ROUTING_UNSET  # (map expr, n) | None, lazily built
+
+    def _segment_ids(self) -> list[int]:
+        """Superset of live segment ids (cheap, no Spark job on current meta)."""
+        nsi = self.reader.meta.get("next_segment_id")
+        if nsi is not None:
+            return list(range(max(1, int(nsi))))
+        # Legacy meta (pre-next_segment_id): a consolidated index can hold
+        # live ids ≥ num_segments (e.g. {0, 4} with num_segments=2), so
+        # range(num_segments) would NOT cover them. Read the real live ids
+        # once (tiny norms collect, cached for the Searcher's lifetime).
+        return sorted(self.reader.segment_docs_counts()) or [0]
+
+    #: above this many segments the routing map literal starts to weigh on
+    #: every plan (2 literals per segment); fall back to the modulus scheme
+    ROUTED_MAX_SEGMENTS = int(os.environ.get("IRS_ROUTED_MAX_SEGMENTS", "1024"))
+
+    def _seg_routing(self):
+        """Zero-empty-task placement: ``(route map expr, n)`` or None.
+
+        See :func:`iresearch_spark.partition.segment_routing_keys` — each
+        segment id gets a substitute routing int whose murmur3 lands in its
+        own bucket with EXACTLY n partitions, so every kernel stage runs one
+        task per segment and nothing else (the collision-free-modulus scheme
+        needed 250 partitions for 32 segments — 218 empty tasks per query,
+        measured ~130 ms of the interactive floor at local[32])."""
+        if self._routing is _ROUTING_UNSET:
+            ids = self._segment_ids()
+            routed = None
+            if len(ids) <= self.ROUTED_MAX_SEGMENTS:
+                rk = _segment_routing_keys(ids)
+                if rk is not None:
+                    keys, n = rk
+                    mapping = F.create_map(
+                        *[F.lit(x) for kv in keys.items() for x in kv]
+                    )
+                    routed = (mapping, n)
+            self._routing = routed
+        return self._routing
+
+    def _seg_groupkey(self) -> str:
+        """Cogroup key matched to the placement: the route column when routed
+        (grouping by segment_id over a route-partitioned child would fail
+        Catalyst's clustered-distribution check and re-exchange), else the
+        raw segment_id."""
+        return "segment_id" if self._seg_routing() is None else "__seg_route"
 
     def _seg_partition_count(self) -> int:
         """Smallest partition count that hash-places every POSSIBLE segment
@@ -1644,26 +1694,33 @@ class Searcher:
         (range partitioning samples rows and merges small segments
         nondeterministically) and no extra jobs."""
         if self._part_n is None:
-            nsi = self.reader.meta.get("next_segment_id")
-            if nsi is not None:
-                ids = list(range(max(1, int(nsi))))  # superset of live ids
-            else:
-                # Legacy meta (pre-next_segment_id): a consolidated index can
-                # hold live ids ≥ num_segments (e.g. {0, 4} with
-                # num_segments=2), so range(num_segments) would NOT prove
-                # collision-freedom. Read the real live ids once (tiny norms
-                # collect, cached for the Searcher's lifetime).
-                ids = sorted(self.reader.segment_docs_counts()) or [0]
-            self._part_n = _collision_free_partition_count(ids)
+            self._part_n = _collision_free_partition_count(self._segment_ids())
         return self._part_n
 
     def _seg_partitioned(self, df: DataFrame) -> DataFrame:
-        """Explicit hash partitioning on segment_id with a COLLISION-FREE
-        partition count (see :meth:`_seg_partition_count`) before the cogroup
-        kernels. Without an explicit repartition, AQE sees a tiny shuffle
-        (the encoded postings are a few MB) and coalesces to ~1 partition —
-        which serializes the CPU-heavy per-segment kernels."""
-        return df.repartition(self._seg_partition_count(), "segment_id")
+        """Explicit one-kernel-per-task placement before the cogroup kernels.
+        Without an explicit repartition, AQE sees a tiny shuffle (the encoded
+        postings are a few MB) and coalesces to ~1 partition — which
+        serializes the CPU-heavy per-segment kernels.
+
+        Routed scheme (default, :meth:`_seg_routing`): a ``__seg_route``
+        column maps each segment id to a routing int placed alone in its own
+        bucket at EXACTLY n partitions — one task per segment, zero empty
+        tasks. Unknown ids (defensive; the id set is a superset by
+        construction) fall through to a distinct out-of-band key so two
+        segments can never share a group. Fallback scheme: hash partitioning
+        on segment_id with a collision-free modulus
+        (see :meth:`_seg_partition_count`)."""
+        routing = self._seg_routing()
+        if routing is None:
+            return df.repartition(self._seg_partition_count(), "segment_id")
+        mapping, n = routing
+        # try_element_at: NULL (not an ANSI error) on a key outside the map
+        route = F.coalesce(
+            F.try_element_at(mapping, F.col("segment_id").cast("int")),
+            F.col("segment_id") + F.lit(1 << 20),
+        )
+        return df.withColumn("__seg_route", route).repartition(n, "__seg_route")
 
     def search(
         self,
@@ -1735,8 +1792,8 @@ class Searcher:
 
         local = (
             self._seg_partitioned(pq)
-            .groupBy("segment_id")
-            .cogroup(self._seg_partitioned(norms).groupBy("segment_id"))
+            .groupBy(self._seg_groupkey())
+            .cogroup(self._seg_partitioned(norms).groupBy(self._seg_groupkey()))
             .applyInPandas(kernel, KERNEL_OUT_SCHEMA)
         )
         topk = local.orderBy(F.desc("score"), F.asc("segment_id"), F.asc("doc_id")).limit(k)
@@ -1845,8 +1902,8 @@ class Searcher:
 
         return (
             self._seg_partitioned(pq)
-            .groupBy("segment_id")
-            .cogroup(self._seg_partitioned(norms).groupBy("segment_id"))
+            .groupBy(self._seg_groupkey())
+            .cogroup(self._seg_partitioned(norms).groupBy(self._seg_groupkey()))
             .applyInPandas(kernel, KERNEL_OUT_SCHEMA)
         )
 
@@ -2056,8 +2113,8 @@ class Searcher:
             return pd.concat(frames, ignore_index=True) if frames else empty
 
         local = (
-            pq.groupBy("segment_id")
-            .cogroup(norms.groupBy("segment_id"))
+            pq.groupBy(self._seg_groupkey())
+            .cogroup(norms.groupBy(self._seg_groupkey()))
             .applyInPandas(kernel, "query string, " + KERNEL_OUT_SCHEMA)
         )
         n_segments = int(self.reader.meta.get("num_segments", 1))
@@ -2407,8 +2464,8 @@ class Searcher:
 
         local = (
             self._seg_partitioned(pq)
-            .groupBy("segment_id")
-            .cogroup(self._seg_partitioned(norms).groupBy("segment_id"))
+            .groupBy(self._seg_groupkey())
+            .cogroup(self._seg_partitioned(norms).groupBy(self._seg_groupkey()))
             .applyInPandas(kernel, KERNEL_OUT_SCHEMA)
         )
         topk = local.orderBy(F.desc("score"), F.asc("segment_id"), F.asc("doc_id")).limit(k)
@@ -2736,8 +2793,8 @@ class Searcher:
 
         return (
             self._seg_partitioned(pq)
-            .groupBy("segment_id")
-            .cogroup(self._seg_partitioned(norms).groupBy("segment_id"))
+            .groupBy(self._seg_groupkey())
+            .cogroup(self._seg_partitioned(norms).groupBy(self._seg_groupkey()))
             .applyInPandas(kernel, out_schema)
         )
 

@@ -546,3 +546,81 @@ def test_minhash_signatures_plan_has_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# Routed segment placement: zero empty tasks (one task per segment, exactly
+# n partitions) replacing the collision-free-modulus scheme (which needed
+# 250 partitions for 32 dense ids — 218 empty tasks per kernel stage)
+# --------------------------------------------------------------------------
+
+
+def test_segment_routing_keys_bijective():
+    from iresearch_spark.partition import segment_routing_keys, spark_murmur3_int32
+
+    for ids in ([0], list(range(8)), list(range(32)), [0, 4, 7, 19], list(range(3, 300, 7))):
+        keys, n = segment_routing_keys(ids)
+        assert n == len(set(ids))
+        sids = sorted(set(ids))
+        buckets = []
+        for j, sid in enumerate(sids):
+            b = spark_murmur3_int32(keys[sid]) % n
+            if b < 0:
+                b += n
+            buckets.append(b)
+            assert b == j, (sid, keys[sid], b, j)  # dense rank placement
+        assert len(set(buckets)) == n  # bijective: one segment per partition
+
+
+def test_routed_placement_one_segment_per_task(spark, batch_index):
+    from pyspark.sql import functions as F
+
+    from iresearch_spark import Searcher
+
+    s = Searcher(batch_index)
+    routing = s._seg_routing()
+    assert routing is not None, "routed scheme should engage for small indexes"
+    _, n = routing
+    norms = batch_index.norms()
+    routed = s._seg_partitioned(norms)
+    assert routed.rdd.getNumPartitions() == n  # EXACTLY n partitions
+    occ = (
+        routed.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg(F.countDistinct("segment_id").alias("segs"))
+        .collect()
+    )
+    assert all(r["segs"] == 1 for r in occ), occ  # never two segments in a task
+    assert len(occ) == n  # and no empty partitions for live dense ids
+
+
+def test_routed_vs_fallback_results_identical(spark, batch_index):
+    from iresearch_spark import Searcher, filters as flt
+
+    q = flt.Or((flt.Term("alpha"), flt.Phrase(("alpha", "beta"))))
+    s_routed = Searcher(batch_index)
+    s_fallback = Searcher(batch_index)
+    s_fallback.ROUTED_MAX_SEGMENTS = 0  # force the collision-free-modulus path
+    assert s_fallback._seg_routing() is None
+    a = [tuple(r) for r in s_routed.search(q, k=20).collect()]
+    b = [tuple(r) for r in s_fallback.search(q, k=20).collect()]
+    assert a == b
+    pa = sorted(tuple(r) for r in s_routed.search_many({"a": q, "b": flt.Term("beta")}, k=5).collect())
+    pb = sorted(tuple(r) for r in s_fallback.search_many({"a": q, "b": flt.Term("beta")}, k=5).collect())
+    assert pa == pb
+
+
+def test_routed_placement_adds_no_exchange(spark, batch_index):
+    """The route column is both the shuffle key AND the cogroup key, so
+    Catalyst's clustered-distribution check passes — grouping by segment_id
+    over a route-partitioned child would silently re-exchange instead."""
+    from iresearch_spark import Searcher, filters as flt
+
+    def n_exchanges(s):
+        p = s.search(flt.Term("alpha"), k=5)._jdf.queryExecution().executedPlan().toString()
+        return p.count("Exchange")
+
+    s_routed = Searcher(batch_index)
+    s_fallback = Searcher(batch_index)
+    s_fallback.ROUTED_MAX_SEGMENTS = 0
+    assert n_exchanges(s_routed) == n_exchanges(s_fallback)
