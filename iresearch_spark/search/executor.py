@@ -1631,6 +1631,7 @@ class Searcher:
         self.phrase_scoring = phrase_scoring
         self._part_n: int | None = None  # collision-free segment partitioning
         self._routing = _ROUTING_UNSET  # (map expr, n) | None, lazily built
+        self._norms_parts: dict = {}  # field-set -> persisted routed norms
 
     def _segment_ids(self) -> list[int]:
         """Superset of live segment ids (cheap, no Spark job on current meta)."""
@@ -1676,6 +1677,32 @@ class Searcher:
         Catalyst's clustered-distribution check and re-exchange), else the
         raw segment_id."""
         return "segment_id" if self._seg_routing() is None else "__seg_route"
+
+    def _seg_norms(self, norms: DataFrame, key) -> DataFrame:
+        """Seg-partitioned norms, PERSISTED and cached per field-set key for
+        the Searcher's lifetime — the BM25 working set, held hot exactly as
+        the reference keeps norms in memory per open reader
+        (segment_reader.hpp:35-110). Norms depend only on the immutable
+        index snapshot and the referenced field set, never on the query, so
+        every search after the first skips the norms scan + exchange
+        entirely (one shuffle stage less per interactive query).
+        ``key`` must pin the field selection (("ctx", fields, mixed) or
+        ("field", f)). Release with :meth:`unpersist`."""
+        ent = self._norms_parts.get(key)
+        if ent is None:
+            ent = self._seg_partitioned(norms).persist()
+            self._norms_parts[key] = ent
+        return ent
+
+    @staticmethod
+    def _norms_key(scan: ScanSpec):
+        return ("ctx", tuple(scan.fields), scan.mixed)
+
+    def unpersist(self) -> None:
+        """Release the cached norms partitions (idempotent)."""
+        for df in self._norms_parts.values():
+            df.unpersist()
+        self._norms_parts.clear()
 
     def _seg_partition_count(self) -> int:
         """Smallest partition count that hash-places every POSSIBLE segment
@@ -1793,7 +1820,7 @@ class Searcher:
         local = (
             self._seg_partitioned(pq)
             .groupBy(self._seg_groupkey())
-            .cogroup(self._seg_partitioned(norms).groupBy(self._seg_groupkey()))
+            .cogroup(self._seg_norms(norms, self._norms_key(scan)).groupBy(self._seg_groupkey()))
             .applyInPandas(kernel, KERNEL_OUT_SCHEMA)
         )
         topk = local.orderBy(F.desc("score"), F.asc("segment_id"), F.asc("doc_id")).limit(k)
@@ -1903,7 +1930,7 @@ class Searcher:
         return (
             self._seg_partitioned(pq)
             .groupBy(self._seg_groupkey())
-            .cogroup(self._seg_partitioned(norms).groupBy(self._seg_groupkey()))
+            .cogroup(self._seg_norms(norms, self._norms_key(scan)).groupBy(self._seg_groupkey()))
             .applyInPandas(kernel, KERNEL_OUT_SCHEMA)
         )
 
@@ -2057,7 +2084,7 @@ class Searcher:
             )
         if norms_ctx is None:
             norms, mixed, avgdl, avg_map = self._norms_ctx(scan)
-            norms = self._seg_partitioned(norms)
+            norms = self._seg_norms(norms, self._norms_key(scan))
         else:
             norms, mixed, avgdl, avg_map = norms_ctx
         # large batches: ship the plan list as a BROADCAST, not a task-closure
@@ -2465,7 +2492,7 @@ class Searcher:
         local = (
             self._seg_partitioned(pq)
             .groupBy(self._seg_groupkey())
-            .cogroup(self._seg_partitioned(norms).groupBy(self._seg_groupkey()))
+            .cogroup(self._seg_norms(norms, ("field", fname)).groupBy(self._seg_groupkey()))
             .applyInPandas(kernel, KERNEL_OUT_SCHEMA)
         )
         topk = local.orderBy(F.desc("score"), F.asc("segment_id"), F.asc("doc_id")).limit(k)
@@ -2794,7 +2821,7 @@ class Searcher:
         return (
             self._seg_partitioned(pq)
             .groupBy(self._seg_groupkey())
-            .cogroup(self._seg_partitioned(norms).groupBy(self._seg_groupkey()))
+            .cogroup(self._seg_norms(norms, ("field", field)).groupBy(self._seg_groupkey()))
             .applyInPandas(kernel, out_schema)
         )
 
@@ -2835,8 +2862,10 @@ class PreparedBatch:
             ).persist()
         if self._norms_ctx is None:
             norms, mixed, avgdl, avg_map = s._norms_ctx(self.scan)
+            # the Searcher-level norms cache owns the persist (shared with
+            # interactive searches over the same field set)
             self._norms_ctx = (
-                s._seg_partitioned(norms).persist(), mixed, avgdl, avg_map
+                s._seg_norms(norms, s._norms_key(self.scan)), mixed, avgdl, avg_map
             )
         if self._b_plans is None:
             self._b_plans = s.reader.spark.sparkContext.broadcast(
@@ -2852,7 +2881,8 @@ class PreparedBatch:
             self._pq.unpersist()
             self._pq = None
         if self._norms_ctx is not None:
-            self._norms_ctx[0].unpersist()
+            # norms persist is owned by the Searcher's cache (shared across
+            # batches + interactive searches); released by Searcher.unpersist
             self._norms_ctx = None
         if self._b_plans is not None:
             self._b_plans.unpersist()

@@ -624,3 +624,26 @@ def test_routed_placement_adds_no_exchange(spark, batch_index):
     s_fallback = Searcher(batch_index)
     s_fallback.ROUTED_MAX_SEGMENTS = 0
     assert n_exchanges(s_routed) == n_exchanges(s_fallback)
+
+
+def test_norms_cache_reused_and_result_identical(spark, batch_index):
+    """The seg-partitioned norms persist once per (field set) per Searcher —
+    the BM25 working set held hot like the reference's open reader — and a
+    cache-bypassing Searcher returns identical results."""
+    from iresearch_spark import Searcher, filters as flt
+
+    s = Searcher(batch_index)
+    q1 = [tuple(r) for r in s.search(flt.Term("alpha"), k=10).collect()]
+    ent_after_first = dict(s._norms_parts)
+    q2 = [tuple(r) for r in s.search(flt.Term("beta"), k=10).collect()]
+    assert len(s._norms_parts) == 1  # same default-field entry reused
+    assert next(iter(s._norms_parts.values())) is next(iter(ent_after_first.values()))
+
+    s_nocache = Searcher(batch_index)
+    s_nocache._seg_norms = lambda norms, key: s_nocache._seg_partitioned(norms)
+    assert q1 == [tuple(r) for r in s_nocache.search(flt.Term("alpha"), k=10).collect()]
+    assert q2 == [tuple(r) for r in s_nocache.search(flt.Term("beta"), k=10).collect()]
+
+    s.unpersist()
+    assert s._norms_parts == {}
+    s.unpersist()  # idempotent
