@@ -868,6 +868,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_fuzzy_dist"] = fuzzy_distributed
 
+    # by_edit_distance with the exact-prefix option (levenshtein_filter.cpp:
+    # 241-265): candidates must start with "s"; only the remainder is matched
+    # within 1 edit of "cam" (so "scan" matches via its suffix "can")
+    q["q_fuzzy_prefix"] = lambda s, d: _run_search(
+        s, d, flt.Fuzzy("cam", max_distance=1, prefix="s")
+    )
+
     q["q_phrase_variadic"] = lambda s, d: _run_search(
         s, d, flt.Phrase(("fast", flt.Prefix("s")))
     )
@@ -1275,8 +1282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # goes driver-unchecked.
     first = [
         # (1) new in r5
-        "q_text_edge_ngram", "q_fuzzy_dist", "q_collation_sv",
-        "q_collation_da",
+        "q_text_edge_ngram", "q_fuzzy_dist", "q_fuzzy_prefix",
+        "q_collation_sv", "q_collation_da",
         # (2) green in r03, rotated out of r04's 50-entry window
         "q_lang_id", "q_fingerprint", "q_exact_dups", "q_jaccard_pairs",
         "q_minhash_sig", "q_simhash", "q_column_exists", "q_binary_meta",
@@ -1298,6 +1305,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_or_high_high", "q_boost_scorer", "q_token_stats", "q_quality",
         "q_cosine_pairs", "q_ivf_topk", "q_image_meta", "q_audio_meta",
         "q_video_frames",
+        # demoted when q_fuzzy_prefix entered the window (r5-final): the
+        # Not-merge kernel stays in-window via q_and_not, and Not-under-Or
+        # compositions are covered by the boolean-tree property suite
+        "q_or_not",
     ]
     ordered = {k: q[k] for k in first if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered and k not in tail})
@@ -1335,6 +1346,9 @@ LIMIT {TOPK}"""
     o["q_range"] = _bm25_sql("term > 'query' AND term <= 'spark'")
     o["q_wildcard"] = _bm25_sql("term LIKE 's_a%'")
     o["q_fuzzy"] = _bm25_sql("levenshtein(term, 'scam') <= 1")
+    o["q_fuzzy_prefix"] = _bm25_sql(
+        "term LIKE 's%' AND levenshtein(substr(term, 2), 'cam') <= 1"
+    )
     o["q_phrase"] = _phrase_sql(("fast", "scan"))
     o["q_phrase_sumidf"] = _phrase_sum_sql(("fast", "scan"))
     # Phrase nested under And: phrase leg (sum-of-member-idf stats) + term

@@ -520,29 +520,48 @@ def expand_multiterm(
         # (levenshtein_filter.cpp:48-55, 158-165), ties towards the LARGER
         # term (top_terms_collector.hpp:64-69); NOT first-max_terms in term
         # order.
+        pfx = getattr(node, "prefix", "") or ""
+        qlen_full = len(pfx) + len(q)  # similarity length incl. the prefix
         use_automaton = maxd <= 2 and os.environ.get("IRS_FUZZY_AUTOMATON", "1") != "0"
         vocab = (
-            reader.fuzzy_vocab_sorted(fname) if use_automaton
+            reader.fuzzy_vocab_sorted(fname) if (use_automaton or pfx)
             else reader.fuzzy_vocab(fname)
         )
         if vocab is not None:
             terms_a, df_a, _ttf_a, tlen_a, mask_a = vocab
+            if pfx:
+                # exact-prefix variant (levenshtein_filter.cpp:241-265): the
+                # sorted vocabulary gives the prefix run in two searchsorted
+                # probes; only the run's SUFFIXES (still sorted — shared
+                # prefix preserves order) enter the automaton/DP.
+                lo = int(np.searchsorted(terms_a, pfx, side="left"))
+                hi = int(np.searchsorted(terms_a, pfx + "\U0010ffff", side="right"))
+                terms_a, df_a = terms_a[lo:hi], df_a[lo:hi]
+                if terms_a.size == 0:
+                    return [], None
+                match_a = np.array([t[len(pfx):] for t in terms_a], dtype=object)
+            else:
+                match_a = terms_a
             if use_automaton:
                 from .lev_automaton import LevAutomaton
 
-                idx = LevAutomaton(q, maxd, transpose=transpose).intersect(terms_a)
+                idx = LevAutomaton(q, maxd, transpose=transpose).intersect(match_a)
+            elif pfx:
+                idx = np.arange(match_a.size)  # the prefix run IS the prefilter
             else:
                 sel = fuzzy_prefilter_np(tlen_a, mask_a, q, maxd)
                 idx = np.flatnonzero(sel)
             if idx.size == 0:
                 return [], None
             cand_terms = terms_a[idx]
-            d = _fuzzy_distances(list(cand_terms), q, maxd, transpose=transpose)
+            d = _fuzzy_distances(list(match_a[idx]), q, maxd, transpose=transpose)
             keep = d <= maxd
             if not keep.any():
                 return [], None
             kt, kd, kdf = cand_terms[keep], d[keep], df_a[idx][keep]
-            lens = np.minimum(np.fromiter((len(t) for t in kt), np.int64, len(kt)), len(q))
+            lens = np.minimum(
+                np.fromiter((len(t) for t in kt), np.int64, len(kt)), qlen_full
+            )
             fboost = 1.0 - kd / lens.astype(np.float64)
             # sort by (fboost desc, term desc): lexsort is stable, keys last-major
             order = np.lexsort((kt.astype("U"), fboost))[::-1][:max_terms]
@@ -553,7 +572,16 @@ def expand_multiterm(
         # bit_count set-arithmetic lower bounds — evaluates JVM-side over the
         # PERSISTED tlen/charmask columns (whole-stage codegen over ints); only
         # the survivor set reaches the exact-DP pandas UDF below.
-        cand = td.where(fuzzy_prefilter_pred(q, maxd))
+        if pfx:
+            # the exact-prefix clause replaces the tlen/charmask prefilter:
+            # startswith pushes down to the SORTED term_dict parquet (range
+            # stats prune row groups), and only the run's suffixes reach the
+            # exact-DP UDF
+            cand = td.where(F.col("term").startswith(pfx))
+            match_col = F.expr(f"substring(term, {len(pfx) + 1})")
+        else:
+            cand = td.where(fuzzy_prefilter_pred(q, maxd))
+            match_col = F.col("term")
 
         def dists(batch: pd.Series) -> pd.Series:
             d = _fuzzy_distances(batch.tolist(), q, maxd, transpose=transpose)
@@ -563,12 +591,13 @@ def expand_multiterm(
 
         dist_udf = pandas_udf(dists, "long")
         matched = (
-            cand.withColumn("dist", dist_udf(F.col("term")))
+            cand.withColumn("dist", dist_udf(match_col))
             .where(F.col("dist") <= maxd)
             .withColumn(
                 "fboost",
                 F.lit(1.0)
-                - F.col("dist") / F.least(F.length("term"), F.lit(len(q))).cast("double"),
+                - F.col("dist")
+                / F.least(F.length("term"), F.lit(len(pfx) + len(q))).cast("double"),
             )
             .orderBy(F.desc("fboost"), F.desc("term"))
             .limit(max_terms)

@@ -77,7 +77,15 @@ class Wildcard(Filter):
 class Fuzzy(Filter):
     """by_edit_distance (levenshtein_filter.cpp:139-310): terms within
     ``max_distance`` Levenshtein edits; candidate cap ``max_terms``;
-    ``with_transpositions`` enables the Damerau/OSA variant."""
+    ``with_transpositions`` enables the Damerau/OSA variant.
+
+    ``prefix`` (levenshtein_filter.cpp:241-265, automaton built over
+    (prefix, term)): candidates must START with the exact prefix and only
+    the remainder is matched within ``max_distance`` of ``term``; the
+    similarity length uses |prefix| + |term| (collect_terms,
+    levenshtein_filter.cpp:181-184). ``max_distance=0`` degenerates to an
+    exact match of prefix+term, like the reference's ``t()`` short-circuit
+    (levenshtein_filter.cpp:67-69)."""
 
     term: str
     max_distance: int = 1
@@ -85,6 +93,7 @@ class Fuzzy(Filter):
     with_transpositions: bool = False
     boost: float = 1.0
     field: str | None = None  # None = the index's default field
+    prefix: str = ""  # exact required prefix; edits apply after it
 
 
 @dataclass

@@ -647,3 +647,85 @@ def test_norms_cache_reused_and_result_identical(spark, batch_index):
     s.unpersist()
     assert s._norms_parts == {}
     s.unpersist()  # idempotent
+
+
+# --------------------------------------------------------------------------
+# Fuzzy exact-prefix option (by_edit_distance opts.prefix,
+# levenshtein_filter.cpp:241-265): candidates must start with the prefix,
+# edits apply to the remainder, similarity length = |prefix| + |term|
+# --------------------------------------------------------------------------
+
+
+def _fuzzy_prefix_brute(vocab, pfx, term, d, tr=False):
+    from iresearch_spark.search.executor import _fuzzy_distances
+
+    out = []
+    for t in vocab:
+        if not t.startswith(pfx):
+            continue
+        if _fuzzy_distances([t[len(pfx):]], term, d, transpose=tr)[0] <= d:
+            out.append(t)
+    return sorted(out)
+
+
+FUZZY_PFX_CASES = [
+    ("r", "ank", 1, False),    # exact suffix hit (rank)
+    ("s", "cab", 1, False),    # scan via 1 edit on the suffix; spark excluded
+    ("sc", "an", 0, False),    # d=0 degenerates to exact prefix+term (scan)
+    ("q", "uery", 2, True),    # transpositions on the suffix
+    ("zz", "an", 2, False),    # empty prefix run -> no candidates
+    ("", "scam", 1, False),    # empty prefix == plain fuzzy (regression)
+]
+
+
+@pytest.mark.parametrize("pfx,term,d,tr", FUZZY_PFX_CASES)
+def test_fuzzy_prefix_candidates_match_brute(spark, batch_index, pfx, term, d, tr):
+    from iresearch_spark import filters as flt
+    from iresearch_spark.search.executor import expand_multiterm
+
+    vocab = [r["term"] for r in batch_index.term_dict().select("term").distinct().collect()]
+    expect = _fuzzy_prefix_brute(vocab, pfx, term, d, tr)
+    got, tail = expand_multiterm(
+        flt.Fuzzy(term, max_distance=d, with_transpositions=tr, prefix=pfx),
+        batch_index,
+    )
+    assert tail is None
+    assert sorted(t for t, _ in got) == expect, (pfx, term, d, tr)
+
+
+def test_fuzzy_prefix_automaton_off_parity(spark, batch_index, monkeypatch):
+    import iresearch_spark.search.executor as ex
+    from iresearch_spark import filters as flt
+
+    f = flt.Fuzzy("cab", max_distance=1, prefix="s")
+    on, _ = ex.expand_multiterm(f, batch_index)
+    monkeypatch.setenv("IRS_FUZZY_AUTOMATON", "0")
+    off, _ = ex.expand_multiterm(f, batch_index)
+    assert on == off
+
+
+def test_fuzzy_prefix_distributed_path_parity(spark, batch_index):
+    """Over-cap readers take the startswith-pushdown + suffix-DP path; the
+    search results must equal the driver-cached path's."""
+    from iresearch_spark import IndexReader, Searcher, filters as flt
+
+    f = flt.Fuzzy("cab", max_distance=1, prefix="s")
+    fast = [tuple(r) for r in Searcher(batch_index).search(f, k=50).collect()]
+    r2 = IndexReader(spark, batch_index.index_path)
+    r2.FUZZY_VOCAB_MAX = 0
+    dist = [tuple(r) for r in Searcher(r2).search(f, k=50).collect()]
+    assert fast == dist and len(fast) > 0
+
+
+def test_fuzzy_prefix_similarity_length_includes_prefix(spark, batch_index):
+    """Selection boost = 1 - d/min(|candidate|, |prefix|+|term|): with
+    max_terms=1 the closer candidate must win under the prefixed length."""
+    from iresearch_spark import filters as flt
+    from iresearch_spark.search.executor import expand_multiterm
+
+    # candidates starting "s": scan (suffix d=1 vs "cab") and spark (d=4) —
+    # only scan survives maxd=1; boost = 1 - 1/min(4, 1+3) = 0.75 (not 1/3)
+    got, _ = expand_multiterm(
+        flt.Fuzzy("cab", max_distance=1, prefix="s", max_terms=1), batch_index
+    )
+    assert [t for t, _ in got] == ["scan"]
