@@ -109,16 +109,75 @@ def ngram_tokens(
     min_gram: int = 2,
     max_gram: int = 3,
     preserve_original: bool = False,
+    start_marker: str = "",
+    end_marker: str = "",
 ) -> pd.Series:
-    """ngram_token_stream.cpp: char n-grams of each input string."""
+    """ngram_token_stream.cpp: char n-grams of each input string.
+
+    ``start_marker``/``end_marker`` (Options.start_marker/end_marker,
+    ngram_token_stream.hpp:56-70): every gram anchored at the stream start
+    is emitted as ``start_marker + gram``, every gram touching the stream
+    end as ``gram + end_marker`` (start wins when a gram is both, and a
+    whole-cover gram is additionally re-emitted end-marked). The original
+    (``preserve_original``) follows the same chain: start-marked first,
+    then end-marked. The marked path replicates the reference's emission
+    ORDER exactly (position-outer, ascending length, original flushed
+    before leaving position 0 — next():494-567; sequences pinned against
+    tests/analysis/ngram_token_stream_test.cpp:1030-1163 fixtures). The
+    legacy no-marker path keeps this module's historical length-outer
+    order (same multiset; only position attributes would differ, which
+    this analyzer plane does not index)."""
 
     def _one(s: str) -> list[str]:
         out = []
         n = len(s)
-        for g in range(min_gram, max_gram + 1):
-            out.extend(s[i : i + g] for i in range(0, n - g + 1))
-        if preserve_original and (n < min_gram or n > max_gram):
-            out.append(s)
+        if not start_marker and not end_marker:
+            for g in range(min_gram, max_gram + 1):
+                out.extend(s[i : i + g] for i in range(0, n - g + 1))
+            if preserve_original and (n < min_gram or n > max_gram):
+                out.append(s)
+            return out
+        # marked path — reference-exact order
+        emit = None  # pending original: "start" | "end" | "plain" | None
+        if preserve_original:
+            emit = "start" if start_marker else ("end" if end_marker else "plain")
+
+        def flush(state):
+            while state is not None:
+                if state == "start":
+                    out.append(start_marker + s)
+                    state = "end" if end_marker else None
+                elif state == "end":
+                    out.append(s + end_marker)
+                    state = None
+                else:  # plain
+                    out.append(s)
+                    state = None
+
+        pos = 0
+        while pos < n:
+            for length in range(min_gram, min(max_gram, n - pos) + 1):
+                gram = s[pos : pos + length]
+                covers = pos == 0 and length == n
+                if emit is not None and covers:
+                    # the gram IS the original: route through the chain
+                    flush(emit)
+                    emit = None
+                    continue
+                at_start = pos == 0 and bool(start_marker)
+                at_end = pos + length == n and bool(end_marker)
+                if at_start:  # start wins (next():505-523)
+                    out.append(start_marker + gram)
+                    if covers and end_marker:
+                        out.append(gram + end_marker)
+                elif at_end:
+                    out.append(gram + end_marker)
+                else:
+                    out.append(gram)
+            if emit is not None:  # cannot leave pos 0 with the original pending
+                flush(emit)
+                emit = None
+            pos += 1
         return out
 
     return texts.fillna("").map(_one)
@@ -639,8 +698,21 @@ def get_tokenizer(name: str) -> Tokenizer:
         if kind == "delimiter":
             return lambda s, d=arg: delimiter_tokenize(s, d)
         if kind == "ngram":
-            lo, hi = (int(x) for x in arg.split(","))
-            return lambda s, a=lo, b=hi: ngram_tokens(s, a, b)
+            # ngram:<min>,<max>[,p][,start=<m>][,end=<m>] — p preserves the
+            # original; start/end are the reference's Options markers
+            parts = arg.split(",")
+            lo, hi = int(parts[0]), int(parts[1])
+            po, sm, em = False, "", ""
+            for p in parts[2:]:
+                if p == "p":
+                    po = True
+                elif p.startswith("start="):
+                    sm = p[6:]
+                elif p.startswith("end="):
+                    em = p[4:]
+                else:
+                    raise ValueError(f"bad ngram option {p!r}")
+            return lambda s, a=lo, b=hi, c=po, d=sm, e=em: ngram_tokens(s, a, b, c, d, e)
         if kind == "simple+stop":
             words = tuple(arg.split(","))
             return pipeline(simple_tokenize, lambda t, w=words: stopword_filter(t, w))

@@ -729,3 +729,58 @@ def test_fuzzy_prefix_similarity_length_includes_prefix(spark, batch_index):
         flt.Fuzzy("cab", max_distance=1, prefix="s", max_terms=1), batch_index
     )
     assert [t for t, _ in got] == ["scan"]
+
+
+# --------------------------------------------------------------------------
+# ngram start/end markers (Options.start_marker/end_marker): sequences
+# pinned against the reference's own fixtures
+# (tests/analysis/ngram_token_stream_test.cpp:1030-1163, input "quick",
+# start marker "$", end marker "^")
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "mn,mx,po,expected",
+    [
+        (1, 1, False, ["$q", "u", "i", "c", "k^"]),
+        (1, 1, True, ["$q", "$quick", "quick^", "u", "i", "c", "k^"]),
+        (
+            1, 3, False,
+            ["$q", "$qu", "$qui", "u", "ui", "uic",
+             "i", "ic", "ick^", "c", "ck^", "k^"],
+        ),
+    ],
+)
+def test_ngram_marker_reference_fixtures(mn, mx, po, expected):
+    from iresearch_spark.analysis.tokenizers import ngram_tokens
+
+    got = ngram_tokens(pd.Series(["quick"]), mn, mx, po, "$", "^").tolist()[0]
+    assert got == expected
+
+
+def test_ngram_marker_whole_cover_and_short_inputs():
+    from iresearch_spark.analysis.tokenizers import ngram_tokens
+
+    # whole-cover gram: start-marked then re-emitted end-marked
+    assert ngram_tokens(pd.Series(["abc"]), 2, 3, False, "^", "$").tolist()[0] == [
+        "^ab", "^abc", "abc$", "bc$"
+    ]
+    # input shorter than min_gram: only the preserved original chain
+    assert ngram_tokens(pd.Series(["a"]), 2, 3, True, "^", "$").tolist()[0] == [
+        "^a", "a$"
+    ]
+    # end marker only
+    assert ngram_tokens(pd.Series(["abc"]), 2, 2, True, "", "$").tolist()[0] == [
+        "ab", "abc$", "bc$"
+    ]
+    # empty input emits nothing (reference: next() false immediately)
+    assert ngram_tokens(pd.Series([""]), 1, 2, True, "^", "$").tolist()[0] == []
+
+
+def test_ngram_marker_spec_parsing():
+    from iresearch_spark.analysis.tokenizers import get_tokenizer
+
+    tk = get_tokenizer("ngram:1,1,start=$,end=^")
+    assert tk(pd.Series(["quick"])).tolist()[0] == ["$q", "u", "i", "c", "k^"]
+    legacy = get_tokenizer("ngram:2,3")
+    assert legacy(pd.Series(["abcd"])).tolist()[0] == ["ab", "bc", "cd", "abc", "bcd"]
