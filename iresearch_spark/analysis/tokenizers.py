@@ -84,16 +84,45 @@ def simple_tokenize(texts: pd.Series) -> pd.Series:
     return texts.fillna("").str.lower().str.findall(_SIMPLE_RE)
 
 
-def segmentation_tokenize(texts: pd.Series, case: str = "lower") -> pd.Series:
+# full segmentation incl. non-word segments, for word_break all/graphic:
+# the word classes of _UNI_TOKEN_RE, plus ONE SEGMENT PER punctuation/
+# symbol/whitespace character — UAX29's "otherwise break everywhere"
+# (WB999) makes every Other-class char its own segment, confirmed by the
+# reference fixtures (")" and "-" separate,
+# segmentation_stream_tests.cpp:141-205); every char lands in exactly one
+# segment
+_UNI_SEG_ALL_RE = re.compile(
+    _UNI_TOKEN_RE.pattern + r"|[^\w\s]|\s", re.UNICODE
+)
+_HAS_SPACE_ONLY_RE = re.compile(r"^\s+$")
+
+
+def segmentation_tokenize(
+    texts: pd.Series, case: str = "lower", word_break: str = "alpha"
+) -> pd.Series:
     """Unicode word segmentation (approximation of ICU UBRK_WORD;
     segmentation_token_stream.cpp): \\w runs per word, Han ideographs one
-    token per character, kana/hangul runs whole — see ``_UNI_TOKEN_RE``."""
+    token per character, kana/hangul runs whole — see ``_UNI_TOKEN_RE``.
+
+    ``word_break`` mirrors options_t::word_break_t
+    (segmentation_token_stream.cpp:280-293 accept_token): ``alpha``
+    (default) keeps segments containing an alphanumeric — the word runs;
+    ``graphic`` also keeps punctuation/symbol runs (segments with any
+    non-whitespace char); ``all`` keeps every segment including whitespace
+    runs."""
     s = texts.fillna("")
     if case == "lower":
         s = s.str.casefold()
     elif case == "upper":
         s = s.str.upper()
-    return s.str.findall(_UNI_TOKEN_RE)
+    if word_break == "alpha":
+        return s.str.findall(_UNI_TOKEN_RE)
+    if word_break not in ("all", "graphic"):
+        raise ValueError(f"unknown word_break {word_break!r}")
+    segs = s.str.findall(_UNI_SEG_ALL_RE)
+    if word_break == "all":
+        return segs
+    return segs.map(lambda toks: [t for t in toks if not _HAS_SPACE_ONLY_RE.match(t)])
 
 
 def delimiter_tokenize(texts: pd.Series, delimiter: str = ",") -> pd.Series:
@@ -697,6 +726,14 @@ def get_tokenizer(name: str) -> Tokenizer:
         kind, _, arg = name.partition(":")
         if kind == "delimiter":
             return lambda s, d=arg: delimiter_tokenize(s, d)
+        if kind == "segmentation":
+            # segmentation:<case>[,<word_break>] — case lower|none|upper,
+            # word_break alpha|graphic|all (options_t, the reference's
+            # case_convert/word_break JSON params)
+            parts = arg.split(",")
+            cs = parts[0] or "lower"
+            wb = parts[1] if len(parts) > 1 and parts[1] else "alpha"
+            return lambda s, a=cs, b=wb: segmentation_tokenize(s, a, b)
         if kind == "ngram":
             # ngram:<min>,<max>[,p][,start=<m>][,end=<m>] — p preserves the
             # original; start/end are the reference's Options markers

@@ -784,3 +784,55 @@ def test_ngram_marker_spec_parsing():
     assert tk(pd.Series(["quick"])).tolist()[0] == ["$q", "u", "i", "c", "k^"]
     legacy = get_tokenizer("ngram:2,3")
     assert legacy(pd.Series(["abcd"])).tolist()[0] == ["ab", "bc", "cd", "abc", "bcd"]
+
+
+# --------------------------------------------------------------------------
+# segmentation word_break modes (options_t::word_break_t, accept_token at
+# segmentation_token_stream.cpp:280-293; fixtures
+# segmentation_stream_tests.cpp:141-205)
+# --------------------------------------------------------------------------
+
+
+def test_segmentation_word_break_modes():
+    from iresearch_spark.analysis.tokenizers import segmentation_tokenize
+
+    # divergence-free input (no mid-word ':' / '.' where UAX29 and \w differ)
+    data = "ab (1878) - cd"
+    assert segmentation_tokenize(pd.Series([data])).tolist()[0] == ["ab", "1878", "cd"]
+    assert segmentation_tokenize(pd.Series([data]), word_break="graphic").tolist()[0] == [
+        "ab", "(", "1878", ")", "-", "cd"
+    ]
+    # ALL: every UAX29 segment incl. each whitespace char (WB999 per-char)
+    assert segmentation_tokenize(pd.Series([data]), word_break="all").tolist()[0] == [
+        "ab", " ", "(", "1878", ")", " ", "-", " ", "cd"
+    ]
+
+
+def test_segmentation_word_break_reference_fixture_modulo_divergence():
+    """The reference's graphic fixture (segmentation_stream_tests.cpp:141),
+    adjusted ONLY for the two documented \\w-vs-UAX29 divergences
+    ('file:constantinople' and 'house.png' split at ':' / '.')."""
+    from iresearch_spark.analysis.tokenizers import segmentation_tokenize
+
+    data = (
+        "File:Constantinople(1878)-Turkish Goverment information brocure "
+        "(1950s) - Istanbul coffee house.png"
+    )
+    got = segmentation_tokenize(pd.Series([data]), case="upper", word_break="graphic").tolist()[0]
+    expected = [
+        "FILE", ":", "CONSTANTINOPLE",  # reference: one word (UAX29 MidLetter ':')
+        "(", "1878", ")", "-", "TURKISH", "GOVERMENT", "INFORMATION",
+        "BROCURE", "(", "1950S", ")", "-", "ISTANBUL", "COFFEE",
+        "HOUSE", ".", "PNG",  # reference: one word (UAX29 MidNumLet '.')
+    ]
+    assert got == expected
+
+
+def test_segmentation_word_break_spec():
+    from iresearch_spark.analysis.tokenizers import get_tokenizer
+
+    tk = get_tokenizer("segmentation:lower,graphic")
+    assert tk(pd.Series(["a - b"])).tolist()[0] == ["a", "-", "b"]
+    assert get_tokenizer("segmentation:upper,all")(pd.Series(["a b"])).tolist()[0] == [
+        "A", " ", "B"
+    ]
