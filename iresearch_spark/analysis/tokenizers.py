@@ -212,13 +212,30 @@ def ngram_tokens(
     return texts.fillna("").map(_one)
 
 
-def norm_tokenize(texts: pd.Series, case: str = "lower", form: str = "NFC") -> pd.Series:
-    """text_token_normalizing_stream.cpp: normalize + case, single token out."""
+def norm_tokenize(
+    texts: pd.Series, case: str = "lower", form: str = "NFC", accent: bool = True
+) -> pd.Series:
+    """text_token_normalizing_stream.cpp: normalize + case (+ optional
+    accent removal), single token out. ``accent=False`` mirrors the
+    reference's ``"accent": false`` option (options_t.accent; the ICU
+    transliterator rule NFD → remove nonspacing marks → NFC applied after
+    case conversion, text_token_normalizing_stream.cpp:367-414)."""
     s = texts.fillna("").map(lambda t: unicodedata.normalize(form, t))
     if case == "lower":
         s = s.str.lower()
     elif case == "upper":
         s = s.str.upper()
+    if not accent:
+        s = s.map(
+            lambda t: unicodedata.normalize(
+                "NFC",
+                "".join(
+                    c
+                    for c in unicodedata.normalize("NFD", t)
+                    if unicodedata.category(c) != "Mn"
+                ),
+            )
+        )
     return s.map(lambda t: [t])
 
 
@@ -656,6 +673,7 @@ def stem_tokenize(texts: pd.Series) -> pd.Series:
 _REGISTRY: dict[str, Tokenizer] = {
     "simple": simple_tokenize,
     "payload": payload_tokenizer(),
+    "norm": norm_tokenize,
     "segmentation": segmentation_tokenize,
     "text": text_tokenize,
     "text_en": text_en_tokenize,
@@ -726,6 +744,22 @@ def get_tokenizer(name: str) -> Tokenizer:
         kind, _, arg = name.partition(":")
         if kind == "delimiter":
             return lambda s, d=arg: delimiter_tokenize(s, d)
+        if kind == "norm":
+            # norm:<case>[,<form>][,no-accent] — case lower|none|upper, form
+            # NFC|NFD|NFKC|NFKD; no-accent maps the reference's accent=false
+            parts = [p for p in arg.split(",") if p]
+            cs = parts[0] if parts else "lower"
+            fm, acc = "NFC", True
+            for p in parts[1:]:
+                if p in ("NFC", "NFD", "NFKC", "NFKD"):
+                    fm = p
+                elif p == "no-accent":
+                    acc = False
+                elif p == "accent":
+                    acc = True
+                else:
+                    raise ValueError(f"bad norm option {p!r}")
+            return lambda s, a=cs, b=fm, c=acc: norm_tokenize(s, a, b, c)
         if kind == "segmentation":
             # segmentation:<case>[,<word_break>] — case lower|none|upper,
             # word_break alpha|graphic|all (options_t, the reference's

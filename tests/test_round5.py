@@ -836,3 +836,17 @@ def test_segmentation_word_break_spec():
     assert get_tokenizer("segmentation:upper,all")(pd.Series(["a b"])).tolist()[0] == [
         "A", " ", "B"
     ]
+
+
+def test_norm_analyzer_registered_with_accent_option():
+    """normalizing_token_stream options (case/accent,
+    text_token_normalizing_stream.cpp:161-198, 367-414): registry name +
+    norm:<case>[,<form>][,no-accent] spec; accent=false removes nonspacing
+    marks via NFD-strip-NFC like the reference's ICU transliterator rule."""
+    from iresearch_spark.analysis.tokenizers import get_tokenizer, norm_tokenize
+
+    assert get_tokenizer("norm")(pd.Series(["Café"])).tolist()[0] == ["café"]
+    assert norm_tokenize(pd.Series(["Café"]), accent=False).tolist()[0] == ["cafe"]
+    tk = get_tokenizer("norm:upper,no-accent")
+    assert tk(pd.Series(["Café Über"])).tolist()[0] == ["CAFE UBER"]
+    assert get_tokenizer("norm:none")(pd.Series(["MiXeD"])).tolist()[0] == ["MiXeD"]
