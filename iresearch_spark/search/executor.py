@@ -2413,6 +2413,11 @@ class Searcher:
         else:
             min_c = node.min_children if node.match == "min" else 1
             matched = grouped.where(F.col("n_children") >= min_c)
+            # Match.Max upper bound (nested_filter.hpp:35-52: a Match is a
+            # [Min, Max] RANGE; kMatchAny = {1, eof} i.e. no cap)
+            max_c = getattr(node, "max_children", None)
+            if max_c is not None:
+                matched = matched.where(F.col("n_children") <= int(max_c))
             out = parents.join(matched, "doc_key").select(
                 "doc_key", "segment_id", "doc_id",
                 (F.col("child_score") * F.lit(float(node.boost))).alias("score"),

@@ -214,6 +214,9 @@ class Nested(Filter):
     parent_key_col: str = "parent_key"
     match: str = "any"  # any | min | none
     min_children: int = 1
+    # Match.Max (nested_filter.hpp:35-52 — a Match is a [Min, Max] range;
+    # None = doc_limits::eof(), i.e. uncapped like kMatchAny)
+    max_children: int | None = None
     merge: str = "sum"  # sum | max | min | avg
     boost: float = 1.0
 

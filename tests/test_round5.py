@@ -850,3 +850,36 @@ def test_norm_analyzer_registered_with_accent_option():
     tk = get_tokenizer("norm:upper,no-accent")
     assert tk(pd.Series(["Café Über"])).tolist()[0] == ["CAFE UBER"]
     assert get_tokenizer("norm:none")(pd.Series(["MiXeD"])).tolist()[0] == ["MiXeD"]
+
+
+def test_nested_match_max_children(spark, tmp_path_factory):
+    """Match.Max upper bound (nested_filter.hpp:35-52: Match is a [Min, Max]
+    range; kMatchAny has no cap): parents with matching-children counts
+    outside [min, max] are excluded."""
+    from iresearch_spark import IndexBuilder, IndexReader, Searcher, filters as flt
+
+    path = str(tmp_path_factory.mktemp("nestmax"))
+    rows = []
+    # parent Pg has g+1 matching children (g = 0..3)
+    for g in range(4):
+        for c in range(g + 1):
+            rows.append((f"c{g}{c}", "scan merge", f"P{g}"))
+        rows.append((f"cpad{g}", "sort pad", f"P{g}"))
+        rows.append((f"P{g}", "", None))
+    df = spark.createDataFrame(rows, "doc_key string, text string, parent_key string")
+    IndexBuilder(spark, path, num_segments=2).build(
+        df, key_col="doc_key", text_col="text", stored_cols=("parent_key",)
+    )
+    s = Searcher(IndexReader(spark, path))
+
+    def hit(match, mn=1, mx=None):
+        res = s.search(
+            flt.Nested(flt.Term("scan"), match=match, min_children=mn, max_children=mx),
+            k=10,
+        )
+        return {r["doc_key"] for r in res.collect()}
+
+    assert hit("any") == {"P0", "P1", "P2", "P3"}
+    assert hit("min", mn=2) == {"P1", "P2", "P3"}
+    assert hit("min", mn=2, mx=3) == {"P1", "P2"}  # the [2, 3] range
+    assert hit("any", mx=1) == {"P0"}              # kMatchAny with a cap = [1, 1]
