@@ -205,6 +205,32 @@ class TFIDFModel(ScoreModel):
         )
 
 
+class TFIDFNormModel(TFIDFModel):
+    """tfidf with ``normalize=true`` (tfidf_sort WITH_NORMS,
+    tfidf.hpp:36-45): the norm-free tfidf score additionally multiplied by
+    ``1/sqrt(|doc|)`` (NormAdapter kRSQRT over the stored length,
+    tfidf.cpp:286-310, 344). Docs without a length (dl<=0) score with
+    factor 1, mirroring the reference's fall-back to the norm-free scorer
+    when no norm attribute exists."""
+
+    needs_norms = True
+
+    def score(self, tf, dl, const, avgdl, boost, dtype):
+        dt = np.dtype(dtype).type
+        base = super().score(tf, dl, const, avgdl, boost, dtype)
+        dla = np.asarray(dl).astype(dtype)
+        factor = np.where(dla > 0, 1.0 / np.sqrt(np.maximum(dla, 1e-30)), dt(1))
+        return (base * factor).astype(dtype)
+
+    def ub(self, max_tf, const, dl_min, avgdl, boost, dtype):
+        f = 1.0 / np.sqrt(dl_min) if dl_min and dl_min > 0 else 1.0
+        return float(boost * np.sqrt(float(max_tf)) * const * f)
+
+    def ub_batch(self, max_tfs, consts, boosts, dl_min, avgdl, dtype):
+        f = 1.0 / np.sqrt(dl_min) if dl_min and dl_min > 0 else 1.0
+        return super().ub_batch(max_tfs, consts, boosts, dl_min, avgdl, dtype) * f
+
+
 class BoostModel(ScoreModel):
     """Constant score = boost (boost_sort.cpp)."""
 
@@ -228,6 +254,10 @@ def get_model(name: str, k1: float = K_DEFAULT, b: float = B_DEFAULT) -> ScoreMo
         return BM25LegacyNormModel(k1, b)
     if name == "tfidf":
         return TFIDFModel()
+    if name == "tfidf_norm":
+        return TFIDFNormModel()
     if name == "boost":
         return BoostModel()
-    raise KeyError(f"unknown scorer {name!r}; known: bm25, bm25_norm, tfidf, boost")
+    raise KeyError(
+        f"unknown scorer {name!r}; known: bm25, bm25_norm, tfidf, tfidf_norm, boost"
+    )

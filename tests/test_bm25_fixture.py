@@ -67,3 +67,22 @@ def test_range_6_incl_8_incl_legacy_norm(fixture_index, dtype):
     s = Searcher(fixture_index, scorer="bm25_norm")
     f = flt.Range(low="6", high="8")
     assert ranks(s, f, dtype) == [7, 0, 5, 3, 2, 1]
+
+
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+def test_tfidf_norm_range_6_excl_8_incl(fixture_index, dtype):
+    """tfidf with normalize=true (tfidf_sort{true}): range (6,8] rank
+    {7,0,3,1,5} (tfidf_test.cpp:86-175 test_query_norms by_range multiple) —
+    the norm-free tfidf score times 1/sqrt(|doc|)."""
+    s = Searcher(fixture_index, scorer="tfidf_norm")
+    f = flt.Range(low="6", high="8", include_low=False, include_high=True)
+    assert ranks(s, f, dtype) == [7, 0, 3, 1, 5]
+
+
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+def test_tfidf_norm_range_6_incl_8_incl(fixture_index, dtype):
+    """tfidf normalize=true, range [6,8] rank {0,7,5,2,3,1}
+    (tfidf_test.cpp:176-240 test_query_norms, second by_range block)."""
+    s = Searcher(fixture_index, scorer="tfidf_norm")
+    f = flt.Range(low="6", high="8")
+    assert ranks(s, f, dtype) == [0, 7, 5, 2, 3, 1]
