@@ -502,6 +502,20 @@ def expand_multiterm(
     if isinstance(node, flt.Fuzzy):
         q, maxd, max_terms = node.term, node.max_distance, node.max_terms
         transpose = getattr(node, "with_transpositions", False)
+        # The reference's default parametric-description provider only covers
+        # distances [0..4], and distance 4 only WITHOUT transpositions
+        # (levenshtein_default_pdp.hpp:24-28); an unsupported distance yields
+        # an invalid description and the filter matches nothing
+        # (levenshtein_filter.cpp:71-75, levenshtein_filter_test.cpp "default
+        # provider doesn't support" cases).
+        if maxd > (3 if transpose else 4):
+            return [], None
+        # max_terms == 0 means UNLIMITED, not zero: limited_sample_collector
+        # treats a 0 cap as "collect everything" (top_terms_collector use in
+        # multiterm_query; levenshtein_filter_test.cpp pairs every (d, 1024)
+        # case with an identical (d, 0) expectation).
+        if max_terms <= 0:
+            max_terms = 1 << 30
         from ..index.termfeat import fuzzy_prefilter_np, fuzzy_prefilter_pred
 
         # FAST PATH — driver-cached term dictionary (reader.fuzzy_vocab, the
@@ -521,7 +535,11 @@ def expand_multiterm(
         # term (top_terms_collector.hpp:64-69); NOT first-max_terms in term
         # order.
         pfx = getattr(node, "prefix", "") or ""
-        qlen_full = len(pfx) + len(q)  # similarity length incl. the prefix
+        # similarity length incl. the prefix, clamped to >= 1 exactly like
+        # the reference (levenshtein_filter.cpp collect_terms:
+        # max(1, utf8_length(prefix) + utf8_length(term))) — an empty target
+        # otherwise divides by zero in the boost
+        qlen_full = max(1, len(pfx) + len(q))
         use_automaton = maxd <= 2 and os.environ.get("IRS_FUZZY_AUTOMATON", "1") != "0"
         vocab = (
             reader.fuzzy_vocab_sorted(fname) if (use_automaton or pfx)
@@ -597,7 +615,9 @@ def expand_multiterm(
                 "fboost",
                 F.lit(1.0)
                 - F.col("dist")
-                / F.least(F.length("term"), F.lit(len(pfx) + len(q))).cast("double"),
+                / F.least(
+                    F.length("term"), F.lit(max(1, len(pfx) + len(q)))
+                ).cast("double"),
             )
             .orderBy(F.desc("fboost"), F.desc("term"))
             .limit(max_terms)
