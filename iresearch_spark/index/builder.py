@@ -561,7 +561,24 @@ class IndexBuilder:
                     if isinstance(tokenizer_spec, str)
                     else tokenizer_spec
                 )
-                tok_res = tokenizer(tbl.column(fcol).to_pandas()).tolist()
+                col_pd = tbl.column(fcol).to_pandas()
+                tok_res = tokenizer(col_pd).tolist()
+                # A NULL field value means the doc does not HAVE the field
+                # (json_doc_generator only adds fields present in the doc;
+                # field_data::invert is never called for it) — it must index
+                # NO terms. Single-token analyzers (norm/collation/delimiter)
+                # would otherwise emit an empty-string term for the fillna(""),
+                # making by_prefix("") / by_range() match docs without the
+                # field, diverging from prefix_filter_test.cpp's empty-prefix
+                # expectations.
+                null_mask = col_pd.isna().to_numpy()
+                if null_mask.any():
+                    empty_of = {2: ([], []), 3: ([], [], [])}
+                    for i in np.flatnonzero(null_mask):
+                        r = tok_res[i]
+                        tok_res[i] = (
+                            empty_of.get(len(r), []) if isinstance(r, tuple) else []
+                        )
                 if getattr(tokenizer, "emits_positions", False):
                     # analyzer emits (tokens, positions): positions are 1-based
                     # and may repeat (increment-0 tokens, e.g. synonyms at the
