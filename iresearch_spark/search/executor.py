@@ -56,6 +56,7 @@ bounds need one norm space).
 
 from __future__ import annotations
 
+import dataclasses as _dataclasses
 import functools as _functools
 import os
 from dataclasses import dataclass, field as _dc_field
@@ -753,6 +754,25 @@ def compile_plans(
         if isinstance(node, flt.Terms):
             if f not in known:
                 return {"op": "empty"}
+            # terms_filter.cpp:117-133: an empty term set or min_match above
+            # the set size is unreachable (prepared::empty); min_match == 0
+            # matches EVERY doc — the reference rewrites to
+            # Or(AllDocs(boost 0), by_terms(min_match=1)) so docs hitting a
+            # term still contribute the term score while every other doc
+            # scores 0 (terms_filter_test.cpp "match all" with an invalid
+            # term and min_match=0 expects all 32 docs).
+            if len(node.terms) == 0 or node.min_match > len(node.terms):
+                return {"op": "empty"}
+            if node.min_match == 0:
+                return build(
+                    flt.Or(
+                        parts=(
+                            flt.All(boost=0.0),
+                            _dataclasses.replace(node, min_match=1),
+                        ),
+                        min_match=1,
+                    )
+                )
             boosts = node.boosts or (1.0,) * len(node.terms)
             members = [
                 (scan.key(f, t), idf_of(f, t), float(b))

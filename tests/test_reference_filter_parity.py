@@ -395,3 +395,201 @@ WILDCARD_CASES = [
 def test_by_wildcard_reference_selection(utf8_kw_index, field, pattern, expected):
     f = flt.Wildcard(pattern, field=field)
     assert matched(utf8_kw_index, f) == expected
+
+
+# ---------------------------------------------------------------------------
+# terms_filter_test.cpp simple_sequential_utf8 (l:209-360): by_terms
+# selection, invalid-term tolerance, and the min_match edge semantics
+# (0 = every doc matches; > |terms| = unreachable).
+# ---------------------------------------------------------------------------
+
+TERMS_CASES = [
+    ("same1", ("xyz",), 1, []),  # invalid field
+    ("same", ("invalid_term",), 1, []),  # unknown term
+    ("duplicated", (), 1, []),  # empty term set is unreachable
+    ("same", ("xyz",), 1, ALL32),
+    # min_match == 0 matches EVERY doc, even when no term exists
+    ("same", ("invalid",), 0, ALL32),
+    ("same", ("xyz", "invalid_term"), 1, ALL32),  # unknown terms ignored
+    ("prefix", ("abcd", "abc", "abcy"), 1, [1, 21, 31, 32]),
+    # duplicate + non-existing entries don't change the selection
+    ("prefix", ("abcd", "abcd", "abc", "abcy"), 1, [1, 21, 31, 32]),
+    ("prefix", ("abcd", "invalid_term", "abc", "abcy"), 1, [1, 21, 31, 32]),
+    # min_match above the set size is unreachable
+    ("same", ("xyz",), 2, []),
+]
+
+
+@pytest.mark.parametrize("field,terms,min_match,expected", TERMS_CASES)
+def test_by_terms_reference_selection(utf8_kw_index, field, terms, min_match, expected):
+    f = flt.Terms(terms, min_match=min_match, field=field)
+    assert matched(utf8_kw_index, f) == expected
+
+
+# ---------------------------------------------------------------------------
+# ngram_similarity_filter_tests.cpp (l:599-1210) over ngram_similarity.json:
+# 16 docs whose "field" is a pre-tokenized ngram array (array order = token
+# positions); doc id = seq. Selection = longest in-order match chain L with
+# L/|ngrams| >= threshold; the reference's filter_boost = L/|ngrams| is this
+# engine's score (boost=1), pinned for the missed_last case.
+# ---------------------------------------------------------------------------
+
+NGRAM_CORPUS = {
+    1: "at tl la as ss si ia an",
+    2: "at tl la as",
+    3: "la as ss si",
+    4: "pa al la as",
+    5: "pa al la as sa at tl la as ss si ia an at tl la as",
+    6: "la ss as si",
+    7: "la al ll ss",
+    8: "at ss at tl la ss at tl la as",
+    9: "at ss at tl",
+    10: "at at ss at at tl",
+    11: "at la ll ll ll ll",
+    12: "at la ll ll ss ll",
+    13: "at la as tl as",
+    14: "at ll as at at",
+    15: "ll at at at at",
+    16: "ll as la tl at",
+}
+
+
+@pytest.fixture(scope="module")
+def ngram_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("refpar_ngram"))
+    rows = [(str(seq), text) for seq, text in NGRAM_CORPUS.items()]
+    df = spark.createDataFrame(rows, "doc_key string, text string")
+    IndexBuilder(spark, path, analyzer="simple", num_segments=1).build(
+        df, key_col="doc_key", text_col="text"
+    )
+    return IndexReader(spark, path)
+
+
+NGRAM_CASES = [
+    # no_match_case / no_serial_match_case
+    (("ee", "we", "qq", "rr", "ff", "never_match"), 0.1, []),
+    (("ee", "ss", "pa", "rr"), 0.5, []),
+    # one_match_case
+    (("ee", "ss", "qq", "rr", "ff", "never_match"), 0.1,
+     [1, 3, 5, 6, 7, 8, 9, 10, 12]),
+    # missed_last / missed_first
+    (("at", "tl", "la", "as", "ll", "never_match"), 0.5, [1, 2, 5, 8, 11, 12, 13]),
+    (("never_match", "at", "tl", "la", "as", "ll"), 0.5, [1, 2, 5, 8, 11, 12, 13]),
+    # not_miss_match_for_tail
+    (("at", "tl", "la", "as", "ll", "never_match"), 0.33, list(range(1, 15))),
+    # missed_middle / missed_middle2 / missed_middle3
+    (("at", "never_match", "la", "as", "ll"), 0.333,
+     [1, 2, 3, 4, 5, 6, 7, 8, 11, 12, 13, 14]),
+    (("at", "never_match", "never_match2", "la", "as", "ll"), 0.5,
+     [1, 2, 5, 8, 11, 12, 13]),
+    (("at", "never_match", "tl", "never_match2", "la", "as", "ll"), 0.28,
+     list(range(1, 15))),
+]
+
+
+@pytest.mark.parametrize("ngrams,threshold,expected", NGRAM_CASES)
+def test_by_ngram_similarity_reference_selection(
+    ngram_index, ngrams, threshold, expected
+):
+    f = flt.NgramSimilarity(ngrams, threshold=threshold)
+    assert matched(ngram_index, f) == expected
+
+
+def test_by_ngram_similarity_reference_filter_boost(ngram_index):
+    """missed_last_scored_test (ngram_similarity_filter_tests.cpp:901-975):
+    per-doc filter_boost = longest-chain / |ngrams| must be {4/6 x4, 0.5 x3}
+    over docs {1,2,5,8} and {11,12,13}."""
+    s = Searcher(ngram_index)
+    f = flt.NgramSimilarity(("at", "tl", "la", "as", "ll", "never_match"), threshold=0.5)
+    rows = {int(r["doc_key"]): r["score"] for r in s.search(f, k=100).collect()}
+    expected = {1: 4 / 6, 2: 4 / 6, 5: 4 / 6, 8: 4 / 6, 11: 0.5, 12: 0.5, 13: 0.5}
+    assert set(rows) == set(expected)
+    for d, b in expected.items():
+        assert rows[d] == pytest.approx(b, rel=1e-6), d
+
+
+# ---------------------------------------------------------------------------
+# column_existence_filter_test.cpp prefix-match section (l:487-705) over
+# simple_sequential_common_prefix.json: 33 docs, each a set of empty-string
+# marker columns; by_column_existence(prefix_match=True) selects docs where
+# ANY column named with the prefix exists. Expected docs transcribed from
+# the name-column asserts.
+# ---------------------------------------------------------------------------
+
+# (seq order; name -> columns present besides "name")
+COMMON_PREFIX_DOCS = [
+    ("A", ("foo", "foobar", "foobaz", "collection")),
+    ("B", ("koo", "koobar", "koobaz")),
+    ("C", ("foo", "foobar", "foobaz")),
+    ("D", ("foo", "foobaz")),
+    ("E", ()), ("F", ()), ("G", ()), ("H", ()), ("I", ()),
+    ("J", ("foo", "foobar", "foobaz", "collection")),
+    ("K", ("foo", "foobar", "foobaz")),
+    ("L", ("foo", "fookar", "foobaz", "collection")),
+    ("M", ("goo", "goobar", "goobaz")),
+    ("N", ("goo", "goobar", "goobaz", "collection")),
+    ("O", ("goo", "goobar", "goobaz")),
+    ("P", ("goo", "gooaar")),
+    ("Q", ("goo", "goobar")),
+    ("R", ("foo", "foobar", "column")),
+    ("S", ("zoo", "foobar")),
+    ("T", ("foobar",)),
+    ("U", ("koobar", "foobaz")),
+    ("V", ("koobar", "foobaz")),
+    ("W", ("zoobar", "zoobaz")),
+    ("X", ("koobar", "zoobaz")),
+    ("Y", ("ioobar", "zoobaz")),
+    ("Z", ("oobar", "koobaz")),
+    ("~", ("oobar", "roobaz")),
+    ("!", ("foobar", "foobaz")),
+    ("@", ("oo", "oobar", "oobaz")),
+    ("#", ("oo", "oobar", "oobaz")),
+    ("$", ("oo", "oobar", "oobaz")),
+    ("%", ("foo", "foobar", "foobaz")),
+]
+
+ALL_MARKER_COLS = sorted({c for _, cols in COMMON_PREFIX_DOCS for c in cols})
+
+
+@pytest.fixture(scope="module")
+def common_prefix_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("refpar_colex"))
+    rows = [
+        tuple([name] + ["" if c in cols else None for c in ALL_MARKER_COLS])
+        for name, cols in COMMON_PREFIX_DOCS
+    ]
+    schema = "doc_key string, " + ", ".join(
+        f"`{c}` string" for c in ALL_MARKER_COLS
+    )
+    df = spark.createDataFrame(rows, schema)
+    # doc_key doubles as the (single-token) indexed text; the filter plane
+    # under test is the STORED columns
+    IndexBuilder(spark, path, analyzer="norm:none", num_segments=1).build(
+        df, key_col="doc_key", text_col="doc_key",
+        stored_cols=tuple(ALL_MARKER_COLS),
+    )
+    return IndexReader(spark, path)
+
+
+COLEX_CASES = [
+    ("foo", True, ["A", "C", "D", "J", "K", "L", "R", "S", "T", "U", "V", "!", "%"]),
+    ("koob", True, ["B", "U", "V", "X", "Z"]),
+    ("oob", True, ["Z", "~", "@", "#", "$"]),
+    ("collection", True, ["A", "J", "L", "N"]),
+    ("invalid_prefix", True, []),
+    # exact-name existence (the non-prefix mode of the same test file)
+    ("collection", False, ["A", "J", "L", "N"]),
+    ("foo", False, ["A", "C", "D", "J", "K", "L", "R", "%"]),
+    ("foobar", False, ["A", "C", "J", "K", "R", "S", "T", "!", "%"]),
+    ("invalid_column", False, []),
+]
+
+
+@pytest.mark.parametrize("column,prefix_match,expected", COLEX_CASES)
+def test_by_column_existence_reference_selection(
+    common_prefix_index, column, prefix_match, expected
+):
+    s = Searcher(common_prefix_index)
+    f = flt.ColumnExists(column, prefix_match=prefix_match)
+    got = [r["doc_key"] for r in s.search(f, k=100).collect()]
+    assert sorted(got) == sorted(expected)
