@@ -854,7 +854,15 @@ def compile_plans(
                 "boost": node.boost,
                 "field": f,
             }
+        if isinstance(node, flt.Not):
+            # standalone negation (Not::prepare, boolean_filter.cpp:455-485):
+            # all docs minus the negated set, constant all-docs score
+            return build(flt.And(parts=(node,), boost=node.boost))
         if isinstance(node, flt.And):
+            if not node.parts:
+                # empty conjunction is unreachable (boolean_filter_tests.cpp
+                # and_sequential: CheckQuery(irs::And(), Docs{}))
+                return {"op": "empty"}
             incl, excl = [], []
             for p in node.parts:
                 if isinstance(p, flt.Not):
@@ -867,6 +875,17 @@ def compile_plans(
                 incl = [{"op": "all", "boost": 1.0}]
             return {"op": "and", "parts": incl, "exclude": excl, "merge": node.merge, "boost": node.boost}
         if isinstance(node, flt.Or):
+            # Or::prepare (boolean_filter.cpp:492-511): an EXPLICIT
+            # min_match_count of 0 means "all conditions are satisfied" —
+            # the whole disjunction collapses to all-docs at the Or's own
+            # boost, regardless of its parts (boolean_filter_tests.cpp
+            # "min match count == 0": even Or(name=V) matches all 32).
+            if node.min_match == 0:
+                return {"op": "all", "boost": node.boost}
+            # min_match above the part count is unreachable
+            # (MinMatchQuery::prepare, boolean_filter.cpp:270-272)
+            if node.min_match > len(node.parts):
+                return {"op": "empty"}
             # Not under Or: each Not(B) contributes an all-docs leg at boost 0
             # to the disjunction and B to the exclusion set — group_filters
             # semantics (boolean_filter.cpp:366-411: `excl.push_back` +

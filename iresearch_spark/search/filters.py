@@ -244,6 +244,16 @@ def normalize(f: Filter) -> Filter:
                 and getattr(p, "min_match", 1) == 1
                 and getattr(p, "merge", "sum") == "sum"
                 and f.merge == "sum"
+                # a nested Or holding a Not must NOT be flattened into an
+                # outer Or: its exclusion is scoped to the inner group
+                # (all-docs minus X as ONE leg), while a direct Not under
+                # the outer Or excludes from the WHOLE disjunction —
+                # boolean_filter_tests.cpp:15231-15261 wraps the Not in a
+                # single-branch Or for exactly this reason. (And-flattening
+                # is safe: intersection with all∖X == global exclusion.)
+                and not (
+                    isinstance(f, Or) and any(isinstance(q, Not) for q in p.parts)
+                )
             ):
                 flat.extend(p.parts)
             elif isinstance(p, Empty) and isinstance(f, Or):
@@ -252,7 +262,10 @@ def normalize(f: Filter) -> Filter:
                 flat.append(p)
         if isinstance(f, And) and any(isinstance(p, Empty) for p in flat):
             return Empty()
-        if len(flat) == 1 and getattr(f, "min_match", 1) <= 1 and not isinstance(flat[0], Not):
+        # min_match == 0 is NOT unwrapable: an explicit 0 collapses the Or
+        # to all-docs regardless of its single part (Or::prepare,
+        # boolean_filter.cpp:492-496)
+        if len(flat) == 1 and getattr(f, "min_match", 1) == 1 and not isinstance(flat[0], Not):
             only = flat[0]
             if f.boost != 1.0:
                 return _with_boost(only, only.boost * f.boost)

@@ -593,3 +593,166 @@ def test_by_column_existence_reference_selection(
     f = flt.ColumnExists(column, prefix_match=prefix_match)
     got = [r["doc_key"] for r in s.search(f, k=100).collect()]
     assert sorted(got) == sorted(expected)
+
+
+# ---------------------------------------------------------------------------
+# boolean_filter_tests.cpp or_sequential / and_sequential /
+# not_standalone_sequential (l:15195-15620) over simple_sequential.json:
+# group_filters semantics, explicit min_match 0 (= all docs, parts ignored),
+# min_match above the part count (= empty), empty() parts, all() parts
+# counting toward min_match, and standalone/conjunctive Not.
+# ---------------------------------------------------------------------------
+
+NOT_ABCD = [i for i in ALL32 if i not in (1, 5, 11, 21, 27, 31)]
+
+
+def _t(field, term):
+    return flt.Term(term, field=field)
+
+
+BOOL_CASES = [
+    (flt.Or(parts=()), []),  # empty Or
+    (flt.Or(parts=(_t("name", "V"),)), [22]),
+    (flt.Or(parts=(_t("name", "W"), _t("name", "C"))), [3, 23]),
+    (flt.Or(parts=(_t("name", "A"), _t("name", "Q"), _t("name", "Z"))), [1, 17, 26]),
+    # the reference wraps a Not inside a single-branch Or to SCOPE it: the
+    # inner group is all-docs minus the set (empty here), one leg of the
+    # outer disjunction — so A and Q still match
+    (flt.Or(parts=(_t("name", "A"), _t("name", "Q"),
+                   flt.Or(parts=(flt.Not(_t("same", "xyz")),)))),
+     [1, 17]),
+    # a DIRECT Not under Or, by contrast, excludes from the whole
+    # disjunction (group_filters, boolean_filter.cpp:366-411)
+    (flt.Or(parts=(_t("name", "A"), _t("name", "Q"), flt.Not(_t("same", "xyz")))),
+     []),
+    # unknown terms and unknown fields are ignored
+    (flt.Or(parts=(_t("name", "A"), _t("name", "Q"), _t("name", "Z"),
+                   _t("same", "invalid_term"), _t("invalid_field", "V"))),
+     [1, 17, 26]),
+    (flt.Or(parts=(_t("name", "A"), _t("name", "Q"), _t("name", "Z"),
+                   _t("same", "xyz"), _t("same", "invalid_term"))), ALL32),
+    # explicit min_match 0: all conditions satisfied -> every doc
+    (flt.Or(parts=(_t("name", "V"),), min_match=0), ALL32),
+    (flt.Or(parts=(), min_match=0), ALL32),
+    # min_match above the part count is unreachable
+    (flt.Or(parts=(_t("name", "A"), _t("name", "Q"), _t("name", "Z"),
+                   _t("same", "xyz"), _t("same", "invalid_term")),
+            min_match=6), []),
+    # empty() parts contribute nothing
+    (flt.Or(parts=(_t("name", "A"), flt.Empty())), [1]),
+    (flt.Or(parts=(flt.Not(_t("name", "A")), flt.Empty())), list(range(2, 33))),
+    (flt.Or(parts=(flt.Not(_t("name", "A")), _t("same", "NOT POSSIBLE"))),
+     list(range(2, 33))),
+    # all() parts count toward min_match: needs BOTH terms (3 alls + 2)
+    (flt.Or(parts=(_t("name", "A"), flt.All(), flt.All(), flt.All(),
+                   _t("duplicated", "abcd")), min_match=5), [1]),
+    # ... but 9 alls alone already satisfy min_match=3 -> every doc
+    (flt.Or(parts=(_t("name", "A"),) + tuple(flt.All() for _ in range(8))
+            + (_t("duplicated", "abcd"),), min_match=3), ALL32),
+    # And
+    (flt.And(parts=()), []),
+    (flt.And(parts=(_t("name", "V"),)), [22]),
+    (flt.And(parts=(_t("duplicated", "abcd"), _t("same", "xyz"))),
+     [1, 5, 11, 21, 27, 31]),
+    (flt.And(parts=(_t("duplicated", "abcd"), _t("same", "xyz"), _t("name", "A"))),
+     [1]),
+    (flt.And(parts=(_t("duplicated", "abcd"), _t("same", "xyz"), _t("name", "B"))),
+     []),
+    # standalone Not (not_standalone_sequential_ordered): all docs minus hits
+    (flt.Not(_t("duplicated", "abcd")), NOT_ABCD),
+    (flt.And(parts=(flt.Not(_t("duplicated", "abcd")),)), NOT_ABCD),
+]
+
+
+@pytest.mark.parametrize("f,expected", BOOL_CASES)
+def test_boolean_reference_selection(seq_kw_index, f, expected):
+    assert matched(seq_kw_index, f) == expected
+
+
+# ---------------------------------------------------------------------------
+# granular_range_filter_tests.cpp numeric sections: by_range_granularity_level
+# (granular_sequential.json, l:173-460) and the seq ranges / value ranges over
+# simple_sequential.json (by_range_sequential_cost l:1920-2046). The engine
+# surface replacing by_granular_range is NumericRange over a native numeric
+# stored column (granularity tries are a representation detail of opaque-byte
+# terms; parquet stats fill that role here) — the SELECTIONS must match.
+# ---------------------------------------------------------------------------
+
+GRANULAR_VALUES = [1, 100, 1000, 10000, 10000.123, 10000.456, 10005, 20007,
+                   -30000, -10004, -123, -456]
+
+
+@pytest.fixture(scope="module")
+def granular_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("refpar_gran"))
+    names = "ABCDEFGHIKLM"
+    rows = [
+        (str(i + 1), names[i], float(v)) for i, v in enumerate(GRANULAR_VALUES)
+    ]
+    df = spark.createDataFrame(rows, "doc_key string, name string, value double")
+    IndexBuilder(spark, path, analyzer="norm:none", num_segments=1).build(
+        df, key_col="doc_key", text_col="name", stored_cols=("value",)
+    )
+    return IndexReader(spark, path)
+
+
+GRANULAR_CASES = [
+    (0, 1000, True, True, [1, 2, 3]),
+    (-1000, 1000, True, True, [1, 2, 3, 11, 12]),
+    (-20000, 20000, True, True, [1, 2, 3, 4, 5, 6, 7, 10, 11, 12]),
+    (100, None, False, True, [3, 4, 5, 6, 7, 8]),
+    (100, None, True, True, [2, 3, 4, 5, 6, 7, 8]),
+    (20007, None, True, True, [8]),
+    (None, 10000.123, True, False, [1, 2, 3, 4, 9, 10, 11, 12]),
+    (None, 10000.123, True, True, [1, 2, 3, 4, 5, 9, 10, 11, 12]),
+    (None, None, True, True, list(range(1, 13))),  # all documents
+]
+
+
+@pytest.mark.parametrize("low,high,il,ih,expected", GRANULAR_CASES)
+def test_numeric_range_granular_selection(granular_index, low, high, il, ih, expected):
+    f = flt.NumericRange("value", low=low, high=high, include_low=il, include_high=ih)
+    assert matched(granular_index, f) == expected
+
+
+# simple_sequential value/seq columns (doc = seq+1; value only on seqs 0-16)
+SIMPLE_VALUES = {0: 100, 1: 101, 2: 123, 3: 12, 4: 100, 5: 1234, 6: 100,
+                 7: 123, 8: 100, 9: 100, 10: 12, 11: 95, 12: 90.564, 13: 1,
+                 14: 0, 15: 50, 16: -32.5}
+
+
+@pytest.fixture(scope="module")
+def seq_numeric_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("refpar_seqnum"))
+    rows = [
+        (str(seq + 1), name, float(SIMPLE_VALUES[seq]) if seq in SIMPLE_VALUES else None,
+         seq)
+        for seq, name, _, _, _ in SIMPLE_SEQ
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_key string, name string, value double, seq long"
+    )
+    IndexBuilder(spark, path, analyzer="norm:none", num_segments=1).build(
+        df, key_col="doc_key", text_col="name", stored_cols=("value", "seq")
+    )
+    return IndexReader(spark, path)
+
+
+SEQNUM_CASES = [
+    # value = (..;..): every doc HAVING the column (granular l:1920-1960)
+    ("value", None, None, False, False, list(range(1, 18))),
+    # value = (..;100)
+    ("value", None, 100, False, False, [4, 11, 12, 13, 14, 15, 16, 17]),
+    # long - seq = [7..7] / [1..7] / [31..32]
+    ("seq", 7, 7, True, True, [8]),
+    ("seq", 1, 7, True, True, [2, 3, 4, 5, 6, 7, 8]),
+    ("seq", 31, 32, True, True, [32]),
+]
+
+
+@pytest.mark.parametrize("col,low,high,il,ih,expected", SEQNUM_CASES)
+def test_numeric_range_simple_selection(
+    seq_numeric_index, col, low, high, il, ih, expected
+):
+    f = flt.NumericRange(col, low=low, high=high, include_low=il, include_high=ih)
+    assert matched(seq_numeric_index, f) == expected
