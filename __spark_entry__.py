@@ -789,6 +789,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_terms_minmatch"] = lambda s, d: _run_search(
         s, d, flt.Terms(("scan", "sort", "batch"), min_match=2)
     )
+    # explicit min_match = 0 semantics (round-5 parity fixes): an Or with
+    # min_match 0 collapses to all-docs at the Or's boost
+    # (boolean_filter.cpp:492-496); by_terms with min_match 0 matches every
+    # doc, term hits scoring and the rest 0 (terms_filter.cpp:123-133).
+    # k spans the whole corpus so the selection is ALL docs, not a tie-broken
+    # top-10 among equal scores.
+    q["q_or_minmatch0"] = lambda s, d: _run_search(
+        s, d, flt.Or((flt.Term("scan"),), min_match=0), k=1_000_000
+    )
+    q["q_terms_minmatch0"] = lambda s, d: _run_search(
+        s, d, flt.Terms(("no_such_term_anywhere",), min_match=0), k=1_000_000
+    )
 
     def boost_search(s, d):
         reader = _index(s, d)
@@ -1282,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # goes driver-unchecked.
     first = [
         # (1) new in r5
+        "q_or_minmatch0", "q_terms_minmatch0",
         "q_text_edge_ngram", "q_fuzzy_dist", "q_fuzzy_prefix",
         "q_collation_sv", "q_collation_da",
         # (2) green in r03, rotated out of r04's 50-entry window
@@ -1424,6 +1437,16 @@ LIMIT {TOPK}"""
     o["q_tfidf_or"] = _tfidf_sql("term IN ('sort','merge')")
     o["q_range_incl"] = _bm25_sql("term >= 'merge' AND term <= 'query'")
     o["q_terms_minmatch"] = _bm25_sql("term IN ('scan','sort','batch')", min_match=2)
+    # min_match = 0: every doc matches — constant 1.0 for the Or collapse,
+    # 0.0 for by_terms whose only term hits nothing
+    o["q_or_minmatch0"] = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(1.0 AS DOUBLE) AS score "
+        "FROM documents"
+    )
+    o["q_terms_minmatch0"] = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(0.0 AS DOUBLE) AS score "
+        "FROM documents"
+    )
     o["q_boost_scorer"] = f"""{_TOKS_CTE}
 SELECT doc_id, CAST(2.0 AS DOUBLE) AS score
 FROM t WHERE list_contains(toks, 'scan')
