@@ -2471,10 +2471,29 @@ class Searcher:
             topk = out.orderBy("segment_id", "doc_id").limit(k)
         else:
             min_c = node.min_children if node.match == "min" else 1
+            max_c = getattr(node, "max_children", None)
+            if min_c <= 0:
+                # Match{0, ...}: EVERY parent satisfies the lower bound, even
+                # with zero matching children (nested_filter_test.cpp "Match
+                # all parents" expects {6, 8, 13, 20} for Match{0}); parents
+                # without matches fold to score 0
+                out = parents.join(grouped, "doc_key", "left")
+                if max_c is not None:
+                    out = out.where(
+                        F.coalesce(F.col("n_children"), F.lit(0)) <= int(max_c)
+                    )
+                out = out.select(
+                    "doc_key", "segment_id", "doc_id",
+                    (
+                        F.coalesce(F.col("child_score"), F.lit(0.0))
+                        * F.lit(float(node.boost))
+                    ).alias("score"),
+                )
+                topk = out.orderBy(F.desc("score"), "segment_id", "doc_id").limit(k)
+                return topk if with_keys else topk.drop("doc_key")
             matched = grouped.where(F.col("n_children") >= min_c)
             # Match.Max upper bound (nested_filter.hpp:35-52: a Match is a
             # [Min, Max] RANGE; kMatchAny = {1, eof} i.e. no cap)
-            max_c = getattr(node, "max_children", None)
             if max_c is not None:
                 matched = matched.where(F.col("n_children") <= int(max_c))
             out = parents.join(matched, "doc_key").select(

@@ -756,3 +756,79 @@ def test_numeric_range_simple_selection(
 ):
     f = flt.NumericRange(col, low=low, high=high, include_low=il, include_high=ih)
     assert matched(seq_numeric_index, f) == expected
+
+
+# ---------------------------------------------------------------------------
+# nested_filter_test.cpp (l:228-760): ChildToParentJoin over the orders/items
+# dataset. The reference encodes nesting positionally (children precede their
+# parent; a doc without the parent-marker field — order 15, no customer —
+# folds into the NEXT parent's children); this engine's declarative encoding
+# carries the parent's key on each child row, materialized here with the
+# same adjacency. Prices/counts are zero-padded keyword terms so the
+# child-side range behaves numerically.
+# ---------------------------------------------------------------------------
+
+# (doc, item, price, count, parent_key, customer, date)
+NESTED_DOCS = [
+    (1, "Keyboard", 100, 1, "6"), (2, "Mouse", 50, 2, "6"),
+    (3, "Display", 1000, 2, "6"), (4, "CPU", 5000, 1, "6"),
+    (5, "RAM", 5000, 1, "6"),
+    (6, None, None, None, None),  # parent: ArangoDB, May
+    (7, "CPU", 1000, 3, "8"),
+    (8, None, None, None, None),  # parent: Quest, June
+    (9, "Mouse", 10, 2, "13"), (10, "Display", 1000, 2, "13"),
+    (11, "CPU", 1000, 2, "13"), (12, "RAM", 5000, 2, "13"),
+    (13, None, None, None, None),  # parent: Dell, April
+    (14, "Mouse", 10, 2, "20"),
+    (15, None, None, None, "20"),  # customerless order doc -> next parent
+    (16, "Stand", 10, 2, "20"), (17, "Display", 1000, 2, "20"),
+    (18, "CPU", 1000, 2, "20"), (19, "RAM", 5000, 2, "20"),
+    (20, None, None, None, None),  # parent: BAE, March
+]
+
+
+@pytest.fixture(scope="module")
+def nested_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("refpar_nested"))
+    rows = [
+        (str(d), item, None if price is None else f"{price:05d}",
+         None if count is None else str(count), pk)
+        for d, item, price, count, pk in NESTED_DOCS
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_key string, item string, price string, count string, "
+        "parent_key string",
+    )
+    IndexBuilder(spark, path, analyzer="simple", num_segments=1).build(
+        df, key_col="doc_key",
+        fields=(("item", "item", "norm:none"), ("price", "price", "norm:none"),
+                ("count", "count", "norm:none")),
+        stored_cols=("parent_key",),
+    )
+    return IndexReader(spark, path)
+
+
+NESTED_CASES = [
+    (flt.Nested(child=flt.Term("Keyboard", field="item")), [6]),
+    (flt.Nested(child=flt.Term("Mouse", field="item")), [6, 13, 20]),
+    # item == Mouse && price <= 11 (MakeByTermAndRange upper bound)
+    (flt.Nested(child=flt.And((
+        flt.Term("Mouse", field="item"),
+        flt.Range(high="00011", include_high=True, field="price"),
+    ))), [13, 20]),
+    (flt.Nested(child=flt.Term("2", field="count")), [6, 13, 20]),
+    # Match{3}: at least 3 matching children
+    (flt.Nested(child=flt.Term("2", field="count"), match="min", min_children=3),
+     [13, 20]),
+    (flt.Nested(child=flt.Term("1", field="count"), match="min", min_children=3),
+     [6]),
+    # Match{0}: every parent matches, zero-child parents score 0
+    (flt.Nested(child=flt.Term("1", field="count"), match="min", min_children=0),
+     [6, 8, 13, 20]),
+]
+
+
+@pytest.mark.parametrize("f,expected", NESTED_CASES)
+def test_by_nested_reference_selection(nested_index, f, expected):
+    assert matched(nested_index, f) == expected
