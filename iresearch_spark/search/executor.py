@@ -817,6 +817,14 @@ def compile_plans(
             # i.e. nested phrases always score in `sum_of_terms` mode.
             if f not in known:
                 return {"op": "empty"}
+            if isinstance(node, flt.SamePosition) and any(
+                isinstance(t, tuple) for t in node.terms
+            ):
+                raise NotImplementedError(
+                    "cross-field SamePosition ((field, term) slots) is "
+                    "supported at the root of a query (Searcher.search), "
+                    "not nested under And/Or or in a batch"
+                )
             slots: list[list[str]] = []
             idf_sum = 0.0
             for t in node.terms:
@@ -2341,12 +2349,29 @@ class Searcher:
         multiterm filters (VariadicPhraseQuery, phrase_query.cpp:119-303)."""
         from .bm25 import BoostModel, TFIDFModel
 
-        fname = getattr(node, "field", None) or self.reader.default_field
-        if fname not in self.reader.field_names:
+        def _empty():
             schema = "doc_key string, segment_id int, doc_id int, score double"
             return self.reader.spark.createDataFrame(
                 [], schema if with_keys else schema.split(", ", 1)[1]
             )
+
+        # cross-field SamePosition: slots given as (field, term) pairs
+        # (same_position_filter.cpp options). Plain-string slots resolve in
+        # the node's field as before.
+        slot_fields: list[str] | None = None
+        if any(isinstance(t, tuple) for t in terms):
+            default_f = getattr(node, "field", None) or self.reader.default_field
+            slot_fields = [
+                t[0] if isinstance(t, tuple) else default_f for t in terms
+            ]
+            terms = [t[1] if isinstance(t, tuple) else t for t in terms]
+            if any(f not in self.reader.field_names for f in slot_fields):
+                return _empty()  # unknown field matches nothing
+            fname = slot_fields[0]
+        else:
+            fname = getattr(node, "field", None) or self.reader.default_field
+        if fname not in self.reader.field_names:
+            return _empty()
         stats = self.reader.field_stats(fname)
         n, avgdl = stats["docs_with_field"], stats["avgdl"]
         if isinstance(self.model, TFIDFModel):
@@ -2368,23 +2393,37 @@ class Searcher:
         slots = self._expand_slots(list(terms), field=fname)
         idf_sum: float | None = None
         if self.phrase_scoring == "sum_of_terms" and mode in ("bm25", "tfidf"):
-            flat = sorted({t for slot in slots for t in slot})
-            tstats = self.reader.term_stats(flat, field=fname) if flat else {}
             idf_sum = 0.0
-            for slot in slots:
+            # per-slot stats come from THAT slot's field (cross-field
+            # same-position collects each term in its own field — "1 field
+            # per term since treated as a disjunction",
+            # same_position_filter_tests.cpp collector counts)
+            per_slot_fields = slot_fields or [fname] * len(slots)
+            stats_cache: dict[str, tuple[dict, float]] = {}
+            for f, slot in zip(per_slot_fields, slots):
+                if f not in stats_cache:
+                    fs = self.reader.field_stats(f)
+                    ts = self.reader.term_stats(
+                        sorted({t for fl, sl in zip(per_slot_fields, slots)
+                                if fl == f for t in sl}),
+                        field=f,
+                    )
+                    stats_cache[f] = (ts, float(fs["docs_with_field"]))
+                tstats, n_f = stats_cache[f]
                 for t in slot:
                     df_t = tstats.get(t, (0, 0))[0]
                     if df_t == 0:
                         continue  # absent term: the phrase matches nothing anyway
                     if mode == "bm25":
-                        idf_sum += float(np.log1p((n - df_t + 0.5) / (df_t + 0.5)))
+                        idf_sum += float(np.log1p((n_f - df_t + 0.5) / (df_t + 0.5)))
                     else:
-                        idf_sum += float(np.log((n + 1.0) / (df_t + 1.0)) + 1.0)
+                        idf_sum += float(np.log((n_f + 1.0) / (df_t + 1.0)) + 1.0)
         # slack absorbs rank-vs-score FP boundary noise: the exact expression
         # re-ranks the survivors below, so only >16 docs inside one ULP of the
         # k-th rank could ever flip the set
         local = self.phrase_matches(
-            slots, shifts, local_k=k + 16, rank_params=rank_params, field=fname
+            slots, shifts, local_k=k + 16, rank_params=rank_params, field=fname,
+            slot_fields=slot_fields,
         )
         pdf = local.toPandas()
         spark = self.reader.spark
@@ -2849,9 +2888,18 @@ class Searcher:
         local_k: int | None = None,
         rank_params: tuple[str, float, float] | None = None,
         field: str | None = None,
+        slot_fields: list[str] | None = None,
     ) -> DataFrame:
         """All docs matching the (possibly variadic) phrase, with occurrence
         counts.
+
+        ``slot_fields`` (cross-field SamePosition): per-slot field names —
+        slot i's terms resolve in ``slot_fields[i]``. Postings are fetched
+        per field and re-keyed with a ``field\\x1fterm`` composite so the
+        SAME packed-key intersect kernel runs unchanged; positions align
+        across fields because every field's tokens of one doc share the
+        position space of that doc's respective value arrays
+        (same_position_filter.cpp: options are (field, term) pairs).
 
         Kernel — FULLY vectorized, zero per-doc Python: for every slot the
         candidate docs' positions are gathered into one flat array, packed as
@@ -2870,9 +2918,7 @@ class Searcher:
         phrase scorer needs without ever shuffling the full match set."""
         if shifts is None:
             shifts = list(range(len(terms)))
-        slots = self._expand_slots(list(terms), field=field)
-        flat_terms = sorted({t for slot in slots for t in slot})
-        pq = self.reader.postings_for_terms(flat_terms, field=field).select(
+        _PQ_COLS = [
             "segment_id",
             "term",
             "doc_ids_enc",
@@ -2884,8 +2930,33 @@ class Searcher:
             "block_max_freq",
             "docs_count",
             "max_freq",
-        )
-        norms = self.reader.norms(field=field)
+        ]
+        if slot_fields is not None:
+            slots = [[t] if isinstance(t, str) else list(t) for t in terms]
+            by_field: dict[str, set] = {}
+            for f, slot in zip(slot_fields, slots):
+                by_field.setdefault(f, set()).update(slot)
+            pq = None
+            for f in sorted(by_field):
+                pq_f = (
+                    self.reader.postings_for_terms(sorted(by_field[f]), field=f)
+                    .select(*_PQ_COLS)
+                    .withColumn("term", F.concat(F.lit(f + FIELD_SEP), F.col("term")))
+                )
+                pq = pq_f if pq is None else pq.unionByName(pq_f)
+            slots = [
+                [f + FIELD_SEP + t for t in slot]
+                for f, slot in zip(slot_fields, slots)
+            ]
+            norms = self.reader.norms(field=slot_fields[0])
+            field = slot_fields[0]  # norms context tag below
+        else:
+            slots = self._expand_slots(list(terms), field=field)
+            flat_terms = sorted({t for slot in slots for t in slot})
+            pq = self.reader.postings_for_terms(flat_terms, field=field).select(
+                *_PQ_COLS
+            )
+            norms = self.reader.norms(field=field)
         slot_list = [list(s) for s in slots]
         shift_list = list(shifts)
         out_schema = MATCH_OUT_SCHEMA + (", seg_matches long" if local_k is not None else "")

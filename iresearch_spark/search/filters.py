@@ -114,9 +114,16 @@ class Phrase(Filter):
 class SamePosition(Filter):
     """All terms occurring at the identical position in a doc
     (same_position_filter.cpp). tf = number of shared positions; scored like
-    :class:`Phrase` (exact match-df BM25)."""
+    :class:`Phrase` (exact match-df BM25).
 
-    terms: tuple[str, ...]
+    Each slot is either a plain term (looked up in ``field``) or a
+    ``(field, term)`` pair — the reference's options are (field, term)
+    pairs precisely so DIFFERENT fields can be required to align at one
+    position (array sub-objects: ``{a: 300, b: 90, c: 9}`` matches docs
+    whose a/b/c arrays carry those values at the same index,
+    same_position_filter_tests.cpp sub_objects_unordered)."""
+
+    terms: tuple  # str | (field, term) per slot
     boost: float = 1.0
     field: str | None = None  # None = the index's default field
 

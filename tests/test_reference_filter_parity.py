@@ -832,3 +832,92 @@ NESTED_CASES = [
 @pytest.mark.parametrize("f,expected", NESTED_CASES)
 def test_by_nested_reference_selection(nested_index, f, expected):
     assert matched(nested_index, f) == expected
+
+
+# ---------------------------------------------------------------------------
+# same_position_filter_tests.cpp sub_objects_unordered (l:200-330) over
+# same_position.json: 96 docs, each an ARRAY of {a, b, c} sub-objects; the
+# reference indexes fields a/b/c as parallel token streams (array order =
+# positions), and by_same_position takes (field, term) PAIRS so different
+# fields must align at one position. Fixture derived from the resource as
+# per-doc "a|b|c" triple strings (tests/fixtures/same_position_triples.json);
+# a scalar oracle recomputes each expected doc set from the triples.
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+
+_SP_FIXTURE = _os.path.join(_os.path.dirname(__file__), "fixtures",
+                            "same_position_triples.json")
+
+
+def _sp_docs():
+    with open(_SP_FIXTURE) as fh:
+        return [
+            [tuple(t.split("|")) for t in doc]
+            for doc in _json.load(fh)["docs"]
+        ]
+
+
+@pytest.fixture(scope="module")
+def same_position_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("refpar_samepos"))
+    rows = [
+        (
+            str(i + 1),
+            " ".join(t[0] for t in doc),
+            " ".join(t[1] for t in doc),
+            " ".join(t[2] for t in doc),
+        )
+        for i, doc in enumerate(_sp_docs())
+    ]
+    df = spark.createDataFrame(rows, "doc_key string, a string, b string, c string")
+    IndexBuilder(spark, path, analyzer="simple", num_segments=2).build(
+        df, key_col="doc_key",
+        fields=(("a", "a", "simple"), ("b", "b", "simple"), ("c", "c", "simple")),
+    )
+    return IndexReader(spark, path)
+
+
+def _sp_oracle(pairs):
+    """Docs (1-based) having one array index where every (field, term) in
+    ``pairs`` holds; field -> triple slot."""
+    slot = {"a": 0, "b": 1, "c": 2}
+    out = []
+    for i, doc in enumerate(_sp_docs()):
+        if any(all(t[slot[f]] == v for f, v in pairs) for t in doc):
+            out.append(i + 1)
+    return out
+
+
+SAMEPOS_CASES = [
+    # "check document with first position" {a:300, b:90, c:9}
+    [("a", "300"), ("b", "90"), ("c", "9")],
+    # {a:100, b:30, c:6} (the seek scenario)
+    [("a", "100"), ("b", "30"), ("c", "6")],
+    [("a", "400"), ("b", "10"), ("c", "3")],
+    [("a", "200"), ("b", "60")],
+    [("b", "90"), ("c", "9")],
+    [("a", "100"), ("b", "30"), ("c", "100")],
+]
+
+
+@pytest.mark.parametrize("pairs", SAMEPOS_CASES, ids=lambda p: "+".join(
+    f"{f}{v}" for f, v in p))
+def test_same_position_cross_field_selection(same_position_index, pairs):
+    f = flt.SamePosition(tuple(pairs))
+    assert matched(same_position_index, f) == _sp_oracle(pairs)
+
+
+def test_same_position_single_pair_equals_term(same_position_index):
+    """{ a: 100 } — a one-pair same_position is exactly by_term
+    (same_position_filter_tests.cpp:244-270)."""
+    sp = matched(same_position_index, flt.SamePosition((("a", "100"),)))
+    term = matched(same_position_index, flt.Term("100", field="a"))
+    assert sp == term and sp  # non-empty and identical
+
+
+def test_same_position_unknown_field_empty(same_position_index):
+    assert matched(
+        same_position_index, flt.SamePosition((("a", "100"), ("zz", "1")))
+    ) == []
