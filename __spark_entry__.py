@@ -838,6 +838,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_same_position_syn"] = same_position_syn
 
+    def same_position_fields(s, d):
+        # CROSS-FIELD SamePosition ((field, term) slot pairs — the
+        # reference's by_same_position options, same_position_filter.cpp):
+        # title = first 6 body tokens, so requiring body:'scan' and
+        # title:'scan' at ONE position selects docs with 'scan' among their
+        # first 6 tokens; exact-df scoring, tf = aligned-position count,
+        # norms from the first slot's field (body)
+        reader = _fields_index(s, d)
+        res = Searcher(reader, k1=K1, b=B).search(
+            flt.SamePosition((("body", "scan"), ("title", "scan"))), k=TOPK
+        )
+        return res.select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            F.round(F.col("score"), 4).cast("double").alias("score"),
+        )
+
+    q["q_same_position_fields"] = same_position_fields
+
     def term_text_analyzer(s, d):
         # full text pipeline: stopword filter + Porter2 stem; 'customer'
         # stems to 'custom'
@@ -1294,7 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # goes driver-unchecked.
     first = [
         # (1) new in r5
-        "q_or_minmatch0", "q_terms_minmatch0",
+        "q_same_position_fields", "q_or_minmatch0", "q_terms_minmatch0",
         "q_text_edge_ngram", "q_fuzzy_dist", "q_fuzzy_prefix",
         "q_collation_sv", "q_collation_da",
         # (2) green in r03, rotated out of r04's 50-entry window
@@ -1447,6 +1465,21 @@ LIMIT {TOPK}"""
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(0.0 AS DOUBLE) AS score "
         "FROM documents"
     )
+    o["q_same_position_fields"] = f"""{_TWO_FIELD_CTE},
+m AS (
+  SELECT doc_id,
+         len(list_filter(toks[1:6], x -> x = 'scan'))::DOUBLE AS tf
+  FROM t
+  WHERE len(list_filter(toks[1:6], x -> x = 'scan')) > 0
+),
+dfp AS (SELECT count(*)::DOUBLE AS v FROM m)
+SELECT doc_id,
+       CAST(round((2.2 * ln(1 + (bst.n - dfp.v + 0.5) / (dfp.v + 0.5))) * m.tf
+         / ((1.2*(1-0.75)) + (1.2*0.75) * bdl.dl / bst.avgdl + m.tf),
+         4) AS DOUBLE) AS score
+FROM m JOIN bdl USING (doc_id) CROSS JOIN bst CROSS JOIN dfp
+ORDER BY score DESC, doc_id
+LIMIT {TOPK}"""
     o["q_boost_scorer"] = f"""{_TOKS_CTE}
 SELECT doc_id, CAST(2.0 AS DOUBLE) AS score
 FROM t WHERE list_contains(toks, 'scan')
