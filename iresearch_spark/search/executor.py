@@ -319,6 +319,26 @@ def _spec_of(node: flt.Filter) -> tuple | None:
     return None
 
 
+def _phrase_shifts(node) -> list[int]:
+    """Per-slot position shifts for a phrase. by_phrase parts are appended
+    AT AN OFFSET from the end of the phrase (phrase_filter.hpp:73-86
+    push_back(offs): part position = 1 + previous position + offs), and the
+    first part's offset is normalized away by base_offset
+    (phrase_filter.cpp:296-309) — so ``offsets[i]`` is the extra GAP between
+    slot i-1 and slot i, and a sole/leading offset does not matter
+    (phrase_filter_tests.cpp "term_filter with phrase offset which does not
+    matter"). No offsets → consecutive positions."""
+    n = len(node.terms)
+    offs = getattr(node, "offsets", None)
+    if not offs:
+        return list(range(n))
+    shifts = [0]
+    for i in range(1, n):
+        gap = int(offs[i]) if i < len(offs) else 0
+        shifts.append(shifts[-1] + 1 + gap)
+    return shifts
+
+
 def spec_pred(spec: tuple):
     """Spark Column predicate for a spec — pushable into the term-sorted
     parquet scan (StartsWith / range comparisons reach row-group stats)."""
@@ -852,7 +872,7 @@ def compile_plans(
             shifts = (
                 [0] * len(slots)
                 if isinstance(node, flt.SamePosition)
-                else list(range(len(slots)))
+                else _phrase_shifts(node)
             )
             return {
                 "op": "phrase",
@@ -1858,7 +1878,7 @@ class Searcher:
         """
         nf = flt.normalize(f)
         if isinstance(nf, flt.Phrase):
-            return self._search_phrase(nf, list(nf.terms), list(range(len(nf.terms))), k, dtype, with_keys)
+            return self._search_phrase(nf, list(nf.terms), _phrase_shifts(nf), k, dtype, with_keys)
         if isinstance(nf, flt.SamePosition):
             return self._search_phrase(nf, list(nf.terms), [0] * len(nf.terms), k, dtype, with_keys)
         if isinstance(nf, flt.ColumnExists):

@@ -108,6 +108,12 @@ class Phrase(Filter):
     terms: tuple  # str | Filter per slot
     boost: float = 1.0
     field: str | None = None  # None = the index's default field
+    # per-slot position GAP from the previous slot (phrase_filter.hpp:73-86
+    # push_back(offs): part position = 1 + prev position + offs). offsets[0]
+    # is ignored — the first part's offset is normalized away by base_offset
+    # (phrase_filter.cpp:296-309; a leading gap cannot move the phrase).
+    # None = consecutive slots (all gaps 0).
+    offsets: tuple[int, ...] | None = None
 
 
 @dataclass

@@ -921,3 +921,54 @@ def test_same_position_unknown_field_empty(same_position_index):
     assert matched(
         same_position_index, flt.SamePosition((("a", "100"), ("zz", "1")))
     ) == []
+
+
+# ---------------------------------------------------------------------------
+# by_phrase slot offsets (phrase_filter.hpp:73-86 push_back(offs): each part
+# sits at 1 + previous position + offs; the first part's offset is
+# normalized away by base_offset, phrase_filter.cpp:296-309).
+# ---------------------------------------------------------------------------
+
+GAP_CORPUS = {
+    1: "a b a",          # a at 1,3
+    2: "a a a",          # a at 1,2,3
+    3: "a x x a",        # a at 1,4
+    4: "b a b a b",      # a at 2,4
+    5: "quick brown fox",
+    6: "quick red brown fox",
+}
+
+
+@pytest.fixture(scope="module")
+def gap_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("refpar_gap"))
+    rows = [(str(d), text) for d, text in GAP_CORPUS.items()]
+    df = spark.createDataFrame(rows, "doc_key string, text string")
+    IndexBuilder(spark, path, analyzer="simple", num_segments=1).build(
+        df, key_col="doc_key", text_col="text"
+    )
+    return IndexReader(spark, path)
+
+
+GAP_CASES = [
+    # consecutive (offsets None == all-zero gaps)
+    (("a", "a"), None, [2]),
+    (("a", "a"), (0, 0), [2]),
+    # one-position gap: a _ a (doc 2's "a a a" has a's at 1 and 3 too)
+    (("a", "a"), (0, 1), [1, 2, 4]),
+    # two-position gap: a _ _ a
+    (("a", "a"), (0, 2), [3]),
+    # leading offset is irrelevant (single term at huge offset = term query)
+    (("a",), (5,), [1, 2, 3, 4]),
+    (("quick", "fox"), (0, 1), [5]),  # quick _ fox ("quick brown fox")
+    (("quick", "fox"), (0, 2), [6]),  # quick _ _ fox ("quick red brown fox")
+    (("quick", "brown", "fox"), None, [5]),
+    # quick, then brown 2 ahead, then fox right after: quick _ brown fox
+    (("quick", "brown", "fox"), (0, 1, 0), [6]),
+]
+
+
+@pytest.mark.parametrize("terms,offsets,expected", GAP_CASES)
+def test_phrase_slot_offsets(gap_index, terms, offsets, expected):
+    f = flt.Phrase(terms, offsets=offsets)
+    assert matched(gap_index, f) == expected
