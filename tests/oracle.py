@@ -142,12 +142,20 @@ class ScalarIndex:
             # twice toward min_match), effective boost = node x member,
             # kSum over present legs (executor _union default).
             _, words, boosts, min_match, b = node
+            if len(words) == 0 or min_match > len(words):
+                return {}  # unreachable criteria (terms_filter.cpp:117-121)
             per_key: dict[str, list[float]] = {}
             for w, wb in zip(words, boosts):
                 for key in self.keys:
                     s = self.score_term(w, key, boost=b * wb)
                     if s is not None:
                         per_key.setdefault(key, []).append(s)
+            if min_match == 0:
+                # every doc matches; term hits keep their score, the rest 0
+                # (terms_filter.cpp:123-133 Or(AllDocs(0), terms(mm=1)))
+                out = {k: 0.0 for k in self.keys}
+                out.update({k: sum(vs) for k, vs in per_key.items()})
+                return out
             return {
                 k: sum(vs) for k, vs in per_key.items() if len(vs) >= min_match
             }
@@ -206,6 +214,14 @@ def eval_composite(node, leaf_eval, all_keys) -> dict[str, float]:
         return out
     if op == "or":
         _, parts, excludes, min_match, merge, boost = node
+        if min_match == 0:
+            # explicit 0: the Or collapses to all-docs at its own boost,
+            # parts ignored (Or::prepare, boolean_filter.cpp:492-496)
+            return {k: float(boost) for k in all_keys}
+        if min_match > len(parts) + len(excludes):
+            # above the leg count (each Not contributes an all-docs leg):
+            # unreachable (MinMatchQuery, boolean_filter.cpp:270-272)
+            return {}
         maps = [rec(p) for p in parts]
         # Not under Or: each Not(B) contributes an all-docs leg at
         # boost 0 to the disjunction AND B to the exclusion set —

@@ -35,7 +35,9 @@ terms_leaf = st.tuples(
     st.just("terms"),
     st.lists(st.sampled_from(VOCAB), min_size=2, max_size=3).map(tuple),
     st.sampled_from([(1.0, 1.0, 1.0), (2.0, 0.5, 1.0)]),
-    st.integers(min_value=1, max_value=3),
+    # 0 = every doc matches (terms_filter.cpp:123-133); 3 may exceed the
+    # set size on 2-word sets = unreachable
+    st.integers(min_value=0, max_value=3),
     st.sampled_from(BOOSTS),
 )
 leaf = st.one_of(term_leaf, prefix_leaf, terms_leaf)
@@ -51,7 +53,9 @@ def composite(children):
         st.just("or"),
         parts,
         excludes,
-        st.integers(min_value=1, max_value=3),
+        # 0 = all-docs collapse (boolean_filter.cpp:492-496); 3 may exceed
+        # the leg count = unreachable
+        st.integers(min_value=0, max_value=3),
         st.sampled_from(MERGES),
         st.sampled_from(BOOSTS),
     )
