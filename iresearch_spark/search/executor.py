@@ -801,6 +801,7 @@ def compile_plans(
             scan.field_terms[f].extend(node.terms)
             return {
                 "op": "mterm", "terms": members, "min_match": node.min_match,
+                "merge": getattr(node, "merge", "sum"),
                 "boost": node.boost, "field": f,
             }
         if isinstance(node, (flt.Prefix, flt.Range, flt.Wildcard, flt.Fuzzy)):
@@ -1289,7 +1290,11 @@ def _eval_root(
         if v is None:
             return empty
         return _wand_single_term(v, plan["idf"], plan["boost"], k, dl, avgdl, model, dt, dels)
-    if op == "mterm" and plan.get("min_match", 1) <= 1:
+    if (
+        op == "mterm"
+        and plan.get("min_match", 1) <= 1
+        and plan.get("merge", "sum") == "sum"
+    ):
         legs = [(sv.view(m[0]), m[1], plan["boost"] * (m[2] if len(m) > 2 else 1.0)) for m in plan["terms"]]
         legs = [(v, i, bo) for v, i, bo in legs if v is not None]
         unscored = _tail_terms(plan, sv)
@@ -1519,7 +1524,7 @@ def _eval_plan(
             hit = decoded.get(term)
             if hit is not None:
                 legs.append((hit[0], np.zeros(hit[0].size, dtype=dt)))
-        return _union(legs, plan.get("min_match", 1), dt)
+        return _union(legs, plan.get("min_match", 1), dt, plan.get("merge", "sum"))
     if op == "phrase":
         # nested Phrase/SamePosition leaf: tf = phrase frequency (packed-key
         # position intersect, _phrase_seg_tfs), idf = the compile-time sum of

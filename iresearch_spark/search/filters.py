@@ -37,6 +37,7 @@ class Terms(Filter):
     terms: tuple[str, ...]
     min_match: int = 1
     boosts: tuple[float, ...] | None = None  # parallel to terms; None = all 1.0
+    merge: str = "sum"  # kSum/kMax/kMin over member-term legs (terms_filter.hpp:69)
     boost: float = 1.0
     field: str | None = None  # None = the index's default field
 

@@ -972,3 +972,25 @@ GAP_CASES = [
 def test_phrase_slot_offsets(gap_index, terms, offsets, expected):
     f = flt.Phrase(terms, offsets=offsets)
     assert matched(gap_index, f) == expected
+
+
+def _score_map(index, f):
+    s = Searcher(index)
+    return {int(r["doc_key"]): r["score"] for r in s.search(f, k=100).collect()}
+
+
+@pytest.mark.parametrize("merge,fold", [("max", max), ("min", min), ("sum", sum)])
+def test_by_terms_merge_type(gap_index, merge, fold):
+    """by_terms merge_type kSum/kMax/kMin folds member-term leg scores
+    (terms_filter.hpp:69): per doc, the merged score must equal the fold of
+    that doc's individual term-query scores."""
+    a = _score_map(gap_index, flt.Term("a"))
+    b = _score_map(gap_index, flt.Term("b"))
+    got = _score_map(gap_index, flt.Terms(("a", "b"), merge=merge))
+    expected = {
+        d: fold([m[d] for m in (a, b) if d in m])
+        for d in set(a) | set(b)
+    }
+    assert set(got) == set(expected)
+    for d in expected:
+        assert got[d] == pytest.approx(expected[d], rel=1e-9), (d, merge)
