@@ -140,8 +140,18 @@ def ngram_tokens(
     preserve_original: bool = False,
     start_marker: str = "",
     end_marker: str = "",
+    input_type: str = "utf8",
 ) -> pd.Series:
     """ngram_token_stream.cpp: char n-grams of each input string.
+
+    ``input_type`` mirrors the reference's ``InputType``
+    (ngram_token_stream.hpp:44-69): ``"utf8"`` grams are codepoint-wise
+    (ngram_token_stream<UTF8>, pinned against the next_utf8 fixtures);
+    ``"bytes"`` grams are BYTE-wise over the UTF-8 encoding
+    (InputType::Binary, the reference DEFAULT) — multi-byte characters
+    split across grams. Byte grams are carried as latin-1-decoded strings
+    (a lossless byte<->str mapping) since this engine's term dictionary
+    stores strings; ASCII inputs are identical in both modes.
 
     ``start_marker``/``end_marker`` (Options.start_marker/end_marker,
     ngram_token_stream.hpp:56-70): every gram anchored at the stream start
@@ -157,7 +167,15 @@ def ngram_tokens(
     order (same multiset; only position attributes would differ, which
     this analyzer plane does not index)."""
 
+    as_bytes = input_type == "bytes"
+    if as_bytes:
+        # markers are byte strings in the reference; same lossless mapping
+        start_marker = start_marker.encode("utf-8").decode("latin-1")
+        end_marker = end_marker.encode("utf-8").decode("latin-1")
+
     def _one(s: str) -> list[str]:
+        if as_bytes:
+            s = s.encode("utf-8", "surrogatepass").decode("latin-1")
         out = []
         n = len(s)
         if not start_marker and not end_marker:
@@ -773,7 +791,7 @@ def get_tokenizer(name: str) -> Tokenizer:
             # original; start/end are the reference's Options markers
             parts = arg.split(",")
             lo, hi = int(parts[0]), int(parts[1])
-            po, sm, em = False, "", ""
+            po, sm, em, it = False, "", "", "utf8"
             for p in parts[2:]:
                 if p == "p":
                     po = True
@@ -781,9 +799,13 @@ def get_tokenizer(name: str) -> Tokenizer:
                     sm = p[6:]
                 elif p.startswith("end="):
                     em = p[4:]
+                elif p == "bytes":  # InputType::Binary (the reference default)
+                    it = "bytes"
                 else:
                     raise ValueError(f"bad ngram option {p!r}")
-            return lambda s, a=lo, b=hi, c=po, d=sm, e=em: ngram_tokens(s, a, b, c, d, e)
+            return lambda s, a=lo, b=hi, c=po, d=sm, e=em, f=it: ngram_tokens(
+                s, a, b, c, d, e, f
+            )
         if kind == "simple+stop":
             words = tuple(arg.split(","))
             return pipeline(simple_tokenize, lambda t, w=words: stopword_filter(t, w))

@@ -142,3 +142,45 @@ def test_arrow_tokenize_matches_pandas_simple():
     want = simple_tokenize(pd.Series(texts)).tolist()
     assert got == want
     assert arrow_tokenize_encode(texts, "segmentation") is None  # no fast path
+
+
+# --- ngram InputType (ngram_token_stream.hpp:44-69; next_utf8 fixtures) -----
+
+
+def test_ngram_utf8_codepoint_grams():
+    """ngram_token_stream<UTF8> fixtures (ngram_token_stream_test.cpp:
+    next_utf8 1-gram / 2-gram over "a¢b£c¤d¥")."""
+    import pandas as pd
+    from iresearch_spark.analysis.tokenizers import ngram_tokens
+
+    data = pd.Series(["a¢b£c¤d¥"])
+    assert ngram_tokens(data, 1, 1).iloc[0] == [
+        "a", "¢", "b", "£", "c", "¤", "d", "¥"
+    ]
+    assert ngram_tokens(data, 2, 2).iloc[0] == [
+        "a¢", "¢b", "b£", "£c", "c¤", "¤d",
+        "d¥",
+    ]
+
+
+def test_ngram_bytes_mode_splits_multibyte():
+    """InputType::Binary (the reference default): grams are BYTE-wise, so a
+    2-byte character splits across grams; ASCII inputs match utf8 mode."""
+    import pandas as pd
+    from iresearch_spark.analysis.tokenizers import get_tokenizer, ngram_tokens
+
+    data = pd.Series(["a¢b"])  # bytes: 61 C2 A2 62
+    got = [g.encode("latin-1") for g in
+           ngram_tokens(data, 2, 2, input_type="bytes").iloc[0]]
+    assert got == [b"a\xc2", b"\xc2\xa2", b"\xa2b"]
+    # spec-string plumbing
+    tok = get_tokenizer("ngram:1,1,bytes")
+    assert [g.encode("latin-1") for g in tok(data).iloc[0]] == [
+        b"a", b"\xc2", b"\xa2", b"b"
+    ]
+    # ASCII: byte grams == codepoint grams
+    ascii_data = pd.Series(["quick"])
+    assert (
+        ngram_tokens(ascii_data, 2, 3, input_type="bytes").iloc[0]
+        == ngram_tokens(ascii_data, 2, 3).iloc[0]
+    )
