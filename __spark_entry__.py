@@ -1340,6 +1340,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Not-merge kernel stays in-window via q_and_not, and Not-under-Or
         # compositions are covered by the boolean-tree property suite
         "q_or_not",
+        # demoted when q_same_position_fields/q_or_minmatch0/
+        # q_terms_minmatch0 entered (r5 continuation), so the r5-TOUCHED ANN
+        # entries (q_ann_lsh_topk, q_lsh_bucket_cand, q_cosine_near_dup —
+        # lsh_bucket_candidates changed this round) stay in-window: all
+        # three sidecar/lifecycle paths below are r4-green, untouched this
+        # round, and pinned by the round-4 consolidation-invariant pytests
+        "q_payloads", "q_highlight_offsets", "q_append_term",
     ]
     ordered = {k: q[k] for k in first if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered and k not in tail})
