@@ -994,3 +994,14 @@ def test_by_terms_merge_type(gap_index, merge, fold):
     assert set(got) == set(expected)
     for d in expected:
         assert got[d] == pytest.approx(expected[d], rel=1e-9), (d, merge)
+
+
+def test_phrase_offsets_nested_under_and(gap_index):
+    """Offsets must also apply on the in-kernel nested-phrase path (the
+    compile_plans branch, not just the root two-pass path)."""
+    root = matched(gap_index, flt.Phrase(("a", "a"), offsets=(0, 1)))
+    nested = matched(
+        gap_index,
+        flt.And((flt.Phrase(("a", "a"), offsets=(0, 1)), flt.All(boost=0.0))),
+    )
+    assert nested == root == [1, 2, 4]
