@@ -83,13 +83,21 @@ class ScalarIndex:
         """Disjunction-of-scored-terms (prefix/wildcard/range/fuzzy expansion)."""
         return self.or_query(terms, k=k, min_match=1)
 
-    def phrase_df_tf(self, terms: list[str]) -> dict[str, int]:
+    def phrase_df_tf(
+        self, terms: list[str], shifts: list[int] | None = None
+    ) -> dict[str, int]:
+        """Phrase match counts; ``shifts`` = per-slot position offsets
+        (consecutive when None) — the push_back(offs) gap semantics."""
+        if shifts is None:
+            shifts = list(range(len(terms)))
         out = {}
+        span = max(shifts) + 1
         for key in self.keys:
             toks = self.tokens[key]
-            n = len(terms)
             cnt = sum(
-                1 for i in range(len(toks) - n + 1) if toks[i : i + n] == terms
+                1
+                for i in range(len(toks) - span + 1)
+                if all(toks[i + sh] == t for t, sh in zip(terms, shifts))
             )
             if cnt:
                 out[key] = cnt
@@ -135,6 +143,23 @@ class ScalarIndex:
                         total, hit = total + s, True
                 if hit:
                     out[key] = total
+            return out
+        if op == "phrase":
+            # nested-phrase leaf (engine compile_plans branch): tf = phrase
+            # occurrence count under the slot shifts, idf = SUM of member
+            # idfs (aggregated stats, phrase_filter.cpp:231-318), absent
+            # terms contributing 0
+            _, words, offsets, b = node
+            shifts = [0]
+            for i in range(1, len(words)):
+                gap = offsets[i] if offsets and i < len(offsets) else 0
+                shifts.append(shifts[-1] + 1 + int(gap))
+            idf_sum = sum(self.idf(w) for w in words)
+            out = {}
+            for key, tf in self.phrase_df_tf(list(words), shifts).items():
+                c0 = b * (1.2 + 1.0) * idf_sum
+                c1 = 1.2 * (1 - 0.75) + 1.2 * 0.75 * self.dl[key] / self.avgdl
+                out[key] = c0 * tf / (c1 + tf)
             return out
         if op == "terms":
             # mterm leaf with min_match + per-term boosts
@@ -187,7 +212,7 @@ def eval_composite(node, leaf_eval, all_keys) -> dict[str, float]:
     ScalarIndex.eval_tree). ``all_keys`` supplies the all-docs legs that Not
     children contribute under Or (group_filters, boolean_filter.cpp:366-411)."""
     op = node[0]
-    if op in ("term", "prefix", "terms"):
+    if op in ("term", "prefix", "terms", "phrase"):
         return leaf_eval(node)
 
     def rec(n):

@@ -40,7 +40,16 @@ terms_leaf = st.tuples(
     st.integers(min_value=0, max_value=3),
     st.sampled_from(BOOSTS),
 )
-leaf = st.one_of(term_leaf, prefix_leaf, terms_leaf)
+# nested-phrase leaves, incl. slot OFFSETS (push_back(offs) gaps) — common
+# word pairs so adjacency/gap matches actually occur in the Zipf corpus
+phrase_leaf = st.tuples(
+    st.just("phrase"),
+    st.lists(st.sampled_from(["spark", "index", "query", "scan"]),
+             min_size=2, max_size=2).map(tuple),
+    st.sampled_from([None, (0, 0), (0, 1), (0, 2)]),
+    st.sampled_from(BOOSTS),
+)
+leaf = st.one_of(term_leaf, prefix_leaf, terms_leaf, phrase_leaf)
 excludes = st.lists(term_leaf, min_size=0, max_size=1).map(tuple)
 
 
@@ -76,6 +85,9 @@ def to_filter(node) -> flt.Filter:
         return flt.Terms(
             words, min_match=min_match, boosts=boosts[: len(words)], boost=b
         )
+    if op == "phrase":
+        _, words, offsets, b = node
+        return flt.Phrase(words, offsets=offsets, boost=b)
     if op == "and":
         _, parts, exc, merge, boost = node
         all_parts = tuple(to_filter(p) for p in parts) + tuple(
@@ -101,7 +113,13 @@ def tree_built(spark, tmp_path_factory):
     IndexBuilder(spark, path, analyzer="simple", num_segments=3).build(
         df, key_col="doc_key", text_col="text"
     )
-    return Searcher(IndexReader(spark, path)), ScalarIndex(docs)
+    # sum_of_terms phrase stats: a BARE phrase leaf then scores identically
+    # to the in-kernel nested-phrase mode the oracle models (root exact-df
+    # phrase scoring has its own dedicated suites)
+    return (
+        Searcher(IndexReader(spark, path), phrase_scoring="sum_of_terms"),
+        ScalarIndex(docs),
+    )
 
 
 @settings(
