@@ -1005,3 +1005,21 @@ def test_phrase_offsets_nested_under_and(gap_index):
         flt.And((flt.Phrase(("a", "a"), offsets=(0, 1)), flt.All(boost=0.0))),
     )
     assert nested == root == [1, 2, 4]
+
+
+def test_cross_field_samepos_union_keeps_pushdown(same_position_index):
+    """The cross-field same-position postings plan is a UNION of per-field
+    pruned scans — each branch must still push its term + field predicates
+    to parquet (the row-group-pruning contract every 100-TB claim rests
+    on), not degenerate into one unpruned scan."""
+    s = Searcher(same_position_index)
+    pq_plan = None
+    # reach the pq the kernel would scan: phrase_matches with slot_fields
+    local = s.phrase_matches(
+        [["300"], ["90"]], [0, 0], slot_fields=["a", "b"]
+    )
+    plan = local._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PushedFilters:") >= 2, plan  # one pruned scan per field
+    pushed = plan.split("PushedFilters:")[1:]
+    joined = "|".join(p.split("]")[0] for p in pushed)
+    assert "term," in joined or "EqualTo(term" in joined, plan
