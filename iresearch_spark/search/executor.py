@@ -718,6 +718,11 @@ def compile_plans(
         ):
             if fld(node) in known:
                 fields_used.add(fld(node))
+            if isinstance(node, flt.SamePosition):
+                # cross-field pair slots reference their OWN fields
+                for t in node.terms:
+                    if isinstance(t, tuple) and t[0] in known:
+                        fields_used.add(t[0])
 
     for nf in normalized.values():
         collect_fields(nf)
@@ -733,12 +738,16 @@ def compile_plans(
             if f in known:
                 terms_by_field[f].update(node.terms)
         elif isinstance(node, (flt.Phrase, flt.SamePosition)):
-            if f in known:
-                for t in node.terms:
-                    if isinstance(t, str):
-                        terms_by_field[f].add(t)
-                    elif isinstance(t, flt.Terms):
-                        terms_by_field[f].update(t.terms)
+            for t in node.terms:
+                if isinstance(t, tuple):  # cross-field (field, term) slot
+                    if t[0] in known:
+                        terms_by_field[t[0]].add(t[1])
+                elif f not in known:
+                    continue
+                elif isinstance(t, str):
+                    terms_by_field[f].add(t)
+                elif isinstance(t, flt.Terms):
+                    terms_by_field[f].update(t.terms)
         elif isinstance(node, (flt.And, flt.Or)):
             for p in node.parts:
                 collect_terms(p)
@@ -836,39 +845,38 @@ def compile_plans(
             # reference's aggregated phrase stats (phrase_filter.cpp:231-318
             # term_stats.finish per slot; bm25.cpp:495-497 `stats.idf +=`),
             # i.e. nested phrases always score in `sum_of_terms` mode.
-            if f not in known:
-                return {"op": "empty"}
-            if isinstance(node, flt.SamePosition) and any(
-                isinstance(t, tuple) for t in node.terms
-            ):
-                raise NotImplementedError(
-                    "cross-field SamePosition ((field, term) slots) is "
-                    "supported at the root of a query (Searcher.search), "
-                    "not nested under And/Or or in a batch"
-                )
             slots: list[list[str]] = []
+            slot_flds: list[str] = []
             idf_sum = 0.0
             for t in node.terms:
+                sf = f
+                if isinstance(node, flt.SamePosition) and isinstance(t, tuple):
+                    # cross-field slot: (field, term) — resolves in its OWN
+                    # field (same_position_filter.cpp options)
+                    sf, t = t[0], t[1]
+                if sf not in known:
+                    return {"op": "empty"}
                 if isinstance(t, str):
                     slot_terms = [t]
-                    idf_sum += idf_of(f, t)
+                    idf_sum += idf_of(sf, t)
                 elif isinstance(t, flt.Terms):
                     slot_terms = sorted(set(t.terms))
-                    idf_sum += sum(idf_of(f, w) for w in slot_terms)
+                    idf_sum += sum(idf_of(sf, w) for w in slot_terms)
                 else:  # variadic multiterm slot (phrase_filter.cpp variadic)
-                    ckey = repr(t) + FIELD_SEP + f + "#slot"
+                    ckey = repr(t) + FIELD_SEP + sf + "#slot"
                     if ckey not in expansion_cache:
-                        expansion_cache[ckey] = expand_multiterm(t, reader, field=f)
+                        expansion_cache[ckey] = expand_multiterm(t, reader, field=sf)
                     expanded, _tail = expansion_cache[ckey]
                     slot_terms = [w for w, _ in expanded]
                     idf_sum += sum(
-                        model.term_const(df, n_by_field[f], dt) for _, df in expanded
+                        model.term_const(df, n_by_field[sf], dt) for _, df in expanded
                     )
                 if not slot_terms:
                     return {"op": "empty"}  # unexpandable slot matches nothing
-                scan.field_terms[f].extend(slot_terms)
-                scan.pos_terms.setdefault(f, []).extend(slot_terms)
+                scan.field_terms[sf].extend(slot_terms)
+                scan.pos_terms.setdefault(sf, []).extend(slot_terms)
                 slots.append(slot_terms)
+                slot_flds.append(sf)
             scan.need_positions = True
             shifts = (
                 [0] * len(slots)
@@ -877,11 +885,16 @@ def compile_plans(
             )
             return {
                 "op": "phrase",
-                "slots": [[scan.key(f, w) for w in slot] for slot in slots],
+                "slots": [
+                    [scan.key(sf, w) for w in slot]
+                    for sf, slot in zip(slot_flds, slots)
+                ],
                 "shifts": shifts,
                 "idf": idf_sum,
                 "boost": node.boost,
-                "field": f,
+                # norms context = the FIRST slot's field (cross-field slots
+                # share the doc space; dl/avgdl follow the root path's choice)
+                "field": slot_flds[0] if slot_flds else f,
             }
         if isinstance(node, flt.Not):
             # standalone negation (Not::prepare, boolean_filter.cpp:455-485):

@@ -1023,3 +1023,32 @@ def test_cross_field_samepos_union_keeps_pushdown(same_position_index):
     pushed = plan.split("PushedFilters:")[1:]
     joined = "|".join(p.split("]")[0] for p in pushed)
     assert "term," in joined or "EqualTo(term" in joined, plan
+
+
+def test_same_position_cross_field_nested_and_batch(same_position_index):
+    """Cross-field pairs also work nested under And and in search_many
+    batches (the compile_plans branch) — selection identical to the root
+    path; the batch ScanSpec is (field, term)-keyed natively."""
+    pairs = (("a", "300"), ("b", "90"), ("c", "9"))
+    expected = _sp_oracle(list(pairs))
+    root = matched(same_position_index, flt.SamePosition(pairs))
+    nested = matched(
+        same_position_index,
+        flt.And((flt.SamePosition(pairs), flt.All(boost=0.0))),
+    )
+    s = Searcher(same_position_index)
+    # root-level positional queries use search()'s two-pass path by design;
+    # the batch form is the nested-leaf wrapping
+    batch = s.search_many(
+        {"q": flt.And((flt.SamePosition(pairs), flt.All(boost=0.0)))}, k=100
+    )
+    got_batch = sorted(
+        int(r["doc_key"])
+        for r in batch.join(
+            same_position_index.docs().select("segment_id", "doc_id", "doc_key"),
+            ["segment_id", "doc_id"],
+        ).collect()
+    )
+    assert root == expected
+    assert nested == expected
+    assert got_batch == expected
