@@ -464,8 +464,15 @@ def _bm25_sql(
     k: int = TOPK,
     cte: str | None = None,
     where_extra: str = "",
+    leg_boost: str = "1.0",
 ) -> str:
-    """BM25 sum-of-legs top-k in pure SQL (k1=1.2 b=0.75, IResearch idf)."""
+    """BM25 sum-of-legs top-k in pure SQL (k1=1.2 b=0.75, IResearch idf).
+
+    ``leg_boost``: SQL expression multiplying each leg's score — the
+    per-expanded-term boost of multiterm queries (multiterm_query.cpp:
+    150-157 ``entry.boost * boost()``; for by_edit_distance the boost is
+    the similarity 1 - d/min(|term|, |target|), levenshtein_filter.cpp
+    ::similarity)."""
     excl = (
         f"AND leg.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{exclude_term}')"
         if exclude_term
@@ -477,7 +484,8 @@ q AS (SELECT term FROM dfreq WHERE {term_pred}),
 leg AS (
   SELECT tf.doc_id,
          (2.2 * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))) * tf.tf
-           / ((1.2*(1-0.75)) + (1.2*0.75) * dl.dl / st.avgdl + tf.tf) AS s
+           / ((1.2*(1-0.75)) + (1.2*0.75) * dl.dl / st.avgdl + tf.tf)
+           * ({leg_boost}) AS s
   FROM tf
   JOIN q ON q.term = tf.term
   JOIN dfreq d ON d.term = tf.term
@@ -1383,9 +1391,14 @@ LIMIT {TOPK}"""
     o["q_prefix"] = _bm25_sql("term LIKE 's%'")
     o["q_range"] = _bm25_sql("term > 'query' AND term <= 'spark'")
     o["q_wildcard"] = _bm25_sql("term LIKE 's_a%'")
-    o["q_fuzzy"] = _bm25_sql("levenshtein(term, 'scam') <= 1")
+    o["q_fuzzy"] = _bm25_sql(
+        "levenshtein(term, 'scam') <= 1",
+        leg_boost="(1.0 - levenshtein(tf.term, 'scam') / least(length(tf.term), 4))",
+    )
     o["q_fuzzy_prefix"] = _bm25_sql(
-        "term LIKE 's%' AND levenshtein(substr(term, 2), 'cam') <= 1"
+        "term LIKE 's%' AND levenshtein(substr(term, 2), 'cam') <= 1",
+        # similarity length includes the prefix: min(|term|, |'s'|+|'cam'|)
+        leg_boost="(1.0 - levenshtein(substr(tf.term, 2), 'cam') / least(length(tf.term), 4))",
     )
     o["q_phrase"] = _phrase_sql(("fast", "scan"))
     o["q_phrase_sumidf"] = _phrase_sum_sql(("fast", "scan"))
@@ -1721,9 +1734,15 @@ WHERE CAST(round(list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v)) 
     o["q_same_position_syn"] = _bm25_sql("term = 'scan'")
     o["q_term_text_analyzer"] = _bm25_sql("term = 'custom'", cte=_text_tok_cte())
     o["q_text_edge_ngram"] = _bm25_sql("term = 'cus'", cte=_text_edge_tok_cte())
-    o["q_fuzzy_dist"] = _bm25_sql("levenshtein(term, 'scam') <= 1")
+    o["q_fuzzy_dist"] = _bm25_sql(
+        "levenshtein(term, 'scam') <= 1",
+        leg_boost="(1.0 - levenshtein(tf.term, 'scam') / least(length(tf.term), 4))",
+    )
     o["q_phrase_variadic"] = _phrase_regex_sql(" fast  s[a-z0-9]* ")
-    o["q_fuzzy_transpose"] = _bm25_sql("damerau_levenshtein(term, 'saprk') <= 1")
+    o["q_fuzzy_transpose"] = _bm25_sql(
+        "damerau_levenshtein(term, 'saprk') <= 1",
+        leg_boost="(1.0 - damerau_levenshtein(tf.term, 'saprk') / least(length(tf.term), 5))",
+    )
     o["q_numeric_range"] = f"""
 SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
 WHERE n_chars >= 200 AND n_chars < 400 ORDER BY doc_id LIMIT {TOPK}"""

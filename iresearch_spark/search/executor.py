@@ -604,7 +604,13 @@ def expand_multiterm(
             fboost = 1.0 - kd / lens.astype(np.float64)
             # sort by (fboost desc, term desc): lexsort is stable, keys last-major
             order = np.lexsort((kt.astype("U"), fboost))[::-1][:max_terms]
-            return sorted((str(kt[i]), int(kdf[i])) for i in order), None
+            # triples: the similarity is a SCORING boost too — each scored
+            # state's score is entry.boost * query boost
+            # (multiterm_query.cpp:150-157; ::similarity collected per term)
+            return (
+                sorted((str(kt[i]), int(kdf[i]), float(fboost[i])) for i in order),
+                None,
+            )
 
         # DISTRIBUTED PATH (vocabulary above the driver-cache cap): the
         # build-amortized prefilter (index/termfeat.py) — length window + two
@@ -644,7 +650,10 @@ def expand_multiterm(
             .limit(max_terms)
         )
         rows = matched.collect()
-        return sorted((r["term"], int(r["df"])) for r in rows), None
+        return (
+            sorted((r["term"], int(r["df"]), float(r["fboost"])) for r in rows),
+            None,
+        )
     spec = _spec_of(node)
     if spec is None:
         raise TypeError(f"not a multiterm filter: {node}")
@@ -821,10 +830,12 @@ def compile_plans(
                 expansion_cache[ckey] = expand_multiterm(node, reader, field=f)
             expanded, tail_spec = expansion_cache[ckey]
             members = []
-            for t, df in expanded:
+            for ent in expanded:
+                t, df = ent[0], ent[1]
+                tb = float(ent[2]) if len(ent) > 2 else 1.0
                 scan.field_terms[f].append(t)
                 members.append(
-                    (scan.key(f, t), model.term_const(df, n_by_field[f], dt), 1.0)
+                    (scan.key(f, t), model.term_const(df, n_by_field[f], dt), tb)
                 )
             if tail_spec is not None:
                 scan.field_specs.setdefault(f, []).append(tail_spec)
@@ -867,9 +878,9 @@ def compile_plans(
                     if ckey not in expansion_cache:
                         expansion_cache[ckey] = expand_multiterm(t, reader, field=sf)
                     expanded, _tail = expansion_cache[ckey]
-                    slot_terms = [w for w, _ in expanded]
+                    slot_terms = [e[0] for e in expanded]
                     idf_sum += sum(
-                        model.term_const(df, n_by_field[sf], dt) for _, df in expanded
+                        model.term_const(e[1], n_by_field[sf], dt) for e in expanded
                     )
                 if not slot_terms:
                     return {"op": "empty"}  # unexpandable slot matches nothing
@@ -2916,7 +2927,7 @@ class Searcher:
                 slots.append(sorted(set(t.terms)))
             else:
                 expanded, _tail = expand_multiterm(t, self.reader, field=field)
-                slots.append([w for w, _ in expanded])
+                slots.append([e[0] for e in expanded])
         return slots
 
     def phrase_matches(

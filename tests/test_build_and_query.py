@@ -154,9 +154,17 @@ def test_fuzzy(built):
                 prev, dp[j] = dp[j], min(prev + (ca != cb), dp[j] + 1, dp[j - 1] + 1)
         return dp[-1]
 
-    expanded = [w for w in set(oracle.df) if lev(w, "sprak") <= 2]
+    expanded = sorted(w for w in set(oracle.df) if lev(w, "sprak") <= 2)
     got = run(s, flt.Fuzzy("sprak", max_distance=2))
-    assert_matches(got, oracle.multiterm_query(expanded))
+    # each expanded term scores with its similarity boost
+    # 1 - d/min(|term|, |target|) (multiterm_query.cpp:150-157 entry.boost;
+    # levenshtein_filter.cpp ::similarity)
+    boosts = tuple(
+        1.0 - lev(w, "sprak") / min(len(w), len("sprak")) for w in expanded
+    )
+    scored = oracle.eval_leaf(("terms", tuple(expanded), boosts, 1, 1.0))
+    expect = sorted(scored.items(), key=lambda t: (-t[1], t[0]))[:10]
+    assert_matches(got, expect)
 
 
 def test_phrase(built):

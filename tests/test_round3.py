@@ -397,7 +397,7 @@ def test_fuzzy_candidate_selection_reference_order(spark, tmp_path_factory):
     assert tail is None
     # boosts: scan=1.0; len>=4 d=1 -> 0.75 (zcan scann scanx scax scaz sxan);
     # sca (len 3, d=1) -> 2/3. top-3 = scan, then the two LARGEST 0.75 terms
-    assert [t for t, _ in got] == sorted(["scan", "zcan", "sxan"])
+    assert [t for t, *_ in got] == sorted(["scan", "zcan", "sxan"])
 
 
 # --------------------------------------------------------------------------

@@ -690,7 +690,7 @@ def test_fuzzy_prefix_candidates_match_brute(spark, batch_index, pfx, term, d, t
         batch_index,
     )
     assert tail is None
-    assert sorted(t for t, _ in got) == expect, (pfx, term, d, tr)
+    assert sorted(t for t, *_ in got) == expect, (pfx, term, d, tr)
 
 
 def test_fuzzy_prefix_automaton_off_parity(spark, batch_index, monkeypatch):
@@ -728,7 +728,7 @@ def test_fuzzy_prefix_similarity_length_includes_prefix(spark, batch_index):
     got, _ = expand_multiterm(
         flt.Fuzzy("cab", max_distance=1, prefix="s", max_terms=1), batch_index
     )
-    assert [t for t, _ in got] == ["scan"]
+    assert [t for t, *_ in got] == ["scan"]
 
 
 # --------------------------------------------------------------------------
